@@ -1,0 +1,233 @@
+"""Registered queries for the log-ETL parity surface (SURVEY.md §2a).
+
+Two input families:
+  * the deterministic in-repo fixture (fixtures.py) — pins every edge case
+    of the normalize/filter semantics against the DuckDB oracle;
+  * `pipeline_events` — synthesizes JSONL log lines from the driver's
+    ``events`` parquet table with engine-identical string concatenation,
+    then runs the full pipeline at data scale (this is the flagship
+    query and the bench headline).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.config import PipelineConfig
+from k8s_log_etl_spark.fixtures import fixture_df, fixture_values_cte
+from k8s_log_etl_spark.operators import lognorm
+from k8s_log_etl_spark.oracles import log_oracle as O
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.tables import load_table
+
+FIXTURE_RAW = fixture_values_cte()
+CFG = PipelineConfig()  # levels WARN/ERROR, redact user_email/token
+CFG_SVC = PipelineConfig(filter_levels=(), filter_services=("orders", "payments"), redact_keys=())
+
+# ---------------------------------------------------------------------------
+# fixture-based parity queries
+# ---------------------------------------------------------------------------
+
+
+def _fixture_pipeline(spark: SparkSession, cfg: PipelineConfig = CFG) -> DataFrame:
+    return lognorm.run_pipeline(fixture_df(spark), cfg)
+
+
+@register("scan_jsonl", oracle=O.scan_sql(FIXTURE_RAW))
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: JSONL scan with blank-line skip (main.go:340-359)."""
+    df = lognorm.scan_lines(fixture_df(spark))
+    return df.select("line_id", F.length("value").alias("n_bytes"))
+
+
+@register("parse_json", oracle=O.parse_sql(FIXTURE_RAW))
+def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: JSON parse with failure accounting (main.go:365-374)."""
+    df = lognorm.parse_json(lognorm.scan_lines(fixture_df(spark)))
+    return df.select("line_id", "json_ok")
+
+
+def _norm_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        "line_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "level",
+        "service",
+        "namespace",
+        "pod",
+        "node",
+        "message",
+        "trace_id",
+    )
+
+
+@register("normalize", oracle=O.normalize_sql(FIXTURE_RAW))
+def normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+O4: canonical projection, alias precedence, k8s flatten,
+    validation (normalize.go:11-190)."""
+    return _norm_projection(lognorm.ok_records(_fixture_pipeline(spark)))
+
+
+@register("normalize_fields", oracle=O.fields_sql(FIXTURE_RAW))
+def normalize_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: residual-fields projection, pre-redaction (normalize.go:151-172)."""
+    df = lognorm.normalize(lognorm.parse_json(lognorm.scan_lines(fixture_df(spark))))
+    df = df.filter(F.col("json_ok") & F.col("norm_error").isNull())
+    return df.select("line_id", F.explode("fields").alias("key", "val"))
+
+
+@register("ts_validate", oracle=O.errors_sql(FIXTURE_RAW))
+def ts_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: validation failures with reference-exact error strings
+    (normalize.go:174-206)."""
+    df = _fixture_pipeline(spark)
+    df = df.filter(F.col("json_ok") & F.col("norm_error").isNotNull())
+    return df.select("line_id", F.col("norm_error").alias("reason"))
+
+
+@register("filter_level", oracle=O.filter_sql(FIXTURE_RAW, "level"))
+def filter_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: case-insensitive level allowlist (filter.go:30-32)."""
+    df = lognorm.ok_records(_fixture_pipeline(spark))
+    return df.filter((F.col("drop_reason").isNull()) | (F.col("drop_reason") != "level")).select("line_id")
+
+
+@register("filter_service", oracle=O.filter_sql(FIXTURE_RAW, "all", CFG_SVC))
+def filter_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: case-insensitive service allowlist (filter.go:33-35)."""
+    df = lognorm.ok_records(_fixture_pipeline(spark, CFG_SVC))
+    return df.filter(F.col("drop_reason").isNull()).select("line_id")
+
+
+@register("redact", oracle=O.fields_sql(FIXTURE_RAW, CFG, redacted=True))
+def redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: exact-case key deletion from the fields map of written records
+    (filter.go:37-41; blocked rows keep fields untouched)."""
+    df = lognorm.written_records(_fixture_pipeline(spark))
+    return df.select("line_id", F.explode("fields").alias("key", "val"))
+
+
+@register("transform_chain", oracle=O.written_sql(FIXTURE_RAW))
+def transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: the default transform chain (filter_redact) end-to-end — the
+    records a sink would receive (registry.go:40-51)."""
+    return _norm_projection(lognorm.written_records(_fixture_pipeline(spark)))
+
+
+@register("agg_by_level", oracle=O.agg_by_level_sql(FIXTURE_RAW))
+def agg_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: pre-filter tally over normalize-OK records (report.go:71-78)."""
+    df = lognorm.ok_records(_fixture_pipeline(spark))
+    return df.groupBy("level").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("agg_by_service", oracle=O.agg_by_service_sql(FIXTURE_RAW))
+def agg_by_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: pre-filter service tally, empty service skipped (report.go:81-88)."""
+    df = lognorm.ok_records(_fixture_pipeline(spark)).filter(F.col("service") != "")
+    return df.groupBy("service").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("agg_filter_reason", oracle=O.agg_filter_reason_sql(FIXTURE_RAW))
+def agg_filter_reason(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11: drop-reason tally (report.go:91-102)."""
+    df = lognorm.ok_records(_fixture_pipeline(spark)).filter(F.col("drop_reason").isNotNull())
+    return df.groupBy(F.col("drop_reason").alias("reason")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("report_summary", oracle=O.report_summary_sql(FIXTURE_RAW))
+def report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13+O27: scalar counters (report.go:14-38)."""
+    return lognorm.report_summary(_fixture_pipeline(spark))
+
+
+# ---------------------------------------------------------------------------
+# scale pipeline over the events table (flagship / bench headline)
+# ---------------------------------------------------------------------------
+
+# JSON line synthesized with plain string concatenation so Spark and
+# DuckDB produce byte-identical inputs.
+_EVENTS_RAW_SQL = """
+SELECT event_id AS line_id,
+  '{"ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z","level":"' || event_type ||
+  '","msg":"event ' || event_id || '","service":"svc-' || (user_id % 5) ||
+  '","event_id":' || event_id || ',"props":' || props || '}' AS value
+FROM events
+"""
+
+# Levels chosen from the events table's event_type domain.
+CFG_EVENTS = PipelineConfig(
+    filter_levels=("ERROR", "PURCHASE"), filter_services=(), redact_keys=("k",)
+)
+
+
+def events_as_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    value = F.concat(
+        F.lit('{"ts":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit('Z","level":"'),
+        F.col("event_type"),
+        F.lit('","msg":"event '),
+        F.col("event_id").cast("string"),
+        F.lit('","service":"svc-'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('","event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"props":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    return ev.select(F.col("event_id").alias("line_id"), value.alias("value"))
+
+
+def events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the synthesized JSONL to /tmp once per scale factor.
+
+    The reference's input is line-delimited JSONL *files*
+    (cmd/etl/main.go:570-579), so the flagship pipeline scans real text
+    files. Materializing also fixes local bench parallelism: the driver
+    parquet is one row-group per table (an unsplittable single-task
+    scan), while the JSONL lands as ``defaultParallelism`` text files
+    whose splits Spark's size/open-cost packing maps ~1:1 onto cores —
+    and the shuffle-free pipeline then scales with input splits exactly
+    as it would on a cluster.
+    """
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/spark_graft_jsonl_v1/{name}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            events_as_jsonl(spark, sf_dir)
+            .select("value")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite").text(out)
+        )
+    return out
+
+
+def events_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.text(events_jsonl_path(spark, sf_dir))
+
+
+@register("pipeline_events", oracle=O.written_sql(_EVENTS_RAW_SQL, CFG_EVENTS), bench=True)
+def pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full scan→parse→normalize→filter→redact pipeline over
+    JSONL files synthesized from the events table — the reference's
+    entire dataflow (main.go:234-455) as one shuffle-free Catalyst
+    lineage. line_id is recovered from the record's own event_id
+    residual field (the files carry no row identity)."""
+    df = lognorm.run_pipeline(events_lines(spark, sf_dir), CFG_EVENTS)
+    w = lognorm.written_records(df).withColumn(
+        "line_id", F.element_at(F.col("fields"), F.lit("event_id")).cast("bigint")
+    )
+    return _norm_projection(w)
+
+
+@register("pipeline_events_report", oracle=O.report_summary_sql(_EVENTS_RAW_SQL, CFG_EVENTS), bench=True)
+def pipeline_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 at scale: one-pass counter aggregation over the full pipeline."""
+    df = lognorm.run_pipeline(events_lines(spark, sf_dir), CFG_EVENTS)
+    return lognorm.report_summary(df)
