@@ -1,1 +1,347 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators over the documents/embeddings tables
+(§2c charter: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup).
+
+Cross-engine determinism: every hash bottoms out in
+functions.xengine.md5_long (md5 hex → 60-bit int, identical in Spark
+and DuckDB), universal-hash permutations stay in exact integer
+arithmetic, and similarity scores are either exact rationals rounded
+identically or integer Hamming distances.
+
+Scale notes (100 TB):
+* shingle/posting-list joins cap posting frequency (a shingle shared by
+  more than POSTING_CAP docs is dropped on BOTH sides) — the standard
+  guard against quadratic hot-key blowup in inverted-index joins;
+* MinHash+LSH is the sub-quadratic path: candidates only from equal
+  band signatures (one shuffle per band, no cross join);
+* SimHash/embedding queries use an all-pairs comparison that is fine at
+  fixture scale but documented as the brute baseline — the banded
+  variants are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.functions import xengine as X
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.tables import load_table
+
+POSTING_CAP = 100          # drop shingles appearing in more docs than this
+JACCARD_THRESHOLD = 0.5
+NUM_HASHES = 16
+BANDS = 4                  # 4 bands x 4 rows
+MINHASH_EST_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 8
+COSINE_DUP_THRESHOLD = 0.3  # synthetic embeddings are near-random; real dups would sit >0.9
+
+# Deterministic universal-hash seeds (i-th permutation).
+SEEDS = [(2 * i + 3, 7 * i + 1) for i in range(NUM_HASHES)]
+
+# ---------------------------------------------------------------------------
+# shared shingle/token CTEs (SQL) and frames (Spark)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, (w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS s
+       FROM words, unnest(range(greatest(len(w) - 2, 0))) AS t(i))
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-trigram shingles per document."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))
+
+
+def _tokens_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token term-frequencies per document."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.select("doc_id", F.explode(w).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_SQL = """
+SELECT md5(array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), ' ')) AS text_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_SQL, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on canonicalized text (lowercase, whitespace
+    collapsed): one hash-aggregate keyed on md5(text) — the grouping key
+    is the 32-byte digest, not the document, so shuffle width stays
+    constant no matter how large documents get."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(
+        " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    )
+    return (
+        d.select(F.md5(canon).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+capped AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {POSTING_CAP}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN capped USING (s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON da = sa.doc_id
+JOIN sizes sb ON db = sb.doc_id
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs via an inverted-index
+    (shingle-equality) join — candidates only where shingles collide,
+    never an all-pairs product. Posting lists over POSTING_CAP docs are
+    dropped on both sides (hot-key guard)."""
+    sh = _shingles(spark, sf_dir)
+    capped = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") <= POSTING_CAP
+    )
+    shc = sh.join(capped.select("s"), "s")
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
+    return (
+        common.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _perm_sql(i: int) -> str:
+    a, b = SEEDS[i]
+    return f"min({X.minhash_perm_sql(X.md5_long_sql('s'), a, b)})"
+
+
+_SIG_COLS_SQL = ", ".join(f"{_perm_sql(i)} AS mh{i}" for i in range(NUM_HASHES))
+_BAND_CASES = " ".join(
+    f"WHEN {b} THEN concat_ws('_', {', '.join(f'mh{b * 4 + r}' for r in range(4))})"
+    for b in range(BANDS)
+)
+_EQ_SUM = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+)
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, b AS band, CASE b {_BAND_CASES} END AS bsig
+          FROM sig, unnest(range({BANDS})) AS t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+SELECT da AS doc_a, db AS doc_b, est_sim FROM (
+  SELECT da, db, round(({_EQ_SUM}) / {NUM_HASHES}.0, 6) AS est_sim
+  FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+) WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_SQL, tags=("dedup",), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 permutations) + LSH banding (4 bands × 4 rows):
+    candidate pairs share at least one full band signature, verified by
+    the minhash similarity estimate. Sub-quadratic: signatures are one
+    groupBy over shingles; candidates one self-join on (band, bsig).
+    shingle→minhash→band→bucket-join, cf. SURVEY.md §2c."""
+    sh = _shingles(spark, sf_dir)
+    h = X.md5_long(F.col("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(SEEDS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh{b * 4 + r}") for r in range(4)]).alias("bsig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq_sum = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .withColumn("est_sim", F.round(eq_sum / F.lit(float(NUM_HASHES)), 6))
+        .filter(F.col("est_sim") >= MINHASH_EST_THRESHOLD)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "est_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_BITSUM_SQL = ", ".join(
+    f"sum(tf * (CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)) AS b{bit}"
+    for bit in range(SIMHASH_BITS)
+)
+_BITS_TO_INT_SQL = " + ".join(
+    f"(CASE WHEN b{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+hashed AS (SELECT doc_id, tf, {X.md5_long_sql('tok')} AS h FROM toks),
+bitsums AS (SELECT doc_id, {_BITSUM_SQL} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_BITS_TO_INT_SQL} AS simhash FROM bitsums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, tf-weighted token hashes): near-dup pairs with
+    Hamming distance ≤ 8. The signature build is one shuffle; the pair
+    scan here is the brute baseline (banding the 32 bits into 4 chunks
+    and equi-joining per chunk is the scale path — any pair within
+    distance 8 shares at least one exact chunk only probabilistically,
+    so production banding uses more/narrower chunks)."""
+    tf = _tokens_tf(spark, sf_dir)
+    h = X.md5_long(F.col("tok"))
+    bitsums = tf.select("doc_id", "tf", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{bit}")
+            for bit in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(0)
+        for bit in range(SIMHASH_BITS)
+    )
+    sigs = bitsums.select("doc_id", simhash.alias("simhash"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_DUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({X.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {X.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COS_DUP_SQL, tags=("dedup",))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute all-pairs baseline; the
+    hyperplane-LSH bucketing in queries/similarity.py is the scale
+    path). Dot products are sequential double sums — bit-identical to
+    the oracle's list_reduce."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1,1 +1,96 @@
-"""Placeholder — populated in this round."""
+"""Multimodal / nested-column queries (§2c charter): typed extraction
+from the events.props JSON column, opaque binary payload columns with
+metadata, and the Arrow-batched decode stub (operators/multimodal.py)
+— oracle-checked because the fake decode is deterministic from md5
+bytes, which DuckDB can recompute from the hex digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.operators import multimodal as MM
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.tables import load_table
+
+_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       count(*) FILTER (CAST(props->>'$.k' AS BIGINT) IS NULL) AS null_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_props_typed", oracle=_PROPS_SQL, tags=("multimodal",))
+def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the nested props JSON column: one from_json
+    into a typed struct, aggregated per event type. The parse happens
+    in the scan stage; only (event_type, k) survive into the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("null_k"),
+        )
+    )
+
+
+_BLOB_SQL = """
+SELECT source,
+       count(*) AS n_payloads,
+       sum(octet_length(from_hex(md5(text)))) AS total_bytes,
+       count(DISTINCT md5(text)) AS distinct_payloads
+FROM documents
+GROUP BY source
+"""
+
+
+@register("multimodal_blob_meta", oracle=_BLOB_SQL, tags=("multimodal",))
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload columns with typed metadata: per-source
+    byte totals and payload dedup counts, all JVM-side binary ops."""
+    d = MM.attach_payload(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.countDistinct(F.md5("text")).alias("distinct_payloads"),
+    )
+
+
+_DECODE_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS width,
+         CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS height
+  FROM documents
+)
+SELECT width % 16 AS width_bucket,
+       count(*) AS n_images,
+       sum(CAST(width AS BIGINT) * height) AS total_pixels
+FROM meta
+GROUP BY width % 16
+"""
+
+
+@register("multimodal_decode_stats", oracle=_DECODE_SQL, tags=("multimodal",))
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the Arrow-batched mapInPandas decode stub end-to-end and
+    aggregates the decoded metadata. The only Python-worker stage in
+    the engine — batch-columnar, fixed schema, decode swap-ready."""
+    d = MM.attach_payload(load_table(spark, sf_dir, "documents"))
+    decoded = MM.decode_metadata(d)
+    return decoded.groupBy((F.col("width") % 16).alias("width_bucket")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_pixels").alias("total_pixels"),
+    )

@@ -1,1 +1,519 @@
-"""Placeholder — populated in this round."""
+"""Relational query surface over the TPC-H-ish star schema (SURVEY.md
+§2b/§2c): joins (broadcast / sort-merge / semi / anti / as-of / range),
+the aggregation matrix (distinct, rollup, cube, grouping_id), window
+functions (ranking, running frames, lag), sort/limit/top-k, and set
+operations. The reference implements none of these (SURVEY.md §2b) —
+this module is the §2c extension surface, all pure built-in DataFrame
+ops so Catalyst owns join strategy, pushdown, and partial aggregation.
+
+Determinism contract with the DuckDB oracle: money sums are computed in
+DECIMAL (exact, order-insensitive; double sums differ in ulps between
+engines), averages as round(decimal_sum/count, 6), and every LIMIT is
+fully tie-broken by a unique key.
+
+Scale notes (100 TB): dimension joins (region/nation/customer) are
+broadcast; fact-fact joins shuffle on their keys with AQE handling skew;
+windows partition by high-cardinality keys (custkey/user_id) so state
+per partition stays small; the as-of join is the union+window linear
+pattern (no range explosion); the range join pre-bins time to turn an
+inequality join into an equi-join plus residual filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.tables import load_table
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_SQL, tags=("agg",), bench=True)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: single-pass grouped aggregation
+    with partial (map-side) aggregation; DECIMAL money math for
+    cross-engine exactness."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount")
+    price = _dec("l_extendedprice")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + _dec("l_tax"))).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT year(o_orderdate) AS order_year, o_orderpriority,
+       GROUPING(year(o_orderdate), o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+"""
+
+
+@register("agg_rollup_orders", oracle=_ROLLUP_SQL, tags=("agg",))
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP with grouping_id — subtotals per year and
+    grand total in one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total_price"),
+        )
+        .select("order_year", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("agg_cube_orders", oracle=_CUBE_SQL, tags=("agg",))
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two low-cardinality dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(DISTINCT o_custkey), 6) AS price_per_customer
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_distinct_customers", oracle=_DISTINCT_SQL, tags=("agg",))
+def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate mixed with plain aggregates (expand-based
+    two-phase plan under the hood)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(_dec("o_totalprice")).cast("double") / F.countDistinct("o_custkey"), 6
+        ).alias("price_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l.l_orderkey AS orderkey,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+       o.o_orderdate AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@register("q3_top_unshipped", oracle=_Q3_SQL, tags=("join",), bench=True)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join+agg+top-k: customer (filtered, broadcast) ⋈
+    orders ⋈ lineitem, grouped revenue, deterministic top 10 (DECIMAL
+    revenue ties broken by orderkey). TakeOrderedAndProject avoids a
+    global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+_Q5_SQL = """
+SELECT n.n_name AS nation,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_regional_revenue", oracle=_Q5_SQL, tags=("join",))
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: small dims (region/nation/supplier/
+    customer) broadcast onto the fact-fact lineitem⋈orders shuffle join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("revenue"))
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@register("join_semi_customers", oracle=_SEMI_SQL, tags=("join",))
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+@register("join_anti_customers", oracle=_ANTI_SQL, tags=("join",))
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_HAVING_SQL = """
+SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey, s.total_qty
+FROM orders o
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) s
+  ON o.o_orderkey = s.l_orderkey
+"""
+
+
+@register("having_large_orders", oracle=_HAVING_SQL, tags=("join", "agg"))
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING + join-back: aggregate first (shrinks the
+    fact table ~100×), then join the survivors to orders."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+_WTOPK_SQL = """
+SELECT * FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register("window_topk_per_customer", oracle=_WTOPK_SQL, tags=("window",))
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders by price per customer (rank ties
+    broken by orderkey). Catalyst turns rn<=3 into a WindowGroupLimit
+    push-down, so no full per-partition sort materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+_WRUN_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders
+"""
+
+
+@register("window_running_total", oracle=_WRUN_SQL, tags=("window",))
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: per-customer running spend (DECIMAL-exact,
+    deterministic ordering by date then key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(_dec("o_totalprice")).over(w).alias("running_spend"),
+    )
+
+
+_WLAG_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev
+FROM orders
+"""
+
+
+@register("window_lag_gap", oracle=_WLAG_SQL, tags=("window",))
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order (NULL for the
+    first)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+SELECT o_orderkey AS orderkey, o_totalprice AS totalprice, o_orderdate AS orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+@register("topk_global_orders", oracle=_TOPK_SQL, tags=("sort",))
+def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+    )
+
+
+_SETOPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS tag, o_custkey AS custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1995' AS tag, o_custkey AS custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1996' AS tag, o_custkey AS custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+"""
+
+
+@register("set_ops_customers", oracle=_SETOPS_SQL, tags=("setop",))
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one query: 1995-vs-1996 customer
+    cohorts."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    y95, y96 = cohort(1995), cohort(1996)
+    both = y95.intersect(y96).select(F.lit("both").alias("tag"), F.col("o_custkey"))
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("tag"), F.col("o_custkey"))
+    only96 = y96.exceptAll(y95).select(F.lit("only_1996").alias("tag"), F.col("o_custkey"))
+    return both.unionAll(only95).unionAll(only96).withColumnRenamed("o_custkey", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (as-of, range) — §2c custom operators
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+SELECT e.event_id AS error_id, e.user_id AS user_id, p.event_id AS last_purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+@register("join_asof_last_purchase", oracle=_ASOF_SQL, tags=("join", "temporal"), bench=True)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark operator): for each error event, the
+    same user's most recent purchase at or before it.
+
+    Implemented as the union+window linear scan: tag both sides, union,
+    then last_value(purchase_id) IGNORE NULLS over (user, ts) ordering
+    with purchases sorted before errors at equal ts (>= semantics).
+    One shuffle on user_id, state = one value per partition row — scales
+    linearly where a range join would explode. Tie contract: equal
+    purchase timestamps resolve to the larger event_id (DuckDB ASOF
+    picks one row arbitrarily; the synthetic data has no exact ties).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id"), F.lit(None).cast("long").alias("purchase_id")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("error_id"), F.col("event_id").alias("purchase_id")
+    )
+    unioned = err.unionByName(pur)
+    # side 0 = purchase first at equal ts (>= semantics); event_id breaks
+    # exact-ts ties among purchases deterministically.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts"),
+            F.when(F.col("purchase_id").isNotNull(), 0).otherwise(1),
+            F.coalesce("purchase_id", F.lit(-1)),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_purchase_id", F.last("purchase_id", ignorenulls=True).over(w))
+        .filter(F.col("error_id").isNotNull())
+        .select("error_id", "user_id", "last_purchase_id")
+    )
+
+
+_RANGE_SQL = """
+SELECT p.event_id AS purchase_id,
+       count(e.event_id) AS errors_next_hour
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+GROUP BY p.event_id
+"""
+
+
+@register("join_range_binned", oracle=_RANGE_SQL, tags=("join", "temporal"))
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join via time binning: errors within 1 hour after
+    each purchase, per user.
+
+    A naive inequality join is a per-user cross product; binning ts to
+    the 1-hour range width turns it into an equi-join on
+    (user_id, hour_bin) — each purchase probes exactly two bins — with
+    the precise range predicate as a residual filter. Scales as an
+    ordinary shuffle join keyed by (user, bin).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("bin"),
+    )
+    # Each purchase probes its own bin and the next one.
+    pur2 = pur.withColumn(
+        "bin", F.explode(F.array(F.floor(F.unix_timestamp("p_ts") / 3600),
+                                 F.floor(F.unix_timestamp("p_ts") / 3600) + 1))
+    )
+    joined = pur2.join(
+        err,
+        (pur2.user_id == err.e_user)
+        & (pur2.bin == err.bin)
+        & (err.e_ts >= pur2.p_ts)
+        & (err.e_ts < pur2.p_ts + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(F.count("err_id").alias("errors_next_hour"))

@@ -1,1 +1,135 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over the embeddings table (§2c charter):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH bucketed variant as the sub-quadratic scale path.
+
+Determinism: dot products are sequential double sums (bit-identical to
+the DuckDB oracle, see functions.xengine); top-k windows are fully
+tie-broken by vec_id; hyperplane directions come from a deterministic
+integer formula both engines evaluate exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.functions import xengine as X
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.tables import load_table
+
+N_QUERIES = 10   # vec_id < 10 are the query vectors; the rest the corpus
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+# Deterministic pseudo-random hyperplane weights: integer in [-6, 6].
+# r[j][i] = ((j * 31 + i * 17) % 13) - 6, exact in both engines.
+
+
+def _plane_weight(j: int, i: int) -> int:
+    return ((j * 31 + i * 17) % 13) - 6
+
+
+def _proj_spark(vec: F.Column, j: int) -> F.Column:
+    """Signed projection of `vec` onto integer hyperplane j (sequential
+    double sum, same order as the oracle)."""
+    w = F.array(*[F.lit(float(_plane_weight(j, i))) for i in range(DIM)])
+    return X.dot(vec, w)
+
+
+def _proj_sql(vec: str, j: int) -> str:
+    terms = " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * {float(_plane_weight(j, i))}" for i in range(DIM)
+    )
+    return f"({terms})"
+
+
+def _bucket_spark(vec: F.Column) -> F.Column:
+    return sum(
+        F.when(_proj_spark(vec, j) > 0, F.lit(1 << j)).otherwise(0) for j in range(N_PLANES)
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_proj_sql(vec, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
+_BRUTE_SQL = f"""
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round({X.cosine_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {X.cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= {N_QUERIES}) c
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("knn_brute_cosine", oracle=_BRUTE_SQL, tags=("similarity",), bench=True)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine: broadcast the (small) query set against the
+    corpus — one narrow pass over the corpus, no shuffle until the
+    per-query top-k window. At cluster scale the corpus side stays
+    partition-parallel and only k rows per query per partition survive
+    (WindowGroupLimit)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES)
+    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk")
+    )
+
+
+_LSH_SQL = f"""
+WITH buck AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM buck WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM buck WHERE vec_id >= {N_QUERIES})
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+  SELECT q.query_id, c.vec_id,
+         round({X.cosine_sql('q.q_emb', 'c.embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {X.cosine_sql('q.q_emb', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM q JOIN c ON q.bucket = c.bucket
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("knn_lsh_hyperplane", oracle=_LSH_SQL, tags=("similarity",))
+def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: 8 random-hyperplane signs → 256 buckets;
+    candidates only from the query's own bucket (equi-join on bucket id
+    instead of a cross join — the sub-quadratic scale path; recall is
+    traded via bucket count / multi-probe)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buck = e.select("vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket"))
+    q = buck.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = buck.filter(F.col("vec_id") >= N_QUERIES)
+    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .select("query_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk")
+    )

@@ -1,1 +1,105 @@
-"""Placeholder — populated in this round."""
+"""Event-time windowed aggregations (§2c charter: streaming windows &
+watermarks) in their batch form. The exact same window expressions run
+under Structured Streaming in k8s_log_etl_spark/streaming/ (lineage is
+mode-agnostic — tests assert stream==batch); registering the batch form
+gives them a DuckDB oracle.
+
+Determinism: window bounds are exact timestamp arithmetic; double
+aggregates are rounded to 6 dp on both sides (micro-different summation
+order between engines is below that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.tables import load_table
+
+SESSION_GAP_MIN = 5
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling_counts", oracle=_TUMBLING_SQL, tags=("streaming",), bench=True)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — the
+    watermarked streaming aggregation's batch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+_SLIDING_SQL = """
+WITH offsets AS (SELECT 0 AS off UNION ALL SELECT 30),
+win AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, e.ts - to_minutes(o.off)) + to_minutes(o.off) AS window_start,
+         e.value
+  FROM events e CROSS JOIN offsets o
+)
+SELECT window_start, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM win GROUP BY window_start
+"""
+
+
+@register("stream_sliding_avg", oracle=_SLIDING_SQL, tags=("streaming",))
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, every 30 min): each event lands in
+    two windows; Spark's window() explodes to the assignments the
+    oracle reconstructs with bucket offsets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+_SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM tagged GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session_windows", oracle=_SESSION_SQL, tags=("streaming",))
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user via
+    session_window() — the oracle derives identical sessions with the
+    gaps-and-islands construction. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )

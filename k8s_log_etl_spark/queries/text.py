@@ -1,1 +1,191 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators over the documents table (§2c charter:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting). All pure column expressions; regexes restricted to the
+syntax subset Java regex and RE2 interpret identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.functions import xengine as X
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.tables import load_table
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language-ID heuristic (public-knowledge common words).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+FINGERPRINT_NGRAM = 4
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda x: x != "")
+
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len({_WORDS_SQL})) AS total_tokens,
+       min(len({_WORDS_SQL})) AS min_tokens,
+       max(len({_WORDS_SQL})) AS max_tokens,
+       round(sum(len({_WORDS_SQL})) * 1.0 / count(*), 6) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_token_stats", oracle=_TOKENS_SQL, tags=("text",))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts aggregated per language — one narrow
+    pass + one small shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.min(n_tok).alias("min_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+        F.round(F.sum(n_tok) / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
+                      ELSE len(list_filter({_WORDS_SQL}, x -> len(x) <= 2)) * 1.0 / len({_WORDS_SQL}) END), 6) AS short_word_ratio,
+       round(avg(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / greatest(n_chars, 1)), 6) AS punct_ratio,
+       round(avg(CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
+                      ELSE len(list_filter({_WORDS_SQL}, x -> list_contains({list(STOPWORDS)!r}, lower(x)))) * 1.0 / len({_WORDS_SQL}) END), 6) AS stopword_ratio
+FROM documents
+GROUP BY source
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_SQL, tags=("text",))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per source: short-word ratio, punctuation ratio,
+    stopword ratio — the standard cheap filters of a training-data
+    pipeline, computed without exploding tokens (array higher-order
+    functions keep it one pass per document)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n = F.size(w)
+    short_ratio = F.when(n == 0, 0.0).otherwise(
+        F.size(F.filter(w, lambda x: F.length(x) <= 2)) / n
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+        / F.greatest(F.col("n_chars"), F.lit(1))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.when(n == 0, 0.0).otherwise(
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))) / n
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(short_ratio), 6).alias("short_word_ratio"),
+        F.round(F.avg(punct_ratio), 6).alias("punct_ratio"),
+        F.round(F.avg(stop_ratio), 6).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_SCORE_SQL = {
+    lang: f"len(list_filter({_WORDS_SQL}, x -> list_contains({list(words)!r}, lower(x))))"
+    for lang, words in LANG_MARKERS.items()
+}
+_GREATEST_SQL = ", ".join(_SCORE_SQL[lang] for lang in LANG_MARKERS)
+_PRED_CASES = " ".join(
+    f"WHEN greatest({_GREATEST_SQL}) > 0 AND {_SCORE_SQL[lang]} = greatest({_GREATEST_SQL}) THEN '{lang}'"
+    for lang in LANG_MARKERS
+)
+
+_LANGID_SQL = f"""
+SELECT lang, predicted, count(*) AS n_docs FROM (
+  SELECT lang, CASE {_PRED_CASES} ELSE 'unknown' END AS predicted
+  FROM documents
+) GROUP BY lang, predicted
+"""
+
+
+@register("text_langid_confusion", oracle=_LANGID_SQL, tags=("text",))
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic and its confusion matrix
+    against the labeled lang column. Deterministic tie policy: first
+    language (dict order) with the maximal marker count wins; all-zero
+    scores → 'unknown'."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+
+    def score(lang: str) -> F.Column:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        return F.size(F.filter(w, lambda x: F.array_contains(markers, F.lower(x))))
+
+    scores = {lang: score(lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    # build the CASE in reverse so dict order wins ties
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_FP_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+grams AS (SELECT doc_id,
+                 (w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+          FROM words, unnest(range(greatest(len(w) - {FINGERPRINT_NGRAM - 1}, 0))) AS t(i)),
+fp AS (SELECT doc_id, min({X.md5_long_sql('g')}) AS fingerprint FROM grams GROUP BY doc_id)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+@register("text_fingerprint_clusters", oracle=_FP_SQL, tags=("text",))
+def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min rolling-hash over word 4-grams (a
+    1-permutation MinHash / winnowing-style sketch); clusters sharing a
+    fingerprint are near-dup candidates. One explode + two small
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - FINGERPRINT_NGRAM, F.lit(-1))),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2], w[i + 3]),
+    )
+    fp = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.min(X.md5_long(F.col("g"))).alias("fingerprint"))
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )

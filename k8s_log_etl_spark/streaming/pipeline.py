@@ -1,0 +1,103 @@
+"""Structured Streaming mode of the log-ETL engine.
+
+The batch lineage (operators.lognorm.run_pipeline) is mode-agnostic —
+the exact same scan→parse→normalize→filter→redact column expressions
+run here over `readStream`, which is the engine's core idiomatic claim:
+one declarative plan, two execution modes. What the reference does with
+a hand-rolled incremental loop (cmd/etl/main.go:234-455) Spark gives as
+micro-batches with checkpointed exactly-once file-source progress.
+
+Reference mappings:
+* bounded queue backpressure (O24) → maxFilesPerTrigger micro-batch cap
+* batched sink flush (O20)         → trigger(processingTime=…)
+* graceful drain on signal (O26)   → stop_gracefully (processAllAvailable + stop)
+* sink retry / DLQ (O19/O22/O23)   → sinks.writers inside foreachBatch
+* event-time semantics the reference never had: withWatermark +
+  tumbling windows over the normalized ts, late data dropped past the
+  watermark; dropDuplicates within the watermark for exactly-once-ish
+  record identity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from k8s_log_etl_spark.config import PipelineConfig
+from k8s_log_etl_spark.operators import lognorm
+from k8s_log_etl_spark.sinks import writers
+from k8s_log_etl_spark.sources.jsonl import read_jsonl_stream
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The full annotated pipeline as a streaming DataFrame."""
+    lines = read_jsonl_stream(spark, input_dir, max_files_per_trigger)
+    return lognorm.run_pipeline(lines, cfg)
+
+
+def start_file_sink(
+    df: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    trigger_once: bool = True,
+    batch_hook: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """Written records → JSONL files via foreachBatch (exactly-once per
+    micro-batch through the checkpoint). batch_hook is the test seam."""
+    cfg = cfg or PipelineConfig()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        written = lognorm.written_records(batch_df)
+        rendered = writers.render_jsonl(written)
+        rendered.write.mode("append").text(output_path)
+        if batch_hook is not None:
+            batch_hook(batch_df, batch_id)
+
+    writer = df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.flush_interval_ms} milliseconds")
+    return writer.start()
+
+
+def windowed_level_counts(
+    df: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Event-time tumbling counts per level over the normalized stream,
+    tolerating `watermark` of lateness; usable in both batch and
+    streaming (same expressions as queries/streaming_batch.py)."""
+    ok = lognorm.ok_records(df)
+    return (
+        ok.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "level")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "level", "n_events")
+    )
+
+
+def dedup_within_watermark(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dropDuplicates keyed on (trace_id, ts): duplicate
+    deliveries within the watermark are dropped with bounded state
+    (state for keys older than the watermark is evicted)."""
+    ok = lognorm.ok_records(df)
+    return ok.withWatermark("ts", watermark).dropDuplicates(["trace_id", "ts"])
+
+
+def stop_gracefully(query: StreamingQuery, timeout_sec: float = 30.0) -> bool:
+    """O26: drain-then-stop. processAllAvailable blocks until pending
+    input is processed (bounded by timeout), then stop() tears down."""
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return query.awaitTermination(timeout_sec)
