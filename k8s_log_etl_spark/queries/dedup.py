@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
 POSTING_CAP = 100          # drop shingles appearing in more docs than this
 JACCARD_THRESHOLD = 0.5
@@ -52,8 +52,10 @@ sh AS (SELECT DISTINCT doc_id, (w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS s
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-trigram shingles per document."""
-    d = load_table(spark, sf_dir, "documents")
+    """Distinct word-trigram shingles per document. The tiny-doc scan is
+    repartitioned first: the driver parquet is one row-group (one task)
+    and the explode below is the expensive part — a no-op at scale."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = F.split(F.trim(F.col("text")), r"\s+")
     tri = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
@@ -63,8 +65,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token term-frequencies per document."""
-    d = load_table(spark, sf_dir, "documents")
+    """Token term-frequencies per document (scan repartitioned, see
+    _shingles)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = F.split(F.trim(F.col("text")), r"\s+")
     return (
         d.select("doc_id", F.explode(w).alias("tok"))
@@ -92,7 +95,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed): one hash-aggregate keyed on md5(text) — the grouping key
     is the 32-byte digest, not the document, so shuffle width stays
     constant no matter how large documents get."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     canon = F.concat_ws(
         " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
     )
@@ -202,22 +205,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     h = X.md5_long(F.col("s"))
     sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(SEEDS)
-        ]
+        F.array(
+            *[F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(SEEDS)]
+        ).alias("mh")
     )
+    # Each band row carries the full signature so the candidate join
+    # needs no join-back to sig (which would recompute the whole
+    # shingle→minhash pipeline two more times — plan reuse, not caching).
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(f"mh{b * 4 + r}") for r in range(4)]).alias("bsig"),
+                F.concat_ws("_", *[F.col("mh")[b * 4 + r] for r in range(4)]).alias("bsig"),
             )
             for b in range(BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    bands = sig.select("doc_id", "mh", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "mh", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -228,19 +233,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
+        )
         .distinct()
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    eq_sum = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
+    eq_count = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq)
     )
     return (
-        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .withColumn("est_sim", F.round(eq_sum / F.lit(float(NUM_HASHES)), 6))
+        cand.withColumn("est_sim", F.round(eq_count / F.lit(float(NUM_HASHES)), 6))
         .filter(F.col("est_sim") >= MINHASH_EST_THRESHOLD)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "est_sim")
     )
@@ -332,7 +337,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH bucketing in queries/similarity.py is the scale
     path). Dot products are sequential double sums — bit-identical to
     the oracle's list_reduce."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     a = e.alias("a")
     b = e.alias("b")
     cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.operators import multimodal as MM
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
 _PROPS_SQL = """
 SELECT event_type,
@@ -60,7 +60,7 @@ GROUP BY source
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payload columns with typed metadata: per-source
     byte totals and payload dedup counts, all JVM-side binary ops."""
-    d = MM.attach_payload(load_table(spark, sf_dir, "documents"))
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_payloads"),
         F.sum(F.length("payload")).alias("total_bytes"),
@@ -88,7 +88,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the Arrow-batched mapInPandas decode stub end-to-end and
     aggregates the decoded metadata. The only Python-worker stage in
     the engine — batch-columnar, fixed schema, decode swap-ready."""
-    d = MM.attach_payload(load_table(spark, sf_dir, "documents"))
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
     decoded = MM.decode_metadata(d)
     return decoded.groupBy((F.col("width") % 16).alias("width_bucket")).agg(
         F.count(F.lit(1)).alias("n_images"),

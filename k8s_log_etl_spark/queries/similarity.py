@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
 N_QUERIES = 10   # vec_id < 10 are the query vectors; the rest the corpus
 TOP_K = 5
@@ -78,7 +78,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window. At cluster scale the corpus side stays
     partition-parallel and only k rows per query per partition survive
     (WindowGroupLimit)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -118,7 +118,7 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only from the query's own bucket (equi-join on bucket id
     instead of a cross join — the sub-quadratic scale path; recall is
     traded via bucket count / multi-probe)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     buck = e.select("vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket"))
     q = buck.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"

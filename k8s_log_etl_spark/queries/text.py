@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
 # Tiny per-language function-word lists for the n-gram/stopword
 # language-ID heuristic (public-knowledge common words).
@@ -53,7 +53,7 @@ GROUP BY lang
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts aggregated per language — one narrow
     pass + one small shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     n_tok = F.size(_words())
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -86,7 +86,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio — the standard cheap filters of a training-data
     pipeline, computed without exploding tokens (array higher-order
     functions keep it one pass per document)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = _words()
     n = F.size(w)
     short_ratio = F.when(n == 0, 0.0).otherwise(
@@ -134,7 +134,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the labeled lang column. Deterministic tie policy: first
     language (dict order) with the maximal marker count wins; all-zero
     scores → 'unknown'."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = _words()
 
     def score(lang: str) -> F.Column:
@@ -173,7 +173,7 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-permutation MinHash / winnowing-style sketch); clusters sharing a
     fingerprint are near-dup candidates. One explode + two small
     shuffles."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = _words()
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - FINGERPRINT_NGRAM, F.lit(-1))),
