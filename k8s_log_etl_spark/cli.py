@@ -1,0 +1,196 @@
+"""Command-line entry point — the reference's user surface
+(cmd/etl/main.go:28-209) re-expressed for Spark.
+
+Same contract: flags (21-flag surface, main.go:30-52) over env over
+config file over defaults (config.go:45-141); run the pipeline over a
+JSONL file/dir/stdin; write records to stdout / file / rotating file /
+HTTP sink with retry+DLQ; finish with a JSON report and optional
+Prometheus text; print summary lines. `--stream` runs the identical
+lineage under Structured Streaming over an input directory.
+
+Usage:
+    python -m k8s_log_etl_spark --input logs.jsonl \
+        --filter-levels WARN,ERROR --redact-keys user_email,token \
+        --output-type file --output-path out/ --report-path report.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.config import PipelineConfig, load_config
+from k8s_log_etl_spark.operators import lognorm, report as R
+from k8s_log_etl_spark.session import get_spark
+from k8s_log_etl_spark.sinks import writers
+from k8s_log_etl_spark.sources import jsonl as sources
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="k8s-log-etl-spark", description=__doc__)
+    p.add_argument("--input", default="-", help="JSONL file/dir, or - for stdin")
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--filter-levels", default=None, help="comma/semicolon list")
+    p.add_argument("--filter-services", default=None)
+    p.add_argument("--redact-keys", default=None)
+    p.add_argument("--output-type", default=None,
+                   choices=["stdout", "file", "rotate", "rotating", "http", "webhook", "parquet"])
+    p.add_argument("--output-path", default=None)
+    p.add_argument("--http-url", default=None, help="sink URL for output-type http")
+    p.add_argument("--dlq-path", default=None)
+    p.add_argument("--max-retries", type=int, default=None)
+    p.add_argument("--backoff-base-ms", type=int, default=None)
+    p.add_argument("--backoff-max-ms", type=int, default=None)
+    p.add_argument("--jitter-pct", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--flush-interval-ms", type=int, default=None)
+    p.add_argument("--max-workers", type=int, default=None)
+    p.add_argument("--rotate-max-bytes", type=int, default=10_000_000)
+    p.add_argument("--rotate-max-files", type=int, default=5)
+    p.add_argument("--report-path", default=None, help="JSON report output")
+    p.add_argument("--prometheus-path", default=None, help="Prometheus text output")
+    p.add_argument("--stream", action="store_true", help="Structured Streaming over an input dir")
+    p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+_FLAG_TO_FIELD = {
+    "filter_levels": "filter_levels",
+    "filter_services": "filter_services",
+    "redact_keys": "redact_keys",
+    "output_type": "output_type",
+    "output_path": "output_path",
+    "dlq_path": "dlq_path",
+    "max_retries": "max_retries",
+    "backoff_base_ms": "backoff_base_ms",
+    "backoff_max_ms": "backoff_max_ms",
+    "jitter_pct": "jitter_pct",
+    "batch_size": "batch_size",
+    "flush_interval_ms": "flush_interval_ms",
+    "max_workers": "max_workers",
+}
+
+
+def resolve_config(args: argparse.Namespace) -> PipelineConfig:
+    overrides: dict[str, Any] = {}
+    for flag, fname in _FLAG_TO_FIELD.items():
+        value = getattr(args, flag)
+        if value is not None:
+            overrides[fname] = value
+    return load_config(path=args.config, overrides=overrides)
+
+
+def _write_sink(
+    args: argparse.Namespace, cfg: PipelineConfig, written, spark: SparkSession
+):
+    """Dispatch on output_type (reference builder.go:15-55). Returns an
+    attempts DataFrame for sinks that track per-record outcomes."""
+    if cfg.output_type == "stdout":
+        for row in writers.render_jsonl(written).toLocalIterator():
+            print(row["value"])
+        return None
+    if cfg.output_type == "file":
+        writers.write_jsonl_file(written, cfg.output_path)
+        return None
+    if cfg.output_type == "parquet":
+        written.drop("m", "json_ok", "norm_error", "drop_reason").write.mode(
+            "overwrite"
+        ).parquet(cfg.output_path)
+        return None
+    if cfg.output_type in {"rotate", "rotating"}:
+        rot = writers.RotatingJsonlWriter(
+            cfg.output_path, args.rotate_max_bytes, args.rotate_max_files
+        )
+        rot.write_batch(written)
+        return None
+    if cfg.output_type in {"http", "webhook"}:
+        if not args.http_url:
+            raise SystemExit("--http-url is required for output-type http")
+        attempts = writers.post_records(
+            writers.render_jsonl(written), args.http_url, writers.RetryPolicy.from_config(cfg)
+        ).cache()
+        if cfg.dlq_path:
+            writers.write_dlq(attempts, cfg.dlq_path)
+        return attempts
+    raise SystemExit(f"unsupported output type {cfg.output_type!r}")
+
+
+def run_batch(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSession) -> R.RunReport:
+    start = time.monotonic()
+    if args.input == "-":
+        lines = sources.read_stdin_lines(spark)
+    else:
+        lines = sources.read_jsonl(spark, args.input)
+    df = lognorm.run_pipeline(lines, cfg).cache()
+    written = lognorm.written_records(df)
+    attempts = _write_sink(args, cfg, written, spark)
+    rep = R.compute_report(df)
+    rep = R.merge_sink_stats(rep, attempts)
+    # Parse/normalize failures also flow to the DLQ when configured
+    # (reference main.go:318-326 routes only write failures; we add the
+    # corrupt-record routing Spark gives for free).
+    if cfg.dlq_path:
+        bad = df.filter(~F.col("json_ok") | F.col("norm_error").isNotNull())
+        writers.dlq_records(
+            bad.selectExpr(
+                "value",
+                "0 AS retries",
+                "CASE WHEN NOT json_ok THEN 'json parse failed' ELSE norm_error END AS error",
+            )
+        ).coalesce(1).write.mode("append").text(cfg.dlq_path)
+        rep.dlq_written += bad.count()
+    rep.duration_sec = time.monotonic() - start
+    df.unpersist()
+    return rep
+
+
+def run_stream(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSession) -> None:
+    from k8s_log_etl_spark.streaming import pipeline as SP
+
+    if not args.output_path and not cfg.output_path:
+        raise SystemExit("--output-path required in --stream mode")
+    ckpt = args.checkpoint or (cfg.output_path.rstrip("/") + "_checkpoint")
+    df = SP.stream_pipeline(spark, args.input, cfg)
+    q = SP.start_file_sink(df, cfg.output_path, ckpt, cfg, trigger_once=True)
+    q.awaitTermination()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = resolve_config(args)
+    spark = get_spark(app_name="k8s-log-etl-spark", master=args.master)
+    try:
+        if args.stream:
+            run_stream(args, cfg, spark)
+            return 0
+        rep = run_batch(args, cfg, spark)
+        if args.report_path:
+            rep.write_json(args.report_path)
+        if args.prometheus_path:
+            with open(args.prometheus_path, "w", encoding="utf-8") as fh:
+                fh.write(rep.prometheus())
+        # summary lines (reference main.go:166-208)
+        print(
+            f"processed {rep.total_lines} lines: "
+            f"{rep.written_ok} written, {rep.normalized_failed} normalize-failed, "
+            f"{rep.json_failed} json-failed, filtered={rep.filtered}",
+            file=sys.stderr,
+        )
+        print(
+            f"throughput {rep.throughput_lines_per_sec:.1f} lines/s "
+            f"in {rep.duration_sec:.2f}s",
+            file=sys.stderr,
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,218 @@
+"""Run report: counters, group-by tallies, derived rates, and the JSON
+/ Prometheus renders (reference O9-O13, O15, O27, O28 —
+internal/report/report.go).
+
+The whole report is computed in ONE distributed pass: a single
+aggregation over the annotated pipeline DataFrame producing every
+scalar counter plus the level/service/filter-reason tallies as
+map-typed aggregates (map_from_entries over collected small group-bys
+would be a second pass; pivot-free conditional counting keeps it one).
+Derived rates (throughput, error rates — report.go:167-185) are
+driver-side arithmetic on the collected single row.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RunReport:
+    total_lines: int = 0
+    json_parsed: int = 0
+    json_failed: int = 0
+    normalized_ok: int = 0
+    normalized_failed: int = 0
+    written_ok: int = 0
+    write_failed: int = 0
+    dlq_written: int = 0
+    filtered: dict[str, int] = field(default_factory=dict)
+    by_level: dict[str, int] = field(default_factory=dict)
+    by_service: dict[str, int] = field(default_factory=dict)
+    dlq_reasons: dict[str, int] = field(default_factory=dict)
+    total_retries: int = 0
+    writes_with_retries: int = 0
+    max_retries_per_write: int = 0
+    stage_timings_ms: dict[str, float] = field(default_factory=dict)
+    duration_sec: float = 0.0
+
+    # ---- derived (report.go:167-185) ----
+    @property
+    def throughput_lines_per_sec(self) -> float:
+        return self.total_lines / self.duration_sec if self.duration_sec > 0 else 0.0
+
+    @property
+    def json_error_rate(self) -> float:
+        return self.json_failed / self.total_lines if self.total_lines else 0.0
+
+    @property
+    def normalize_error_rate(self) -> float:
+        return self.normalized_failed / self.json_parsed if self.json_parsed else 0.0
+
+    @property
+    def write_error_rate(self) -> float:
+        attempted = self.written_ok + self.write_failed
+        return self.write_failed / attempted if attempted else 0.0
+
+    def to_dict(self) -> dict:
+        return {
+            "total_lines": self.total_lines,
+            "json_parsed": self.json_parsed,
+            "json_failed": self.json_failed,
+            "normalized_ok": self.normalized_ok,
+            "normalized_failed": self.normalized_failed,
+            "written_ok": self.written_ok,
+            "write_failed": self.write_failed,
+            "dlq_written": self.dlq_written,
+            "filtered": dict(self.filtered),
+            "by_level": dict(self.by_level),
+            "by_service": dict(self.by_service),
+            "dlq_reasons": dict(self.dlq_reasons),
+            "retries": {
+                "total_retries": self.total_retries,
+                "writes_with_retries": self.writes_with_retries,
+                "max_retries_per_write": self.max_retries_per_write,
+            },
+            "stage_timings_ms": dict(self.stage_timings_ms),
+            "duration_sec": self.duration_sec,
+            "throughput_lines_per_sec": self.throughput_lines_per_sec,
+            "json_error_rate": self.json_error_rate,
+            "normalize_error_rate": self.normalize_error_rate,
+            "write_error_rate": self.write_error_rate,
+        }
+
+    # ---- renders ----
+    def write_json(self, path: str | None) -> str:
+        """O27 (report.go:188-210): indented JSON to path or returned."""
+        text = json.dumps(self.to_dict(), indent=2, sort_keys=True)
+        if path:
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(text + "\n")
+        return text
+
+    def prometheus(self) -> str:
+        """O28 (report.go:213-248): Prometheus text exposition with
+        labeled series per level/service/reason/stage."""
+        lines: list[str] = []
+
+        def counter(name: str, value: float, help_: str) -> None:
+            lines.append(f"# HELP etl_{name} {help_}")
+            lines.append(f"# TYPE etl_{name} counter")
+            lines.append(f"etl_{name} {value}")
+
+        def labeled(name: str, label: str, series: dict[str, int], help_: str) -> None:
+            if not series:
+                return
+            lines.append(f"# HELP etl_{name} {help_}")
+            lines.append(f"# TYPE etl_{name} counter")
+            for key, value in sorted(series.items()):
+                lines.append(f'etl_{name}{{{label}="{key}"}} {value}')
+
+        counter("lines_total", self.total_lines, "Total input lines")
+        counter("json_parsed_total", self.json_parsed, "Lines parsed as JSON")
+        counter("json_failed_total", self.json_failed, "JSON parse failures")
+        counter("normalized_ok_total", self.normalized_ok, "Records normalized")
+        counter("normalized_failed_total", self.normalized_failed, "Normalize failures")
+        counter("written_ok_total", self.written_ok, "Records written")
+        counter("write_failed_total", self.write_failed, "Write failures")
+        counter("dlq_written_total", self.dlq_written, "DLQ records written")
+        counter("retries_total", self.total_retries, "Total sink retries")
+        labeled("filtered_total", "reason", self.filtered, "Records dropped by filters")
+        labeled("records_by_level_total", "level", self.by_level, "Normalized records per level")
+        labeled("records_by_service_total", "service", self.by_service, "Normalized records per service")
+        labeled("dlq_by_reason_total", "reason", self.dlq_reasons, "DLQ records per reason")
+        labeled(
+            "stage_duration_ms", "stage",
+            {k: int(v) for k, v in self.stage_timings_ms.items()},
+            "Wall-clock per pipeline stage",
+        )
+        lines.append(
+            f"# HELP etl_throughput_lines_per_sec Lines per second\n"
+            f"# TYPE etl_throughput_lines_per_sec gauge\n"
+            f"etl_throughput_lines_per_sec {self.throughput_lines_per_sec}"
+        )
+        return "\n".join(lines) + "\n"
+
+
+def compute_report(df: DataFrame) -> RunReport:
+    """One aggregation job for the scalar counters + three tiny group-by
+    jobs for the labeled tallies (each a shuffle of at most
+    |distinct key| rows; at 100 TB these are the cheap parts — the scan
+    is shared work Spark repeats per action, so callers wanting a
+    single-pass report should cache/checkpoint `df` first or rely on
+    these four jobs reusing shuffle files)."""
+    ok = F.col("json_ok") & F.col("norm_error").isNull()
+    row = df.agg(
+        F.count(F.lit(1)).alias("total_lines"),
+        F.count(F.when(F.col("json_ok"), 1)).alias("json_parsed"),
+        F.count(F.when(~F.col("json_ok"), 1)).alias("json_failed"),
+        F.count(F.when(ok, 1)).alias("normalized_ok"),
+        F.count(F.when(F.col("json_ok") & F.col("norm_error").isNotNull(), 1)).alias(
+            "normalized_failed"
+        ),
+        F.count(F.when(ok & F.col("drop_reason").isNull(), 1)).alias("written_ok"),
+        F.count(F.when(ok & (F.col("drop_reason") == "level"), 1)).alias("filtered_level"),
+        F.count(F.when(ok & (F.col("drop_reason") == "service"), 1)).alias("filtered_service"),
+    ).collect()[0]
+
+    by_level = {
+        r["level"]: r["cnt"]
+        for r in df.filter(ok).groupBy("level").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    by_service = {
+        r["service"]: r["cnt"]
+        for r in df.filter(ok & (F.col("service") != ""))
+        .groupBy("service")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    rep = RunReport(
+        total_lines=row["total_lines"],
+        json_parsed=row["json_parsed"],
+        json_failed=row["json_failed"],
+        normalized_ok=row["normalized_ok"],
+        normalized_failed=row["normalized_failed"],
+        written_ok=row["written_ok"],
+        by_level=by_level,
+        by_service=by_service,
+    )
+    filtered = {}
+    if row["filtered_level"]:
+        filtered["level"] = row["filtered_level"]
+    if row["filtered_service"]:
+        filtered["service"] = row["filtered_service"]
+    rep.filtered = filtered
+    return rep
+
+
+def merge_sink_stats(rep: RunReport, attempts: DataFrame | None) -> RunReport:
+    """Fold sink attempt results (sinks.writers.post_records) into the
+    report: write failures, DLQ counts/reasons, retry stats (O12, O15)."""
+    if attempts is None:
+        return rep
+    row = attempts.agg(
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("write_failed"),
+        F.sum("retries").alias("total_retries"),
+        F.count(F.when(F.col("retries") > 0, 1)).alias("writes_with_retries"),
+        F.max("retries").alias("max_retries_per_write"),
+    ).collect()[0]
+    reasons = {
+        r["error"]: r["cnt"]
+        for r in attempts.filter(F.col("error").isNotNull())
+        .groupBy("error")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rep.write_failed = row["write_failed"]
+    rep.written_ok -= row["write_failed"]
+    rep.dlq_written = row["write_failed"]
+    rep.dlq_reasons = reasons
+    rep.total_retries = row["total_retries"] or 0
+    rep.writes_with_retries = row["writes_with_retries"] or 0
+    rep.max_retries_per_write = row["max_retries_per_write"] or 0
+    return rep

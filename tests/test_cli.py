@@ -1,0 +1,149 @@
+"""Golden end-to-end CLI test mirroring the reference's integration
+test shape (cmd/etl/integration_test.go:16-99): N lines in → exactly
+the WARN/ERROR subset written, redacted keys absent from all Fields,
+report counters exact, throughput positive. Plus report render tests
+(O27 JSON, O28 Prometheus)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from k8s_log_etl_spark import cli
+from k8s_log_etl_spark.config import PipelineConfig
+from k8s_log_etl_spark.operators import lognorm, report as R
+
+# Six lines in the shape of the reference's bundled example: 3 pass the
+# WARN/ERROR filter (two carry PII fields), 3 are INFO/DEBUG drops.
+GOLDEN_LINES = [
+    '{"ts":"2025-11-02T08:00:01Z","level":"INFO","msg":"boot ok","service":"api"}',
+    '{"ts":"2025-11-02T08:00:02Z","level":"WARN","msg":"slow db","service":"api",'
+    '"user_email":"a@b.c","latency_ms":900}',
+    '{"ts":"2025-11-02T08:00:03Z","level":"ERROR","msg":"db down","service":"db",'
+    '"token":"sk-1","attempt":2}',
+    '{"ts":"2025-11-02T08:00:04Z","level":"DEBUG","msg":"cache probe","service":"api"}',
+    '{"ts":"2025-11-02T08:00:05Z","level":"ERROR","msg":"retry failed","service":"db"}',
+    '{"ts":"2025-11-02T08:00:06Z","level":"INFO","msg":"recovered","service":"db"}',
+]
+
+
+@pytest.fixture()
+def input_file(tmp_path):
+    p = tmp_path / "logs.jsonl"
+    p.write_text("\n".join(GOLDEN_LINES) + "\n")
+    return str(p)
+
+
+def test_cli_golden_run(spark, input_file, tmp_path, monkeypatch):
+    out = str(tmp_path / "out")
+    report_path = str(tmp_path / "report.json")
+    prom_path = str(tmp_path / "metrics.prom")
+    # reuse the session fixture instead of letting the CLI build its own
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    rc = cli.main(
+        [
+            "--input", input_file,
+            "--filter-levels", "WARN,ERROR",
+            "--redact-keys", "user_email,token",
+            "--output-type", "file",
+            "--output-path", out,
+            "--report-path", report_path,
+            "--prometheus-path", prom_path,
+        ]
+    )
+    assert rc == 0
+
+    records = [
+        json.loads(line)
+        for p in os.listdir(out)
+        if p.startswith("part-")
+        for line in open(os.path.join(out, p)).read().splitlines()
+    ]
+    # golden invariant: exactly 3 written (integration_test.go:69-71)
+    assert len(records) == 3
+    assert sorted(r["Level"] for r in records) == ["ERROR", "ERROR", "WARN"]
+    for rec in records:
+        fields = rec.get("Fields") or {}
+        assert "user_email" not in fields and "token" not in fields
+
+    rep = json.loads(open(report_path).read())
+    assert rep["total_lines"] == 6
+    assert rep["json_parsed"] == 6
+    assert rep["json_failed"] == 0
+    assert rep["written_ok"] == 3
+    assert rep["write_failed"] == 0
+    assert rep["filtered"] == {"level": 3}
+    assert rep["by_level"] == {"INFO": 2, "WARN": 1, "ERROR": 2, "DEBUG": 1}
+    assert rep["duration_sec"] > 0
+    assert rep["throughput_lines_per_sec"] > 0
+
+    prom = open(prom_path).read()
+    assert "etl_lines_total 6" in prom
+    assert 'etl_records_by_level_total{level="ERROR"} 2' in prom
+    assert 'etl_filtered_total{reason="level"} 3' in prom
+
+
+def test_cli_dlq_reasons(spark, tmp_path, monkeypatch):
+    src = tmp_path / "bad.jsonl"
+    src.write_text(
+        "not json\n"
+        '{"level":"INFO","msg":"no ts"}\n'
+        '{"ts":"2025-11-02T08:00:01Z","level":"ERROR","msg":"fine"}\n'
+    )
+    dlq = str(tmp_path / "dlq")
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        ["--input", str(src), "--output-type", "file",
+         "--output-path", str(tmp_path / "out"), "--dlq-path", dlq]
+    )
+    assert rc == 0
+    reasons = sorted(
+        json.loads(line)["reason"]
+        for p in os.listdir(dlq)
+        if p.startswith("part-")
+        for line in open(os.path.join(dlq, p)).read().splitlines()
+    )
+    # a parse failure must not masquerade as a normalize failure
+    assert reasons == ["json parse failed", "missing timestamp: expected ts/time in RFC3339"]
+
+
+def test_report_rates(spark):
+    df = lognorm.run_pipeline(
+        spark.createDataFrame(
+            [(v,) for v in GOLDEN_LINES + ["not json", '{"level":"INFO","msg":"no ts"}']],
+            ["value"],
+        ),
+        PipelineConfig(),
+    )
+    rep = R.compute_report(df)
+    assert rep.total_lines == 8
+    assert rep.json_failed == 1
+    assert rep.normalized_failed == 1
+    rep.duration_sec = 2.0
+    assert rep.throughput_lines_per_sec == 4.0
+    assert rep.json_error_rate == pytest.approx(1 / 8)
+    assert rep.normalize_error_rate == pytest.approx(1 / 7)
+    assert rep.write_error_rate == 0.0
+
+
+def test_config_precedence(tmp_path):
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(json.dumps({"filter_levels": "INFO", "output_type": "stdout"}))
+    args = cli.build_parser().parse_args(
+        ["--config", str(cfg_file), "--filter-levels", "ERROR"]
+    )
+    cfg = cli.resolve_config(args)
+    # flag beats file (config.go precedence: defaults < file < env < flags)
+    assert cfg.filter_levels == ("ERROR",)
+    assert cfg.output_type == "stdout"
+
+
+def test_config_validation_rejects_s3_dlq():
+    args = cli.build_parser().parse_args(["--dlq-path", "s3://bucket/x"])
+    with pytest.raises(ValueError, match="s3://"):
+        cli.resolve_config(args)
