@@ -517,3 +517,62 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.groupBy("purchase_id").agg(F.count("err_id").alias("errors_next_hour"))
+
+
+_GSETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_SQL, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube):
+    per-priority, per-status, and grand-total groups in one Expand +
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id(o_orderpriority, o_orderstatus) AS gid,
+               count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+_EV_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type, ts FROM events
+"""
+
+
+@register("dedup_events_exact", oracle=_EV_DEDUP_SQL, tags=("dedup",))
+def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact event dedup via dropDuplicates on the identity key
+    (user_id, event_type, ts) — one hash-aggregate shuffle on the key;
+    output restricted to the key columns so results are deterministic
+    (dropDuplicates keeps an arbitrary survivor's other columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.dropDuplicates(["user_id", "event_type", "ts"]).select(
+        "user_id", "event_type", "ts"
+    )
+
+
+@register("agg_approx_events", tags=("agg", "approx"))
+def agg_approx_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (absent from the reference, SURVEY §2b):
+    HLL++ distinct users and t-digest-style percentiles of value per
+    event type. No DuckDB oracle — sketch internals are engine-specific
+    (driver records the weaker rows-only check); tests/test_approx.py
+    bounds the estimates against exact answers instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,35 @@
+"""Approximate aggregates have no cross-engine oracle; bound them
+against exact answers instead (HLL++ rsd=0.02 → assert within 5%;
+percentile_approx with high accuracy → within the value spread)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.queries.relational import agg_approx_events
+from k8s_log_etl_spark.tables import load_table
+
+
+def test_approx_within_bounds(spark, sf_dir):
+    approx = {r["event_type"]: r for r in agg_approx_events(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, row in approx.items():
+        ex = exact[etype]
+        assert row["approx_users"] == pytest.approx(ex["users"], rel=0.05)
+        p50, p95, p99 = row["value_pcts"]
+        assert ex["lo"] <= p50 <= ex["hi"]
+        assert p50 == pytest.approx(ex["p50"], rel=0.05, abs=1.0)
+        assert p50 <= p95 <= p99 <= ex["hi"]
