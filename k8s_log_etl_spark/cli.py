@@ -115,6 +115,7 @@ def _write_sink(
         attempts = writers.post_records(
             writers.render_jsonl(written), args.http_url, writers.RetryPolicy.from_config(cfg)
         ).cache()
+        attempts.count()  # materialize: posts happen now, observation fills
         if cfg.dlq_path:
             writers.write_dlq(attempts, cfg.dlq_path)
         return attempts
@@ -127,10 +128,13 @@ def run_batch(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSession
         lines = sources.read_stdin_lines(spark)
     else:
         lines = sources.read_jsonl(spark, args.input)
-    df = lognorm.run_pipeline(lines, cfg).cache()
+    df, obs = R.attach_observation(lognorm.run_pipeline(lines, cfg))
+    df = df.cache()
     written = lognorm.written_records(df)
     attempts = _write_sink(args, cfg, written, spark)
-    rep = R.compute_report(df)
+    # Counters were observed during the sink's own action — no extra
+    # pass; only the two labeled tallies run as (cache-served) jobs.
+    rep = R.report_from_observation(obs, df)
     rep = R.merge_sink_stats(rep, attempts)
     # Parse/normalize failures also flow to the DLQ when configured
     # (reference main.go:318-326 routes only write failures; we add the

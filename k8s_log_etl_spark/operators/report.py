@@ -138,6 +138,66 @@ class RunReport:
         return "\n".join(lines) + "\n"
 
 
+def attach_observation(df: DataFrame) -> tuple[DataFrame, "Observation"]:
+    """Attach the scalar counters as an Observation (CollectMetrics):
+    they ride along whatever action the sink runs — the counters cost
+    ZERO extra passes over the data (reference O13 semantics as Spark
+    run metadata). Attach below any filters so all rows are observed."""
+    from pyspark.sql import Observation
+
+    ok = F.col("json_ok") & F.col("norm_error").isNull()
+    obs = Observation("etl_report")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_lines"),
+        F.count(F.when(F.col("json_ok"), 1)).alias("json_parsed"),
+        F.count(F.when(~F.col("json_ok"), 1)).alias("json_failed"),
+        F.count(F.when(ok, 1)).alias("normalized_ok"),
+        F.count(F.when(F.col("json_ok") & F.col("norm_error").isNotNull(), 1)).alias(
+            "normalized_failed"
+        ),
+        F.count(F.when(ok & F.col("drop_reason").isNull(), 1)).alias("written_ok"),
+        F.count(F.when(ok & (F.col("drop_reason") == "level"), 1)).alias("filtered_level"),
+        F.count(F.when(ok & (F.col("drop_reason") == "service"), 1)).alias("filtered_service"),
+    )
+    return observed, obs
+
+
+def report_from_observation(obs: "Observation", df: DataFrame) -> RunReport:
+    """Build the report from observed counters (free) plus the two
+    labeled tallies (each one small group-by job)."""
+    row = obs.get
+    ok = F.col("json_ok") & F.col("norm_error").isNull()
+    by_level = {
+        r["level"]: r["cnt"]
+        for r in df.filter(ok).groupBy("level").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    by_service = {
+        r["service"]: r["cnt"]
+        for r in df.filter(ok & (F.col("service") != ""))
+        .groupBy("service")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rep = RunReport(
+        total_lines=row["total_lines"],
+        json_parsed=row["json_parsed"],
+        json_failed=row["json_failed"],
+        normalized_ok=row["normalized_ok"],
+        normalized_failed=row["normalized_failed"],
+        written_ok=row["written_ok"],
+        by_level=by_level,
+        by_service=by_service,
+    )
+    filtered = {}
+    if row["filtered_level"]:
+        filtered["level"] = row["filtered_level"]
+    if row["filtered_service"]:
+        filtered["service"] = row["filtered_service"]
+    rep.filtered = filtered
+    return rep
+
+
 def compute_report(df: DataFrame) -> RunReport:
     """One aggregation job for the scalar counters + three tiny group-by
     jobs for the labeled tallies (each a shuffle of at most

@@ -1,0 +1,61 @@
+"""Scale-pattern operators: salted join equivalence, bucketed join
+shuffle-freedom, observe()-based zero-pass report counters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.config import PipelineConfig
+from k8s_log_etl_spark.fixtures import fixture_df
+from k8s_log_etl_spark.functions.skew import salted_join
+from k8s_log_etl_spark.operators import bucketing, lognorm, report as R
+from k8s_log_etl_spark.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).collect()[0]
+    salted = salted_join(orders, customer, "o_custkey", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+    assert plain["n"] > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = bucketing.bucketed_join(
+            spark, sf_dir, "orders", "customer", "o_custkey", "c_custkey", buckets=4
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        n = joined.count()
+        plain = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_observation_counters_match_compute_report(spark):
+    df = lognorm.run_pipeline(fixture_df(spark), PipelineConfig())
+    observed, obs = R.attach_observation(df)
+    # the "sink action": a full consume
+    observed.write.format("noop").mode("overwrite").save()
+    rep_obs = R.report_from_observation(obs, df)
+    rep_direct = R.compute_report(df)
+    assert rep_obs.to_dict() == rep_direct.to_dict()
+    assert rep_obs.total_lines > 0
