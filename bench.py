@@ -27,7 +27,16 @@ def main() -> None:
     from k8s_log_etl_spark.plans.registry import load_all
     from k8s_log_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="k8s-log-etl-spark-bench")
+    # -Xbatch: block on JIT compilation instead of interpreting. With
+    # ~26 distinct codegen'd plans in one JVM the compile queue backs
+    # up, and a heavy single-task stage that starts while its methods
+    # wait in queue runs interpreted for its whole life (measured: the
+    # same query bimodally takes 1-3 s or 60-70 s). Blocking costs a few
+    # hundred ms per stage and removes the 20-70 s interpreted tail.
+    spark = get_spark(
+        app_name="k8s-log-etl-spark-bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xbatch"},
+    )
     specs = load_all()
     bench_specs = {n: s for n, s in specs.items() if s.bench}
 

@@ -279,7 +279,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
-@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",))
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",), bench=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, tf-weighted token hashes): near-dup pairs with
     Hamming distance ≤ 8. The signature build is one shuffle; the pair

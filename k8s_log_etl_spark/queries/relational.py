@@ -202,7 +202,7 @@ GROUP BY n.n_name
 """
 
 
-@register("q5_regional_revenue", oracle=_Q5_SQL, tags=("join",))
+@register("q5_regional_revenue", oracle=_Q5_SQL, tags=("join",), bench=True)
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way join: small dims (region/nation/supplier/
     customer) broadcast onto the fact-fact lineitem⋈orders shuffle join."""
@@ -301,7 +301,7 @@ SELECT * FROM (
 """
 
 
-@register("window_topk_per_customer", oracle=_WTOPK_SQL, tags=("window",))
+@register("window_topk_per_customer", oracle=_WTOPK_SQL, tags=("window",), bench=True)
 def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 orders by price per customer (rank ties
     broken by orderkey). Catalyst turns rn<=3 into a WindowGroupLimit

@@ -133,3 +133,88 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style grid quantization with multi-probe
+# ---------------------------------------------------------------------------
+
+GRID_STEP = 25.0  # cell width over the two coarse projection axes
+
+
+def _cell_spark(vec: F.Column, j: int) -> F.Column:
+    return F.floor(_proj_spark(vec, j) / GRID_STEP).cast("long")
+
+
+def _cell_sql(vec: str, j: int) -> str:
+    return f"CAST(floor({_proj_sql(vec, j)} / {GRID_STEP}) AS BIGINT)"
+
+
+_IVF_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding,
+         {_cell_sql('embedding', 0)} AS c0, {_cell_sql('embedding', 1)} AS c1
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {_cell_sql('embedding', 0)} + dx.v AS c0, {_cell_sql('embedding', 1)} + dy.v AS c1
+  FROM embeddings,
+       (SELECT unnest([-1, 0, 1]) AS v) dx,
+       (SELECT unnest([-1, 0, 1]) AS v) dy
+  WHERE vec_id < {N_QUERIES}
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+  SELECT q.query_id, c.vec_id,
+         round({X.cosine_sql('q.q_emb', 'c.embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {X.cosine_sql('q.q_emb', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM q JOIN corpus c ON q.c0 = c.c0 AND q.c1 = c.c1
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("knn_ivf_grid", oracle=_IVF_SQL, tags=("similarity",))
+def knn_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization into a 2-D grid of cells over
+    two deterministic projection axes; each query multi-probes its own
+    cell plus the 8 neighbors (the recall knob an inverted-file index
+    turns), then exact cosine re-ranks within candidates. The probe
+    join is an equi-join on cell id — sub-quadratic like the LSH
+    variant but with tunable probe radius instead of bucket count."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "embedding",
+        _cell_spark(F.col("embedding"), 0).alias("c0"),
+        _cell_spark(F.col("embedding"), 1).alias("c1"),
+    )
+    probes = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _cell_spark(F.col("embedding"), 0).alias("q0"),
+            _cell_spark(F.col("embedding"), 1).alias("q1"),
+            probes.alias("p"),
+        )
+        .select(
+            "query_id", "q_emb",
+            (F.col("q0") + F.col("p.dx")).alias("c0"),
+            (F.col("q1") + F.col("p.dy")).alias("c1"),
+        )
+    )
+    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        corpus.join(F.broadcast(q), ["c0", "c1"])
+        .select("query_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk")
+    )

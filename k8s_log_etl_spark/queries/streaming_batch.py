@@ -92,7 +92,7 @@ FROM tagged GROUP BY user_id, session_id
 """
 
 
-@register("stream_session_windows", oracle=_SESSION_SQL, tags=("streaming",))
+@register("stream_session_windows", oracle=_SESSION_SQL, tags=("streaming",), bench=True)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute inactivity gap) per user via
     session_window() — the oracle derives identical sessions with the

@@ -80,7 +80,7 @@ GROUP BY source
 """
 
 
-@register("text_quality_score", oracle=_QUALITY_SQL, tags=("text",))
+@register("text_quality_score", oracle=_QUALITY_SQL, tags=("text",), bench=True)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals per source: short-word ratio, punctuation ratio,
     stopword ratio — the standard cheap filters of a training-data
