@@ -12,6 +12,9 @@ warehouse.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from k8s_log_etl_spark.tables import load_table
@@ -27,6 +30,13 @@ def ensure_bucketed(
     """Return `table` as a bucketed saved table (created on first use)."""
     name = f"b_{table}_{key}_{buckets}"
     if not spark.catalog.tableExists(name):
+        # A fresh in-memory catalog may not know a table whose files a
+        # previous session left in the warehouse — clear the stale
+        # location (it is derived data) before re-creating.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        stale = os.path.join(warehouse.removeprefix("file:"), name.lower())
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
         (
             load_table(spark, sf_dir, table)
             .write.bucketBy(buckets, key)

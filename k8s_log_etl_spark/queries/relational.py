@@ -576,3 +576,81 @@ def agg_approx_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_PIVOT_SQL = """
+SELECT year(o_orderdate) AS order_year,
+       count(*) FILTER (o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (o_orderstatus = 'P') AS status_p
+FROM orders GROUP BY 1
+"""
+
+
+@register("pivot_status_by_year", oracle=_PIVOT_SQL, tags=("agg",))
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status spread into columns, one row per
+    year. Explicit value list so the plan is a single aggregate (an
+    unlisted pivot needs an extra distinct-values job first)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderkey AS orderkey, metric, val FROM (
+  SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+) WHERE orderkey < 100
+"""
+
+
+@register("unpivot_order_metrics", oracle=_UNPIVOT_SQL, tags=("agg",))
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide order columns to (key, metric, value) rows —
+    a narrow Expand, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.unpivot(
+        ids=[F.col("o_orderkey").alias("orderkey")],
+        values=[
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        ],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+_STATS_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user,
+       round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_value_user,
+       round(quantile_cont(value, 0.5), 6) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_stats_events", oracle=_STATS_SQL, tags=("agg",))
+def agg_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev, correlation, covariance, exact
+    interpolated median — single shuffle, all JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_value_user"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_value_user"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+    )
