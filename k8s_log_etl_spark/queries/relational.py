@@ -654,3 +654,38 @@ def agg_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_value_user"),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
     )
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+@register("join_full_outer_nations", oracle=_FULL_OUTER_SQL, tags=("join",))
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join on pre-aggregated sides (customers vs suppliers
+    per nation) — completes the join-type matrix (inner / semi / anti /
+    left / full / cross all covered)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = c.join(s, c.nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce("nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )

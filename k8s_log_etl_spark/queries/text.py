@@ -6,7 +6,7 @@ syntax subset Java regex and RE2 interpret identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
@@ -188,4 +188,43 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_NGRAM_SQL = f"""
+WITH words AS (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents),
+grams AS (SELECT lang, (w[i+1] || ' ' || w[i+2]) AS bigram
+          FROM words, unnest(range(greatest(len(w) - 1, 0))) AS t(i)),
+counts AS (SELECT lang, bigram, count(*) AS tf FROM grams GROUP BY 1, 2)
+SELECT lang, bigram, tf, rnk FROM (
+  SELECT lang, bigram, tf,
+         row_number() OVER (PARTITION BY lang ORDER BY tf DESC, bigram) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+"""
+
+
+@register("text_top_bigrams", oracle=_NGRAM_SQL, tags=("text",))
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: n-gram explode → tf count →
+    per-group top-k (WindowGroupLimit keeps only k rows per partition
+    alive through the rank)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1]),
+    )
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("tf"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "tf", "rnk")
     )
