@@ -68,3 +68,72 @@ def decode_metadata(df: DataFrame) -> DataFrame:
             yield pdf
 
     return df.select("doc_id", "payload").mapInPandas(fn, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_thumbnails(df: DataFrame, max_dim: int = 64) -> DataFrame:
+    """STUB resize — NOT a real image op. Scales the fake (width,
+    height) to fit max_dim and emits a deterministic fake thumbnail
+    payload (truncated md5 bytes). The mapInPandas plumbing — binary in,
+    binary out, fixed schema, batch shape — is the real part; swap the
+    body for PIL's Image.thumbnail outside this environment."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "thumb": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = _fake_decode(payload)
+                scale = max_dim / max(w, h, 1)
+                scale = min(scale, 1.0)
+                out["doc_id"].append(doc_id)
+                out["width"].append(int(w * scale))
+                out["height"].append(int(h * scale))
+                out["thumb"].append(bytes(payload[:4]))
+            import pandas as pd
+
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
+    """STUB frame sampler — treats the payload as a fake "video" of
+    1-byte frames and emits every Nth as its own row (a 1:N flatMap in
+    mapInPandas — the shape a real ffmpeg-backed sampler would have)."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx in range(0, len(payload), every_nth):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(bytes(payload[idx : idx + 1]))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["frame_idx"] = pdf_out["frame_idx"].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload").mapInPandas(fn, FRAME_SCHEMA)

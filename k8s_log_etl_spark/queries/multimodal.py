@@ -94,3 +94,50 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.sum("n_pixels").alias("total_pixels"),
     )
+
+
+_RESIZE_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS w,
+         CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS h
+  FROM documents
+)
+SELECT count(*) AS n_images,
+       sum(CAST(CAST(floor(w * least(64.0 / greatest(w, h, 1), 1.0)) AS INTEGER) AS BIGINT)) AS total_thumb_width,
+       max(CAST(floor(h * least(64.0 / greatest(w, h, 1), 1.0)) AS INTEGER)) AS max_thumb_height
+FROM meta
+"""
+
+
+@register("multimodal_resize_stats", oracle=_RESIZE_SQL, tags=("multimodal",))
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the mapInPandas resize stub (binary in → scaled metadata +
+    thumbnail binary out) and aggregates — the oracle recomputes the
+    deterministic fake's arithmetic from the md5 hex."""
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
+    thumbs = MM.resize_thumbnails(d)
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").alias("total_thumb_width"),
+        F.max("height").alias("max_thumb_height"),
+    )
+
+
+_FRAMES_SQL = """
+SELECT count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(range(0, 16, 4)) FROM documents)
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAMES_SQL, tags=("multimodal",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the mapInPandas frame sampler (1:N flatMap over binary
+    payloads): every 4th byte-frame of the 16-byte fake payload →
+    4 frames per doc."""
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
+    frames = MM.sample_frames(d)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -228,3 +228,37 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", "tf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, non-space punctuation
+# runs — the lookahead-free common subset of Java regex and RE2, so both
+# engines tokenize identically.
+_BPEISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+_BPEISH_SQL = f"""
+SELECT lang,
+       sum(len({_WORDS_SQL})) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{_BPEISH_RE}'))) AS bpeish_tokens,
+       round(sum(len(regexp_extract_all(text, '{_BPEISH_RE}'))) * 1.0
+             / greatest(sum(len({_WORDS_SQL})), 1), 6) AS bpeish_per_word
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_token_bpeish", oracle=_BPEISH_SQL, tags=("text",))
+def text_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (charter: whitespace + a BPE-ish regex):
+    whitespace words vs subword-ish runs (letters/digits/punct), per
+    language — the cheap token budget estimator of a training-data
+    pipeline."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.size(_words())
+    bpeish = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPEISH_RE), 0))
+    return d.groupBy("lang").agg(
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpeish).alias("bpeish_tokens"),
+        F.round(F.sum(bpeish) / F.greatest(F.sum(ws), F.lit(1)), 6).alias("bpeish_per_word"),
+    )
