@@ -114,3 +114,51 @@ def test_graceful_stop(spark, jsonl_dir, tmp_path):
     )
     assert SP.stop_gracefully(q, timeout_sec=60.0)
     assert not q.isActive
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Once the watermark has closed and emitted a window (append mode),
+    a row for that window arriving in a LATER micro-batch must be
+    dropped — its state is gone and the window must not re-emit.
+    (Within an open window Spark may still absorb late rows — the
+    watermark guarantees eviction, not strict admission.)"""
+    d = tmp_path / "late_in"
+    d.mkdir()
+    # batch 0: the 10:00 window's rows plus a 12:00 row to pull the
+    # watermark forward
+    (d / "a.jsonl").write_text(
+        "\n".join(
+            [
+                '{"ts":"2024-01-01T10:05:00Z","level":"error","msg":"w1-a"}',
+                '{"ts":"2024-01-01T10:20:00Z","level":"error","msg":"w1-b"}',
+                '{"ts":"2024-01-01T12:00:00Z","level":"error","msg":"w3"}',
+            ]
+        )
+    )
+    # batch 1: advances the watermark past 11:00 -> 10:00 window evicted
+    (d / "b.jsonl").write_text('{"ts":"2024-01-01T12:05:00Z","level":"error","msg":"w3-b"}\n')
+    # batch 2: a very late row for the already-evicted 10:00 window
+    (d / "c.jsonl").write_text('{"ts":"2024-01-01T10:30:00Z","level":"error","msg":"late"}\n')
+    # the file source orders batches by modification time — pin it
+    for i, name in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        os.utime(d / name, (1000000000 + i * 100,) * 2)
+
+    stream_df = SP.stream_pipeline(spark, str(d), CFG, max_files_per_trigger=1)
+    windowed = SP.windowed_level_counts(stream_df, watermark="10 minutes", window="1 hour")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")  # append only emits windows the watermark closed
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hour10 = [
+        r["n_events"]
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+        if r["window_start"].hour == 10
+    ]
+    # exactly one emission of the 10:00 window, with only the 2 on-time
+    # rows — the post-eviction late row neither re-emits nor re-counts
+    assert hour10 == [2]
