@@ -689,3 +689,35 @@ def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
     )
+
+
+# DuckDB min_by/max_by take scalar ordering keys only, so ties are
+# broken through lexicographically-sortable string composites that
+# order exactly like Spark's (value, orderkey) structs.
+_DATE_KEY_SQL = "strftime(o_orderdate, '%Y%m%d%H%M%S') || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')"
+_PRICE_KEY_SQL = "printf('%018.2f', o_totalprice) || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')"
+
+_MINMAXBY_SQL = f"""
+SELECT o_custkey AS custkey,
+       min_by(o_orderkey, {_DATE_KEY_SQL}) AS first_orderkey,
+       max_by(o_orderkey, {_DATE_KEY_SQL}) AS last_orderkey,
+       max_by(o_orderkey, {_PRICE_KEY_SQL}) AS priciest_orderkey
+FROM orders
+WHERE o_custkey < 100
+GROUP BY o_custkey
+"""
+
+
+@register("agg_minmax_by", oracle=_MINMAXBY_SQL, tags=("agg",))
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by argmin-argmax aggregates: first/last/priciest order
+    per customer. Ties on the ordering value are broken by composing an
+    artificial (value, key) struct so both engines pick the same row."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    date_key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    price_key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min_by("o_orderkey", date_key).alias("first_orderkey"),
+        F.max_by("o_orderkey", date_key).alias("last_orderkey"),
+        F.max_by("o_orderkey", price_key).alias("priciest_orderkey"),
+    )

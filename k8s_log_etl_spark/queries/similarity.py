@@ -218,3 +218,49 @@ def knn_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids via grouped-map applyInPandas
+# ---------------------------------------------------------------------------
+
+_CENTROID_SQL = f"""
+SELECT label, CAST(ord - 1 AS INTEGER) AS dim, round(avg(v), 6) AS centroid
+FROM (
+  SELECT label,
+         unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+)
+GROUP BY label, ord
+"""
+
+
+@register("embedding_centroids", oracle=_CENTROID_SQL, tags=("similarity",))
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via grouped-map applyInPandas
+    (Arrow batch per label, numpy column mean) — the vectorized
+    grouped-custom-aggregation path (an IVF coarse-quantizer training
+    step). Output long-form (label, dim, centroid) for the oracle.
+    Rounded to 6 dp: numpy's pairwise summation and SQL's sequential
+    avg differ in the last ulps."""
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+
+    def centroid(pdf):
+        import numpy as np
+        import pandas as pd
+
+        label = int(pdf["label"].iloc[0])
+        mat = np.vstack(pdf["embedding"].to_numpy())
+        mean = mat.astype("float64").mean(axis=0)
+        return pd.DataFrame(
+            {"label": label, "dim": range(len(mean)), "centroid": np.round(mean, 6)}
+        )
+
+    return (
+        e.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(centroid, "label int, dim int, centroid double")
+    )

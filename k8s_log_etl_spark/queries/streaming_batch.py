@@ -103,3 +103,46 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+_RESAMPLE_SQL = """
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS lo,
+         time_bucket(INTERVAL 1 HOUR, max(ts)) AS hi
+  FROM events
+),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds),
+actual AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, count(*) AS n,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT s.hour_start, coalesce(a.n, 0) AS n_events,
+       coalesce(a.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN actual a USING (hour_start)
+"""
+
+
+@register("events_resample_1h", oracle=_RESAMPLE_SQL, tags=("streaming", "temporal"))
+def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: a generated time spine (min..max
+    hour) left-joined to the actual hourly aggregate, so empty hours
+    appear as zero rows — the standard time-series densification. The
+    spine is one tiny generated frame (broadcast side); the aggregate
+    is the only real shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    return spine.join(actual, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
