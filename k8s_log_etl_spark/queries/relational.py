@@ -721,3 +721,92 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", date_key).alias("last_orderkey"),
         F.max_by("o_orderkey", price_key).alias("priciest_orderkey"),
     )
+
+
+_Q13_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY n_orders
+"""
+
+
+@register("q13_order_distribution", oracle=_Q13_SQL, tags=("join", "agg"))
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: LEFT join with an extra join predicate, count
+    per customer (zero-order customers kept), then the distribution of
+    those counts — two shuffles, the second over tiny data."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_NOT_EXISTS_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name
+FROM customer c
+WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995
+      )
+  AND EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1996
+      )
+"""
+
+
+@register("correlated_not_exists", oracle=_NOT_EXISTS_SQL, tags=("join", "subquery"))
+def correlated_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries (customers who skipped
+    1995 but ordered in 1996), written in Spark SQL so Catalyst's
+    subquery decorrelation rewrites them into semi/anti joins."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, c.c_name AS name
+        FROM customer_sq c
+        WHERE NOT EXISTS (
+                SELECT 1 FROM orders_sq o
+                WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995
+              )
+          AND EXISTS (
+                SELECT 1 FROM orders_sq o
+                WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1996
+              )
+        """
+    )
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+FROM orders
+WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@register("scalar_subquery_outliers", oracle=_SCALAR_SUBQ_SQL, tags=("subquery",))
+def scalar_subquery_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above 3x the global average
+    price (the subquery executes once and broadcasts as a literal).
+    Double comparison only — no cross-engine float arithmetic lands in
+    the output."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        FROM orders_ss
+        WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders_ss)
+        """
+    )
