@@ -97,6 +97,28 @@ def _vstr(c: Column) -> Column:
     )
 
 
+# Go unicode.IsSpace's exact character set (strings.TrimSpace). Spark's
+# F.trim strips ONLY ASCII space — tab/newline/unicode-space padded
+# values would diverge from the reference (found by the normalize
+# property test). Built from codepoints; the literal-character class
+# works identically in Java regex (Spark) and RE2 (DuckDB oracle).
+# NOTE: Python's default str.strip() also eats \x1c-\x1f, which Go does
+# NOT consider whitespace — use GO_SPACE_CHARS, never bare strip().
+_GO_SPACE_CODEPOINTS = (
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B))
+    + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+GO_SPACE_CHARS = "".join(chr(c) for c in _GO_SPACE_CODEPOINTS)
+GO_SPACE_CLASS = "[" + GO_SPACE_CHARS + "]"
+_GO_TRIM_RE = f"^{GO_SPACE_CLASS}+|{GO_SPACE_CLASS}+$"
+
+
+def gotrim(c: Column) -> Column:
+    """strings.TrimSpace parity (normalize.go:20 etc.)."""
+    return F.regexp_replace(c, _GO_TRIM_RE, "")
+
+
 def _nb(c: Column) -> Column:
     """NULL when empty string (Go's `if s == ""` fallback trigger)."""
     return F.nullif(c, F.lit(""))
@@ -104,13 +126,13 @@ def _nb(c: Column) -> Column:
 
 def _trimmed_chain(*cols: Column) -> Column:
     """First candidate that is non-empty after trim, else ''."""
-    return F.coalesce(*[_nb(F.trim(c)) for c in cols], F.lit(""))
+    return F.coalesce(*[_nb(gotrim(c)) for c in cols], F.lit(""))
 
 
 def scan_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Blank-line skip (main.go:354-356): blank lines are dropped before
     TotalLines is counted."""
-    return df.filter(F.length(F.trim(F.col(value_col))) > 0)
+    return df.filter(F.length(gotrim(F.col(value_col))) > 0)
 
 
 def parse_json(df: DataFrame, value_col: str = "value") -> DataFrame:

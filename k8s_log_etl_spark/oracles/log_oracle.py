@@ -25,8 +25,19 @@ from k8s_log_etl_spark.operators.lognorm import (
     ERR_MISSING_MSG,
     ERR_MISSING_TS,
     EXCLUDED_KEYS,
+    GO_SPACE_CLASS,
     RFC3339_RE,
 )
+
+
+def _gotrim(expr: str) -> str:
+    """strings.TrimSpace parity — plain SQL trim() strips only ASCII
+    space, but Go trims the full Unicode White_Space set (the literal
+    char class is shared with the Spark side)."""
+    return (
+        f"regexp_replace({expr}, "
+        f"'^{GO_SPACE_CLASS}+|{GO_SPACE_CLASS}+$', '', 'g')"
+    )
 
 
 def _sql_str_list(values: tuple[str, ...]) -> str:
@@ -39,7 +50,7 @@ def _sget(path: str) -> str:
 
 
 def _trimmed_chain(*paths: str) -> str:
-    parts = ", ".join(f"nullif(trim({_sget(p)}), '')" for p in paths)
+    parts = ", ".join(f"nullif({_gotrim(_sget(p))}, '')" for p in paths)
     return f"coalesce({parts}, '')"
 
 
@@ -56,11 +67,13 @@ def norm_cte(raw_sql: str, cfg: PipelineConfig | None = None) -> str:
 
     # Regexp: DuckDB uses RE2; the Spark pattern is RE2-compatible.
     ts_re = RFC3339_RE
+    trimv = _gotrim("value")
+    trimnode = _gotrim("j ->> '$.node'")
 
     return f"""
 WITH raw(line_id, value) AS ({raw_sql}),
 nonblank AS (
-  SELECT line_id, value FROM raw WHERE trim(value) <> ''
+  SELECT line_id, value FROM raw WHERE {trimv} <> ''
 ),
 parsed AS (
   SELECT line_id, value, TRY_CAST(value AS JSON) AS j,
@@ -79,9 +92,9 @@ norm0 AS (
     coalesce(CASE WHEN json_type(j, '$.pod') = 'VARCHAR' THEN j ->> '$.pod'
                   ELSE {_sget("$.kubernetes.pod_name")} END, '') AS pod,
     coalesce(
-      nullif(CASE WHEN json_type(j, '$.node') = 'VARCHAR' THEN trim(j ->> '$.node')
+      nullif(CASE WHEN json_type(j, '$.node') = 'VARCHAR' THEN {trimnode}
                   ELSE {_sget("$.kubernetes.node_name")} END, ''),
-      nullif(trim({_sget("$.hostname")}), ''),
+      nullif({_gotrim(_sget('$.hostname'))}, ''),
       '') AS node,
     {_trimmed_chain("$.trace_id", "$.trace")} AS trace_id
   FROM parsed WHERE json_ok
@@ -139,9 +152,10 @@ SELECT line_id, norm_error AS reason FROM norm WHERE norm_error IS NOT NULL
 
 
 def scan_sql(raw_sql: str) -> str:
+    trimv = _gotrim("value")
     return f"""
 WITH raw(line_id, value) AS ({raw_sql})
-SELECT line_id, length(value) AS n_bytes FROM raw WHERE trim(value) <> ''
+SELECT line_id, length(value) AS n_bytes FROM raw WHERE {trimv} <> ''
 """
 
 

@@ -8,6 +8,11 @@ with an independent pure-Python model of the documented semantics
 Value domain is restricted to strings / small ints / bools / None /
 shallow objects: number formatting differences (1e30 etc.) are a JSON
 rendering concern, not a normalize-semantics concern.
+
+Bug found by this test in round 1: Spark's F.trim strips only ASCII
+space while Go's strings.TrimSpace strips the Unicode White_Space set
+(and Python's default str.strip() strips even more: \x1c-\x1f) — the
+engine now uses a Go-exact regexp trim shared with the oracle.
 """
 
 from __future__ import annotations
@@ -77,11 +82,14 @@ def _model(rec: dict) -> dict:
         v = d.get(k)
         return v if isinstance(v, str) else None
 
+    def strip(v: str) -> str:
+        return v.strip(lognorm.GO_SPACE_CHARS)
+
     def chain(*keys: str) -> str:
         for k in keys:
             v = sval(rec, k)
-            if v is not None and v.strip() != "":
-                return v.strip()
+            if v is not None and strip(v) != "":
+                return strip(v)
         return ""
 
     ts_str = chain("ts", "time")
@@ -95,8 +103,8 @@ def _model(rec: dict) -> dict:
     namespace = ns_top if ns_top is not None else (sval(k8s, "namespace_name") or "")
     pod = pod_top if pod_top is not None else (sval(k8s, "pod_name") or "")
     node_top = sval(rec, "node")
-    node_pre = node_top.strip() if node_top is not None else (sval(k8s, "node_name") or "")
-    node = node_pre if node_pre != "" else (sval(rec, "hostname") or "").strip()
+    node_pre = strip(node_top) if node_top is not None else (sval(k8s, "node_name") or "")
+    node = node_pre if node_pre != "" else strip(sval(rec, "hostname") or "")
     trace_id = chain("trace_id", "trace")
 
     error = None
