@@ -355,3 +355,83 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash with exact chunk banding (the sub-quadratic scale path)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDED_MAX_HAMMING = 3
+SIMHASH_CHUNKS = 4  # 4 chunks x 8 bits over the 32-bit signature
+
+_SIMHASH_SIGS_CTE = _SIMHASH_SQL.split("SELECT a.doc_id")[0]
+
+_SIMHASH_BANDED_SQL = f"""{_SIMHASH_SIGS_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDED_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_banded", oracle=_SIMHASH_BANDED_SQL, tags=("dedup",))
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic SimHash: the 32-bit signature splits into 4 8-bit
+    chunks; by pigeonhole any pair within Hamming distance 3 (< chunk
+    count) shares at least one EXACT chunk, so an equi-join on
+    (chunk_idx, chunk_value) generates a complete candidate set — the
+    verify step then filters to distance <= 3. Provably identical
+    results to the brute all-pairs oracle, but the join is keyed, not a
+    cross product. (The brute variant `dedup_simhash` keeps the looser
+    distance-8 threshold banding cannot serve exactly.)"""
+    tf = _tokens_tf(spark, sf_dir)
+    h = X.md5_long(F.col("tok"))
+    bitsums = tf.select("doc_id", "tf", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{bit}")
+            for bit in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(0)
+        for bit in range(SIMHASH_BITS)
+    )
+    sigs = bitsums.select("doc_id", simhash.alias("simhash")).localCheckpoint(eager=True)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", 8 * i).bitwiseAND(0xFF).alias("cv"),
+                    )
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .filter(hamming <= SIMHASH_BANDED_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
