@@ -262,3 +262,103 @@ def text_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpeish).alias("bpeish_tokens"),
         F.round(F.sum(bpeish) / F.greatest(F.sum(ws), F.lit(1)), 6).alias("bpeish_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# capstone: composed corpus-cleaning pipeline
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20
+NEAR_DUP_JACCARD = 0.5
+
+_CLEAN_SQL = f"""
+WITH words AS (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents),
+quality AS (
+  SELECT doc_id, lang, len(w) AS n_tokens FROM words WHERE len(w) >= {MIN_TOKENS}
+),
+canon AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), ' ')) AS h
+  FROM documents
+),
+exact_keep AS (
+  SELECT min(c.doc_id) AS doc_id FROM canon c JOIN quality q ON c.doc_id = q.doc_id GROUP BY c.h
+),
+sh AS (SELECT DISTINCT w.doc_id, (w.w[i+1] || ' ' || w.w[i+2] || ' ' || w.w[i+3]) AS s
+       FROM words w JOIN exact_keep k ON w.doc_id = k.doc_id,
+            unnest(range(greatest(len(w.w) - 2, 0))) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_dupes AS (
+  SELECT DISTINCT db AS doc_id
+  FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {NEAR_DUP_JACCARD}
+),
+survivors AS (
+  SELECT q.doc_id, q.lang, q.n_tokens
+  FROM quality q JOIN exact_keep k ON q.doc_id = k.doc_id
+  WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dupes)
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM survivors GROUP BY lang
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_CLEAN_SQL, tags=("text", "dedup"), bench=True)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the canonical training-data cleaning
+    chain as ONE Catalyst lineage: length/quality gate → exact dedup
+    (keep min doc_id per canonical hash) → near-dup removal (drop the
+    larger id of any trigram-Jaccard pair ≥ 0.5 among survivors) →
+    per-language document and token budget. Every stage reuses the
+    operators defined above; the near-dup stage stays an inverted-index
+    join, so the whole pipeline is hash-joins and aggregations —
+    nothing quadratic, nothing Python."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    docs = d.select("doc_id", "lang", "text", F.size(w).alias("n_tokens"))
+    quality = docs.filter(F.col("n_tokens") >= MIN_TOKENS)
+
+    canon = F.concat_ws(
+        " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    )
+    exact_keep = (
+        quality.select("doc_id", F.md5(canon).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = quality.join(exact_keep, "doc_id")
+
+    wk = F.split(F.trim(F.col("text")), r"\s+")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(wk) - 3, F.lit(-1))),
+        lambda i: F.concat_ws(" ", wk[i], wk[i + 1], wk[i + 2]),
+    )
+    sh = kept.select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
+    near_dupes = (
+        pairs.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= NEAR_DUP_JACCARD)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(near_dupes, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
