@@ -119,6 +119,24 @@ def gotrim(c: Column) -> Column:
     return F.regexp_replace(c, _GO_TRIM_RE, "")
 
 
+# Jackson (Spark's to_json) writes control-char escapes with UPPERCASE
+# hex (``); Go's encoding/json writes lowercase (``). Only
+# nine escapes Jackson emits contain hex letters at all (\b \t \n \f \r
+# take short forms). A literal backslash in content is itself escaped as
+# `\\`, so after swapping `\\` for a raw \x01 — which cannot appear in
+# JSON output, Jackson escapes everything < 0x20 — every remaining
+# `\uXXXX` is a real escape and can be lowercased by literal replace.
+_UPPER_HEX_ESCAPES = [0x0B, 0x0E, 0x0F, 0x1A, 0x1B, 0x1C, 0x1D, 0x1E, 0x1F]
+
+
+def go_json_case(c: Column) -> Column:
+    """Lowercase Jackson's \\uXXXX hex to match Go's encoding/json."""
+    out = F.replace(c, F.lit("\\\\"), F.lit("\x01"))
+    for cp in _UPPER_HEX_ESCAPES:
+        out = F.replace(out, F.lit("\\u%04X" % cp), F.lit("\\u%04x" % cp))
+    return F.replace(out, F.lit("\x01"), F.lit("\\\\"))
+
+
 def _nb(c: Column) -> Column:
     """NULL when empty string (Go's `if s == ""` fallback trigger)."""
     return F.nullif(c, F.lit(""))
@@ -194,10 +212,10 @@ def normalize(df: DataFrame, value_col: str = "value") -> DataFrame:
             # hostname (trimmed) is a final fallback when node is ''.
             "node": F.coalesce(
                 _nb(
-                    F.when(c("node_c").isNotNull(), F.trim(c("node_c")))
+                    F.when(c("node_c").isNotNull(), gotrim(c("node_c")))
                     .otherwise(c("k8s_node_c"))
                 ),
-                _nb(F.trim(c("hostname_c"))),
+                _nb(gotrim(c("hostname_c"))),
                 F.lit(""),
             ),
             "trace_id": _trimmed_chain(c("trace_id_c"), c("trace_c")),
@@ -234,7 +252,7 @@ def normalize(df: DataFrame, value_col: str = "value") -> DataFrame:
         return (
             F.when(s == F.lit("STRING"), F.try_variant_get(v, "$", "string"))
             .when(s == F.lit("VOID"), F.lit(None).cast("string"))
-            .otherwise(F.to_json(v))
+            .otherwise(go_json_case(F.to_json(v)))
         )
 
     df = df.withColumn(

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.config import PipelineConfig
-from k8s_log_etl_spark.operators.lognorm import rfc3339nano
+from k8s_log_etl_spark.operators.lognorm import go_json_case, rfc3339nano
 
 
 def render_jsonl(df: DataFrame) -> DataFrame:
@@ -48,7 +48,7 @@ def render_jsonl(df: DataFrame) -> DataFrame:
     normalized.go:3-13), timestamps re-serialized RFC3339Nano
     (normalize.go:178)."""
     return df.select(
-        F.to_json(
+        go_json_case(F.to_json(
             F.struct(
                 rfc3339nano(F.col("ts")).alias("TS"),
                 F.col("level").alias("Level"),
@@ -60,7 +60,7 @@ def render_jsonl(df: DataFrame) -> DataFrame:
                 F.col("trace_id").alias("TraceID"),
                 F.col("fields").alias("Fields"),
             )
-        ).alias("value")
+        )).alias("value")
     )
 
 
@@ -234,9 +234,9 @@ def dlq_records(attempts: DataFrame) -> DataFrame:
     """O22: failed writes as {record, reason} JSONL rows
     (dlqRecord, cmd/etl/main.go:475-478)."""
     return attempts.filter(F.col("error").isNotNull()).select(
-        F.to_json(
+        go_json_case(F.to_json(
             F.struct(F.col("value").alias("record"), F.col("error").alias("reason"))
-        ).alias("value")
+        )).alias("value")
     )
 
 

@@ -13,6 +13,14 @@ Bug found by this test in round 1: Spark's F.trim strips only ASCII
 space while Go's strings.TrimSpace strips the Unicode White_Space set
 (and Python's default str.strip() strips even more: \x1c-\x1f) — the
 engine now uses a Go-exact regexp trim shared with the oracle.
+
+Bugs found in round 2: (a) node/hostname still used ASCII F.trim
+(missed branch of the round-1 fix); (b) Jackson renders control-char
+escapes with uppercase hex (\\u001F) where Go's encoding/json writes
+lowercase — fixed by lognorm.go_json_case at the serialization
+boundary; (c) this model originally preserved dict insertion order in
+nested-object values while Go's json.Marshal (and Spark's variant)
+sort map keys — the model now sorts.
 """
 
 from __future__ import annotations
@@ -135,7 +143,10 @@ def _model(rec: dict) -> dict:
         elif isinstance(v, int):
             fields[k] = str(v)
         else:
-            fields[k] = json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+            # sort_keys: Go's json.Marshal sorts map[string]any keys
+            # (maps are unordered); Spark's variant stores object fields
+            # key-sorted — both sides agree on sorted order.
+            fields[k] = json.dumps(v, separators=(",", ":"), ensure_ascii=False, sort_keys=True)
 
     return {
         "error": error,
