@@ -17,7 +17,7 @@ from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 _PROPS_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
        count(*) FILTER (CAST(props->>'$.k' AS BIGINT) IS NULL) AS null_k
@@ -49,7 +49,7 @@ def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOB_SQL = """
 SELECT source,
        count(*) AS n_payloads,
-       sum(octet_length(from_hex(md5(text)))) AS total_bytes,
+       CAST(sum(octet_length(from_hex(md5(text)))) AS BIGINT) AS total_bytes,
        count(DISTINCT md5(text)) AS distinct_payloads
 FROM documents
 GROUP BY source
@@ -77,7 +77,7 @@ WITH meta AS (
 )
 SELECT width % 16 AS width_bucket,
        count(*) AS n_images,
-       sum(CAST(width AS BIGINT) * height) AS total_pixels
+       CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels
 FROM meta
 GROUP BY width % 16
 """
@@ -104,7 +104,7 @@ WITH meta AS (
   FROM documents
 )
 SELECT count(*) AS n_images,
-       sum(CAST(CAST(floor(w * least(64.0 / greatest(w, h, 1), 1.0)) AS INTEGER) AS BIGINT)) AS total_thumb_width,
+       CAST(sum(CAST(CAST(floor(w * least(64.0 / greatest(w, h, 1), 1.0)) AS INTEGER) AS BIGINT)) AS BIGINT) AS total_thumb_width,
        max(CAST(floor(h * least(64.0 / greatest(w, h, 1), 1.0)) AS INTEGER)) AS max_thumb_height
 FROM meta
 """

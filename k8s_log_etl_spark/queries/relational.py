@@ -38,10 +38,10 @@ def _dec(col: str) -> F.Column:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
        round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*) AS count_order
@@ -55,7 +55,9 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: single-pass grouped aggregation
     with partial (map-side) aggregation; DECIMAL money math for
-    cross-engine exactness."""
+    cross-engine exactness, cast to double only at the output boundary
+    (the driver canonicalizes through pandas, where Spark Decimals and
+    DuckDB float64 render differently: '256.00' vs '256.0')."""
     l = load_table(spark, sf_dir, "lineitem")
     disc = _dec("l_discount")
     price = _dec("l_extendedprice")
@@ -63,10 +65,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + _dec("l_tax"))).alias("sum_charge"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + _dec("l_tax"))).cast("double").alias("sum_charge"),
             F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -78,7 +80,7 @@ _ROLLUP_SQL = """
 SELECT year(o_orderdate) AS order_year, o_orderpriority,
        GROUPING(year(o_orderdate), o_orderpriority) AS gid,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
 """
@@ -95,7 +97,7 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("total_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
         )
         .select("order_year", "o_orderpriority", "gid", "n_orders", "total_price")
     )
@@ -149,7 +151,7 @@ def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = """
 SELECT l.l_orderkey AS orderkey,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        o.o_orderdate AS orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -183,13 +185,13 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
-        .select("orderkey", "revenue", "orderdate")
+        .select("orderkey", F.col("revenue").cast("double").alias("revenue"), "orderdate")
     )
 
 
 _Q5_SQL = """
 SELECT n.n_name AS nation,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -225,7 +227,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
     )
 
 
@@ -244,14 +246,16 @@ def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANTI_SQL = """
-SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
 @register("join_anti_customers", oracle=_ANTI_SQL, tags=("join",))
 def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers with no orders at all. Oracle uses
+    NOT EXISTS (not NOT IN) for NULL-safe anti-join semantics matching
+    left_anti."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -260,7 +264,7 @@ def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAVING_SQL = """
 SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey, s.total_qty
 FROM orders o
-JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) s
   ON o.o_orderkey = s.l_orderkey
@@ -283,7 +287,7 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_custkey").alias("custkey"),
-            "total_qty",
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
 
@@ -322,9 +326,9 @@ def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WRUN_SQL = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
 FROM orders
 """
 
@@ -342,7 +346,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        F.sum(_dec("o_totalprice")).over(w).alias("running_spend"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
     )
 
 
@@ -571,9 +575,14 @@ def agg_approx_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver records the weaker rows-only check); tests/test_approx.py
     bounds the estimates against exact answers instead."""
     ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    # Scalar output columns only: the driver's pandas canonicalizer
+    # cannot hash array cells (round-1 harness error).
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        pcts.getItem(0).alias("value_p50"),
+        pcts.getItem(1).alias("value_p95"),
+        pcts.getItem(2).alias("value_p99"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

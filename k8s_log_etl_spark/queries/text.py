@@ -39,11 +39,11 @@ _WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 _TOKENS_SQL = f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(len({_WORDS_SQL})) AS total_tokens,
+       CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS total_tokens,
        min(len({_WORDS_SQL})) AS min_tokens,
        max(len({_WORDS_SQL})) AS max_tokens,
        round(sum(len({_WORDS_SQL})) * 1.0 / count(*), 6) AS avg_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 """
@@ -239,8 +239,8 @@ _BPEISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
 _BPEISH_SQL = f"""
 SELECT lang,
-       sum(len({_WORDS_SQL})) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{_BPEISH_RE}'))) AS bpeish_tokens,
+       CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_BPEISH_RE}'))) AS BIGINT) AS bpeish_tokens,
        round(sum(len(regexp_extract_all(text, '{_BPEISH_RE}'))) * 1.0
              / greatest(sum(len({_WORDS_SQL})), 1), 6) AS bpeish_per_word
 FROM documents
@@ -303,7 +303,7 @@ survivors AS (
   FROM quality q JOIN exact_keep k ON q.doc_id = k.doc_id
   WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dupes)
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM survivors GROUP BY lang
 """
 

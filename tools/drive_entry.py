@@ -2,7 +2,16 @@
 1. smoke: entry(spark) at sf0.001, collect rows
 2. correctness: every queries() entry vs oracle_sql() via DuckDB at
    sf0.01 (row count, column names, order-insensitive canonicalized
-   value multiset — same normalization as tests/test_oracle_parity.py).
+   value multiset).
+
+Canonicalization goes through pandas on BOTH sides (Spark `toPandas()`,
+DuckDB `.df()`) because that is what the round driver does — round 1
+proved the difference matters: Spark DECIMAL survives pandas as
+Decimal('256.00') while DuckDB DECIMAL coerces to float64 256.0, and
+DuckDB sum(BIGINT) returns HUGEINT → float64 vs Spark's int64. A raw
+collect()+str() mimic missed all 8 of those hash mismatches. Array /
+list cells raise (the driver's canonicalizer crashes on them — scalar
+output columns only).
 """
 
 from __future__ import annotations
@@ -13,6 +22,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as E
 from k8s_log_etl_spark.session import get_spark
@@ -21,24 +32,32 @@ from k8s_log_etl_spark.tables import TABLE_NAMES
 SF = "/root/testdata/sf0.01"
 
 
-def _canon(value):
-    if value is None:
+def _canon_cell(v):
+    if v is None:
         return "<null>"
-    if isinstance(value, bool):
-        return "true" if value else "false"
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "nan"
-        return repr(round(value, 9))
-    return str(value)
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise TypeError(f"unhashable type: {type(v).__name__} (driver canon crashes on array cells)")
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "<null>"
+        return repr(round(f, 9))
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if v is pd.NaT:
+        return "<null>"
+    return str(v)
 
 
-def _multiset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+def _multiset(pdf: pd.DataFrame) -> list[str]:
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(
+        "|".join(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 def main() -> int:
+    only = set(sys.argv[1:])
     spark = get_spark(app_name="verify-drive", master="local[8]", shuffle_partitions=8)
 
     df = E.entry(spark)
@@ -55,23 +74,35 @@ def main() -> int:
 
     fails = []
     for name, fn in sorted(qs.items()):
-        sdf = fn(spark, SF)
-        s_cols = [c.lower() for c in sdf.columns]
-        s_rows = [[row[c] for c in sdf.columns] for row in sdf.collect()]
-        if name not in oracles:
-            print(f"  {name}: rows-only, {len(s_rows)} rows")
+        if only and name not in only:
             continue
-        cur = con.execute(oracles[name])
-        d_cols = [d[0].lower() for d in cur.description]
-        d_rows = cur.fetchall()
-        ok_cols = sorted(s_cols) == sorted(d_cols)
-        ok_cnt = len(s_rows) == len(d_rows)
-        ok_vals = ok_cols and _multiset(s_rows, s_cols) == _multiset(d_rows, d_cols)
+        try:
+            s_pdf = fn(spark, SF).toPandas()
+            s_pdf.columns = [c.lower() for c in s_pdf.columns]
+            if name not in oracles:
+                # still exercise the canon so array cells are caught
+                _multiset(s_pdf)
+                print(f"  {name}: rows-only, {len(s_pdf)} rows")
+                continue
+            d_pdf = con.execute(oracles[name]).df()
+            d_pdf.columns = [c.lower() for c in d_pdf.columns]
+            ok_cols = sorted(s_pdf.columns) == sorted(d_pdf.columns)
+            ok_cnt = len(s_pdf) == len(d_pdf)
+            ok_vals = ok_cols and _multiset(s_pdf) == _multiset(d_pdf)
+        except Exception as exc:  # mimic the driver's per-query err slot
+            fails.append(name)
+            print(f"  {name}: ERR {type(exc).__name__}: {exc}")
+            continue
         status = "OK" if (ok_cols and ok_cnt and ok_vals) else "MISMATCH"
         if status != "OK":
             fails.append(name)
+            if ok_cols and not ok_vals:
+                sm, dm = _multiset(s_pdf), _multiset(d_pdf)
+                diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+                for a, b in diff:
+                    print(f"    spark : {a}\n    oracle: {b}")
         print(
-            f"  {name}: {status} spark={len(s_rows)} oracle={len(d_rows)} "
+            f"  {name}: {status} spark={len(s_pdf)} oracle={len(d_pdf)} "
             f"cols_ok={ok_cols} vals_ok={ok_vals}"
         )
 
