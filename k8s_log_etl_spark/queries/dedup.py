@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
+from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
@@ -58,7 +59,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = F.split(F.trim(F.col("text")), r"\s+")
     tri = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
+        ngram_indices(w, 3),
         lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
     )
     return d.select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))

@@ -10,7 +10,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
+from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import register
+# Same hot-shingle guard as the standalone jaccard dedup: a shingle
+# shared by more docs than POSTING_CAP is dropped on both sides of the
+# near-dup self-join — without it one hot shingle makes the a.s=b.s
+# join quadratic at scale.
+from k8s_log_etl_spark.queries.dedup import POSTING_CAP
 from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
 # Tiny per-language function-word lists for the n-gram/stopword
@@ -176,7 +182,7 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = _words()
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - FINGERPRINT_NGRAM, F.lit(-1))),
+        ngram_indices(w, FINGERPRINT_NGRAM),
         lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2], w[i + 3]),
     )
     fp = (
@@ -214,7 +220,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = _words()
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
+        ngram_indices(w, 2),
         lambda i: F.concat_ws(" ", w[i], w[i + 1]),
     )
     counts = (
@@ -287,10 +293,12 @@ exact_keep AS (
 sh AS (SELECT DISTINCT w.doc_id, (w.w[i+1] || ' ' || w.w[i+2] || ' ' || w.w[i+3]) AS s
        FROM words w JOIN exact_keep k ON w.doc_id = k.doc_id,
             unnest(range(greatest(len(w.w) - 2, 0))) AS t(i)),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+capped AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {POSTING_CAP}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN capped USING (s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 near_dupes AS (
@@ -316,8 +324,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger id of any trigram-Jaccard pair ≥ 0.5 among survivors) →
     per-language document and token budget. Every stage reuses the
     operators defined above; the near-dup stage stays an inverted-index
-    join, so the whole pipeline is hash-joins and aggregations —
-    nothing quadratic, nothing Python."""
+    join with the POSTING_CAP hot-shingle guard (same bound as
+    dedup_ngram_jaccard), so the whole pipeline is hash-joins and
+    aggregations with a provable per-shingle pair bound — nothing
+    quadratic, nothing Python."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = _words()
     docs = d.select("doc_id", "lang", "text", F.size(w).alias("n_tokens"))
@@ -336,10 +346,14 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wk = F.split(F.trim(F.col("text")), r"\s+")
     tri = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(wk) - 3, F.lit(-1))),
+        ngram_indices(wk, 3),
         lambda i: F.concat_ws(" ", wk[i], wk[i + 1], wk[i + 2]),
     )
     sh = kept.select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))
+    capped = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") <= POSTING_CAP
+    )
+    sh = sh.join(capped.select("s"), "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1,0 +1,79 @@
+"""Regression: documents shorter than the n-gram width must produce an
+EMPTY shingle set, not crash.
+
+Spark's sequence(start, stop) steps DOWNWARD when start > stop —
+sequence(0, -1) is [0, -1], not [] — so the naive n-gram index range
+made w[i+2] throw INVALID_ARRAY_INDEX under Spark 4's default ANSI mode
+for any 1-2 word document (advisor finding, round 2). All fixture docs
+are long, which masked it. The DuckDB oracles' range(greatest(...,0))
+is empty for short docs; functions.textops.ngram_indices now matches.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.functions.textops import ngram_indices
+from k8s_log_etl_spark.plans.registry import load_all
+
+SHORT_DOCS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "one",
+            "two words",
+            "",
+            "   ",
+            "exactly three words",
+            # one doc long enough to clear corpus_clean_pipeline's
+            # MIN_TOKENS quality gate
+            " ".join(f"tok{i}" for i in range(25)),
+        ],
+        "lang": ["en"] * 6,
+        "source": ["unit"] * 6,
+        "n_chars": [3, 9, 0, 3, 19, 150],
+    }
+)
+
+# Every registered query that shingles/tokenizes the documents table.
+NGRAM_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_fingerprint_clusters",
+    "text_top_bigrams",
+    "corpus_clean_pipeline",
+]
+
+
+@pytest.fixture(scope="module")
+def short_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("short_docs")
+    SHORT_DOCS.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_ngram_indices_short_arrays(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",), ("",)], "text string"
+    )
+    w = F.split(F.col("text"), r"\s+")
+    out = df.select(F.size(ngram_indices(w, 3)).alias("n")).collect()
+    assert [r["n"] for r in out] == [2, 0, 0, 0]
+
+
+@pytest.mark.parametrize("name", NGRAM_QUERIES)
+def test_ngram_queries_survive_short_docs(spark, short_sf_dir, name):
+    spec = load_all()[name]
+    rows = spec.fn(spark, short_sf_dir).collect()  # must not raise
+    if spec.oracle:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{short_sf_dir}/documents.parquet')"
+        )
+        d_rows = con.execute(spec.oracle).fetchall()
+        con.close()
+        assert len(rows) == len(d_rows), (name, rows, d_rows)
