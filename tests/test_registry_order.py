@@ -1,0 +1,39 @@
+"""The round driver hard-checks only the first 50 registered queries —
+pin the ordering so every capability family keeps a hard correctness
+signal (round-1 lesson: text/similarity/streaming got zero rows)."""
+
+from __future__ import annotations
+
+from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
+
+DRIVER_CAP = 50
+
+FAMILY_REPRESENTATIVES = {
+    "log": "pipeline_events",
+    "dedup": "dedup_minhash_lsh",
+    "multimodal": "multimodal_decode_stats",
+    "knn": "knn_lsh_hyperplane",
+    "streaming": "stream_session_windows",
+    "text": "text_quality_score",
+    "capstone": "corpus_clean_pipeline",
+    "subquery": "correlated_not_exists",
+    "approx": "agg_approx_events",
+}
+
+
+def test_checked_window_is_exactly_the_priority_list():
+    names = list(load_all())
+    assert len(_CHECKED_FIRST) == DRIVER_CAP
+    assert names[:DRIVER_CAP] == _CHECKED_FIRST
+
+
+def test_priority_names_all_exist():
+    specs = load_all()
+    missing = [n for n in _CHECKED_FIRST if n not in specs]
+    assert not missing, missing
+
+
+def test_every_family_lands_in_checked_window():
+    window = set(list(load_all())[:DRIVER_CAP])
+    out = {fam: rep for fam, rep in FAMILY_REPRESENTATIVES.items() if rep not in window}
+    assert not out, f"capability families outside the driver's checked window: {out}"
