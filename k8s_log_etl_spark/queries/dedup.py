@@ -285,14 +285,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
-@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",), bench=True)
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, tf-weighted token hashes): near-dup pairs with
     Hamming distance ≤ 8. The signature build is one shuffle; the pair
-    scan here is the brute baseline (banding the 32 bits into 4 chunks
-    and equi-joining per chunk is the scale path — any pair within
-    distance 8 shares at least one exact chunk only probabilistically,
-    so production banding uses more/narrower chunks)."""
+    scan here is the brute O(n²) baseline kept as an oracle-checked
+    reference only — dedup_simhash_banded is the sub-quadratic scale
+    path and the one bench.py times."""
     tf = _tokens_tf(spark, sf_dir)
     h = X.md5_long(F.col("tok"))
     bitsums = tf.select("doc_id", "tf", h.alias("h")).groupBy("doc_id").agg(
@@ -375,7 +374,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDED_MAX_HAMMING}
 """
 
 
-@register("dedup_simhash_banded", oracle=_SIMHASH_BANDED_SQL, tags=("dedup",))
+@register("dedup_simhash_banded", oracle=_SIMHASH_BANDED_SQL, tags=("dedup",), bench=True)
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic SimHash: the 32-bit signature splits into 4 8-bit
     chunks; by pigeonhole any pair within Hamming distance 3 (< chunk

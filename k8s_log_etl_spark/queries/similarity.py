@@ -71,7 +71,7 @@ SELECT query_id, vec_id, cos_sim, rnk FROM (
 """
 
 
-@register("knn_brute_cosine", oracle=_BRUTE_SQL, tags=("similarity",), bench=True)
+@register("knn_brute_cosine", oracle=_BRUTE_SQL, tags=("similarity",))
 def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine: broadcast the (small) query set against the
     corpus — one narrow pass over the corpus, no shuffle until the
@@ -112,7 +112,7 @@ SELECT query_id, vec_id, cos_sim, rnk FROM (
 """
 
 
-@register("knn_lsh_hyperplane", oracle=_LSH_SQL, tags=("similarity",))
+@register("knn_lsh_hyperplane", oracle=_LSH_SQL, tags=("similarity",), bench=True)
 def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: 8 random-hyperplane signs → 256 buckets;
     candidates only from the query's own bucket (equi-join on bucket id

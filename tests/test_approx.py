@@ -29,7 +29,7 @@ def test_approx_within_bounds(spark, sf_dir):
     for etype, row in approx.items():
         ex = exact[etype]
         assert row["approx_users"] == pytest.approx(ex["users"], rel=0.05)
-        p50, p95, p99 = row["value_pcts"]
+        p50, p95, p99 = row["value_p50"], row["value_p95"], row["value_p99"]
         assert ex["lo"] <= p50 <= ex["hi"]
         assert p50 == pytest.approx(ex["p50"], rel=0.05, abs=1.0)
         assert p50 <= p95 <= p99 <= ex["hi"]
