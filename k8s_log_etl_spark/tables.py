@@ -33,14 +33,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-        # default; read nanos as long and convert (truncating) to a
-        # microsecond TimestampType, matching what DuckDB reads.
+        # events.ts arrives as parquet TIMESTAMP(NANOS) in some data drops
+        # (Spark rejects it without the legacy flag) and TIMESTAMP(MICROS)
+        # in others (read as TIMESTAMP_NTZ). Normalize either to a
+        # session-tz TimestampType; session tz is UTC so the NTZ cast is
+        # value-preserving and matches what DuckDB reads.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
