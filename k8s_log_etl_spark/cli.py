@@ -33,8 +33,10 @@ from k8s_log_etl_spark.sources import jsonl as sources
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="k8s-log-etl-spark", description=__doc__)
-    p.add_argument("--input", default="-", help="JSONL file/dir, or - for stdin")
-    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--input", default=None,
+                   help="JSONL file/dir, or - for stdin (default: config input, "
+                        "reference legacy examples/k8s_logs.jsonl)")
+    p.add_argument("--config", default=None, help="JSON or YAML config file")
     p.add_argument("--filter-levels", default=None, help="comma/semicolon list")
     p.add_argument("--filter-services", default=None)
     p.add_argument("--redact-keys", default=None)
@@ -50,8 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--flush-interval-ms", type=int, default=None)
     p.add_argument("--max-workers", type=int, default=None)
-    p.add_argument("--rotate-max-bytes", type=int, default=10_000_000)
-    p.add_argument("--rotate-max-files", type=int, default=5)
+    p.add_argument("--queue-size", type=int, default=None)
+    p.add_argument("--transforms", default=None,
+                   help="comma list of registered transform names")
+    p.add_argument("--rotate-max-bytes", type=int, default=None)
+    p.add_argument("--rotate-max-files", type=int, default=None)
+    p.add_argument("--shutdown-timeout-seconds", type=int, default=None)
+    p.add_argument("--log-level", default=None,
+                   choices=["debug", "info", "warn", "error"])
+    p.add_argument("--log-format", default=None, choices=["json", "text"])
     p.add_argument("--report-path", default=None, help="JSON report output")
     p.add_argument("--prometheus-path", default=None, help="Prometheus text output")
     p.add_argument("--stream", action="store_true", help="Structured Streaming over an input dir")
@@ -61,6 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 _FLAG_TO_FIELD = {
+    "input": "input_path",
     "filter_levels": "filter_levels",
     "filter_services": "filter_services",
     "redact_keys": "redact_keys",
@@ -74,6 +84,13 @@ _FLAG_TO_FIELD = {
     "batch_size": "batch_size",
     "flush_interval_ms": "flush_interval_ms",
     "max_workers": "max_workers",
+    "queue_size": "queue_size",
+    "transforms": "transforms",
+    "rotate_max_bytes": "output_max_bytes",
+    "rotate_max_files": "output_max_files",
+    "shutdown_timeout_seconds": "shutdown_timeout_seconds",
+    "log_level": "log_level",
+    "log_format": "log_format",
 }
 
 
@@ -105,7 +122,7 @@ def _write_sink(
         return None
     if cfg.output_type in {"rotate", "rotating"}:
         rot = writers.RotatingJsonlWriter(
-            cfg.output_path, args.rotate_max_bytes, args.rotate_max_files
+            cfg.output_path, cfg.output_max_bytes, cfg.output_max_files
         )
         rot.write_batch(written)
         return None
@@ -124,10 +141,10 @@ def _write_sink(
 
 def run_batch(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSession) -> R.RunReport:
     start = time.monotonic()
-    if args.input == "-":
+    if cfg.input_path == "-":
         lines = sources.read_stdin_lines(spark)
     else:
-        lines = sources.read_jsonl(spark, args.input)
+        lines = sources.read_jsonl(spark, cfg.input_path)
     df, obs = R.attach_observation(lognorm.run_pipeline(lines, cfg))
     df = df.cache()
     written = lognorm.written_records(df)
@@ -160,14 +177,17 @@ def run_stream(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
     if not args.output_path and not cfg.output_path:
         raise SystemExit("--output-path required in --stream mode")
     ckpt = args.checkpoint or (cfg.output_path.rstrip("/") + "_checkpoint")
-    df = SP.stream_pipeline(spark, args.input, cfg)
+    df = SP.stream_pipeline(spark, cfg.input_path, cfg)
     q = SP.start_file_sink(df, cfg.output_path, ckpt, cfg, trigger_once=True)
     q.awaitTermination()
 
 
 def main(argv: list[str] | None = None) -> int:
+    from k8s_log_etl_spark.logging_setup import setup_logging
+
     args = build_parser().parse_args(argv)
     cfg = resolve_config(args)
+    setup_logging(cfg.log_level, cfg.log_format)
     spark = get_spark(app_name="k8s-log-etl-spark", master=args.master)
     try:
         if args.stream:

@@ -301,7 +301,13 @@ def run_pipeline(lines: DataFrame, cfg: PipelineConfig | None = None) -> DataFra
     df = scan_lines(lines)
     df = parse_json(df)
     df = normalize(df)
-    return apply_filters(df, cfg)
+    # Configured transform chain (reference registry.go:26-34); the
+    # default chain is the built-in filter_redact == apply_filters.
+    # Imported lazily: plugins registers its built-ins against this
+    # module at import time.
+    from k8s_log_etl_spark import plugins
+
+    return plugins.apply_chain(df, cfg, cfg.transforms)
 
 
 def ok_records(df: DataFrame) -> DataFrame:

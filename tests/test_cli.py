@@ -147,3 +147,43 @@ def test_config_validation_rejects_s3_dlq():
     args = cli.build_parser().parse_args(["--dlq-path", "s3://bucket/x"])
     with pytest.raises(ValueError, match="s3://"):
         cli.resolve_config(args)
+
+
+def test_cli_yaml_config_end_to_end(spark, input_file, tmp_path, monkeypatch):
+    """A YAML config file (the reference's own dialect) drives the run:
+    filters, redaction, output selection, and the transform chain all come
+    from the file; only --input/--output-path are flags."""
+    out = str(tmp_path / "out")
+    cfg_file = tmp_path / "config.yaml"
+    cfg_file.write_text(
+        "output_type: file\n"
+        "filter_levels:\n"
+        "  - ERROR\n"
+        "redact_keys:\n"
+        "  - token\n"
+        "transforms:\n"
+        "  - filter_redact\n"
+        "log_format: text\n"
+    )
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        ["--config", str(cfg_file), "--input", input_file, "--output-path", out]
+    )
+    assert rc == 0
+    records = [
+        json.loads(line)
+        for p in os.listdir(out)
+        if p.startswith("part-")
+        for line in open(os.path.join(out, p)).read().splitlines()
+    ]
+    assert sorted(r["Level"] for r in records) == ["ERROR", "ERROR"]
+    for rec in records:
+        assert "token" not in (rec.get("Fields") or {})
+
+
+def test_cli_unknown_transform_errors(spark, input_file, monkeypatch):
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    with pytest.raises(ValueError, match="unknown transform"):
+        cli.main(["--input", input_file, "--transforms", "nope"])
