@@ -79,6 +79,11 @@ def test_cli_golden_run(spark, input_file, tmp_path, monkeypatch):
     assert rep["filtered"] == {"level": 3}
     assert rep["by_level"] == {"INFO": 2, "WARN": 1, "ERROR": 2, "DEBUG": 1}
     assert rep["duration_sec"] > 0
+    # O14: every stage slot carries measured wall-clock (report.go
+    # StageTimings — here at the engine's real action boundaries).
+    timings = rep["stage_timings_ms"]
+    assert set(timings) == {"parse_normalize_filter", "write", "report"}
+    assert all(v > 0 for v in timings.values())
     assert rep["throughput_lines_per_sec"] > 0
 
     prom = open(prom_path).read()
