@@ -17,6 +17,7 @@ output columns only).
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -29,7 +30,7 @@ import __spark_entry__ as E
 from k8s_log_etl_spark.session import get_spark
 from k8s_log_etl_spark.tables import TABLE_NAMES
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _canon_cell(v):
