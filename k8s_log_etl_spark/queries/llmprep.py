@@ -1,0 +1,219 @@
+"""Training-data preparation operators (§2c charter extension):
+deterministic corpus sampling, TF-IDF term weighting, context-window
+sequence packing, and ANN recall evaluation.
+
+These are the ops a large-scale LLM data pipeline runs between cleaning
+(queries/text.py, queries/dedup.py) and training: sample a corpus
+reproducibly, weight vocabulary, pack documents into fixed token
+budgets, and measure how much recall the approximate similarity index
+gives up versus the exact baseline.
+
+Determinism: sampling orders/filters on md5 of the doc id (identical
+hex in both engines); tf-idf uses natural log on exact integer counts;
+packing is integer window arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.functions import xengine as X
+from k8s_log_etl_spark.plans.registry import register
+from k8s_log_etl_spark.queries import similarity as S
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
+
+SAMPLE_PCT = 20          # Bernoulli keep-rate, percent
+STRATUM_CAP = 50         # per-language cap for the stratified sample
+TFIDF_TOP = 20
+PACK_BUDGET = 2048       # tokens per packed context window
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _words() -> F.Column:
+    return F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+_BERNOULLI_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {X.md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+"""
+
+
+@register("sample_bernoulli_seeded", oracle=_BERNOULLI_SQL, tags=("llmprep",))
+def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% Bernoulli sample: keep a doc iff
+    md5(doc_id) mod 100 falls under the rate. Pure map-side predicate —
+    no shuffle, no state, reproducible across engines and runs; the
+    sampling decision moves with the row, so at 100 TB this is a free
+    filter pushed against the scan."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    keep = X.md5_long(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT
+    return d.filter(keep).select("doc_id", "lang")
+
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {STRATUM_CAP}
+"""
+
+
+@register("sample_stratified_topk", oracle=_STRATIFIED_SQL, tags=("llmprep",))
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language cap: rank docs inside each language by a
+    deterministic hash (md5 hex ordering — a seeded shuffle) and keep
+    the first STRATUM_CAP. One shuffle on lang; WindowGroupLimit prunes
+    to cap rows per partition before the final sort. For very hot
+    strata at 100 TB the Bernoulli variant (rate = cap/count, no
+    total-order window) is the first pass; this exact-cap window is the
+    trim step that follows."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf vocabulary weighting
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+stats AS (
+  SELECT term, count(*) AS tf_total, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT term, tf_total, df,
+       round(tf_total * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, term
+LIMIT {TFIDF_TOP}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_SQL, tags=("llmprep", "text"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: one explode → hash-aggregate per term
+    (count + distinct-doc count, both map-side partial), the corpus
+    size joined in as a broadcast scalar, then a global top-20
+    (TakeOrderedAndProject — no full sort). Smoothed idf
+    ln((N+1)/(df+1)) on exact integer counts."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
+        "doc_id", F.lower(F.col("raw")).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf_total") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select("term", "tf_total", "df", tfidf.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(TFIDF_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# context-window packing
+# ---------------------------------------------------------------------------
+
+_PACK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang, len({_WORDS_SQL}) AS n_tokens FROM documents
+),
+offsets AS (
+  SELECT lang, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM sized
+)
+SELECT lang, CAST(floor(off / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM offsets
+GROUP BY 1, 2
+"""
+
+
+@register("pack_chunks_budget", oracle=_PACK_SQL, tags=("llmprep",))
+def pack_chunks_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard pretraining
+    layout): stream each language's docs in doc_id order, assign every
+    doc the context window its running token offset lands in
+    (chunk = floor(exclusive_prefix_sum / budget)), and report per-chunk
+    doc/token counts. The per-language ordered prefix sum is one window;
+    at 100 TB you range-partition doc_id within lang and pack each range
+    independently (chunk ids offset by per-range token totals — an
+    associative fix-up, same plan shape)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    sized = d.select("doc_id", "lang", F.size(_words()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        sized.withColumn("chunk_id", F.floor(off / PACK_BUDGET))
+        .groupBy("lang", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+_RECALL_SQL = f"""
+WITH brute AS ({S._BRUTE_SQL}),
+lsh AS ({S._LSH_SQL})
+SELECT b.query_id,
+       round(count(l.vec_id) * 1.0 / {S.TOP_K}, 6) AS recall
+FROM brute b LEFT JOIN lsh l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+GROUP BY b.query_id
+"""
+
+
+@register("ann_recall_eval", oracle=_RECALL_SQL, tags=("llmprep", "similarity"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH index against the exact cosine
+    baseline, per query: |approx ∩ exact| / k. The evaluation every ANN
+    deployment runs before trading recall for the sub-quadratic path.
+    Reuses both knn operators' lineages; the join is on (query_id,
+    vec_id) — k·|queries| rows per side, negligible at any scale."""
+    brute = S.knn_brute_cosine(spark, sf_dir).select("query_id", "vec_id")
+    lsh = (
+        S.knn_lsh_hyperplane(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(lsh, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("hit") / F.lit(float(S.TOP_K)), 6).alias("recall"))
+    )

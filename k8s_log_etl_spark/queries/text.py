@@ -354,6 +354,11 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df_") <= POSTING_CAP
     )
     sh = sh.join(capped.select("s"), "s")
+    # Materialize the capped posting list once — it feeds three
+    # consumers (per-doc sizes + both sides of the pair join) and would
+    # otherwise re-run scan→explode→cap for each (same deliberate
+    # persist-of-a-reused-intermediate as dedup_minhash_lsh).
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
