@@ -93,6 +93,56 @@ def dedup_within_watermark(df: DataFrame, watermark: str = "1 hour") -> DataFram
     return ok.withWatermark("ts", watermark).dropDuplicates(["trace_id", "ts"])
 
 
+def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, key: str = "service") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins
+    against the (batch) dimension — Spark re-plans the static side per
+    batch, so a slowly-changing dim read from parquet stays fresh
+    without restarting the query. The dim is broadcast: a stream-side
+    shuffle per micro-batch would dominate at cluster scale."""
+    ok = lognorm.ok_records(stream_df)
+    return ok.join(F.broadcast(dim_df), key, "left")
+
+
+def correlate_traces(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    max_gap: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair records of two normalized
+    streams sharing a trace_id where the right event lands within
+    [left.ts, left.ts + max_gap] — the request/response correlation
+    shape. Both sides carry watermarks so join state is evicted once
+    event time passes left.ts + max_gap + watermark; without the time
+    bound the state store would grow forever."""
+    l = (
+        lognorm.ok_records(left)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("trace_id").alias("l_trace"),
+            F.col("ts").alias("l_ts"),
+            F.col("message").alias("l_message"),
+        )
+    )
+    r = (
+        lognorm.ok_records(right)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("trace_id").alias("r_trace"),
+            F.col("ts").alias("r_ts"),
+            F.col("message").alias("r_message"),
+        )
+    )
+    cond = (
+        (F.col("l_trace") == F.col("r_trace"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond).select(
+        F.col("l_trace").alias("trace_id"), "l_ts", "r_ts", "l_message", "r_message"
+    )
+
+
 def stop_gracefully(query: StreamingQuery, timeout_sec: float = 30.0) -> bool:
     """O26: drain-then-stop. processAllAvailable blocks until pending
     input is processed (bounded by timeout), then stop() tears down."""

@@ -162,3 +162,77 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # exactly one emission of the 10:00 window, with only the 2 on-time
     # rows — the post-eviction late row neither re-emits nor re-counts
     assert hour10 == [2]
+
+
+def test_stream_static_enrichment_matches_batch(spark, jsonl_dir, tmp_path):
+    """Stream-static join: per-service owner dim joined into the stream
+    must equal the batch join over the same inputs."""
+    dim = spark.createDataFrame(
+        [("orders", "team-a"), ("payments", "team-b"), ("gateway", "team-c")],
+        "service string, owner string",
+    )
+    stream_df = SP.stream_pipeline(spark, jsonl_dir, CFG)
+    enriched = SP.enrich_with_dim(stream_df, dim).select("message", "service", "owner")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["message"], r["service"], r["owner"])
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    )
+    batch = SP.enrich_with_dim(
+        lognorm.run_pipeline(spark.read.text(jsonl_dir), CFG), dim
+    ).select("message", "service", "owner")
+    want = sorted((r["message"], r["service"], r["owner"]) for r in batch.collect())
+    assert got == want and got
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream correlation: request/response pairs matched on
+    trace_id within the interval; a response past max_gap never pairs."""
+    reqs = tmp_path / "reqs"
+    resps = tmp_path / "resps"
+    reqs.mkdir()
+    resps.mkdir()
+    (reqs / "a.jsonl").write_text(
+        "\n".join(
+            [
+                '{"ts":"2024-01-01T10:00:00Z","level":"info","msg":"req-1","trace_id":"t-1"}',
+                '{"ts":"2024-01-01T10:00:00Z","level":"info","msg":"req-2","trace_id":"t-2"}',
+            ]
+        )
+        + "\n"
+    )
+    (resps / "a.jsonl").write_text(
+        "\n".join(
+            [
+                # within the 10-minute gap -> pairs
+                '{"ts":"2024-01-01T10:04:00Z","level":"info","msg":"resp-1","trace_id":"t-1"}',
+                # 30 minutes later -> outside the interval, must not pair
+                '{"ts":"2024-01-01T10:30:00Z","level":"info","msg":"resp-2","trace_id":"t-2"}',
+            ]
+        )
+        + "\n"
+    )
+    left = SP.stream_pipeline(spark, str(reqs), CFG)
+    right = SP.stream_pipeline(spark, str(resps), CFG)
+    joined = SP.correlate_traces(left, right, watermark="1 hour", max_gap="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("trace_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM trace_pairs").collect()
+    assert [(r["trace_id"], r["l_message"], r["r_message"]) for r in rows] == [
+        ("t-1", "req-1", "resp-1")
+    ]
