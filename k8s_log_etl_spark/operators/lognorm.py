@@ -235,6 +235,11 @@ def normalize(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.when(F.col("ts_str") == "", F.lit(ERR_MISSING_TS))
         .when(
             F.col("ts").isNull(),
+            # normalize.go:203 fmt.Errorf("invalid timestamp %q: ...").
+            # %q additionally backslash-escapes quotes/control chars in
+            # the offending value; this concat embeds it literally —
+            # identical for all well-formed-but-wrong timestamps, and
+            # the oracle mirrors the literal form.
             F.concat(
                 F.lit('invalid timestamp "'), F.col("ts_str"), F.lit('": expected RFC3339')
             ),

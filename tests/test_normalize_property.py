@@ -115,20 +115,22 @@ def _model(rec: dict) -> dict:
     node = node_pre if node_pre != "" else strip(sval(rec, "hostname") or "")
     trace_id = chain("trace_id", "trace")
 
+    # exact reference error strings + precedence (normalize.go:176-203:
+    # timestamp errors first, then missing message, then missing level)
     error = None
     if ts_str == "":
-        error = "missing_ts"
+        error = lognorm.ERR_MISSING_TS
     elif not RFC3339_RE.match(ts_str):
-        error = "invalid_ts"
+        error = f'invalid timestamp "{ts_str}": expected RFC3339'
     else:
         try:
             datetime.fromisoformat(ts_str)
         except ValueError:
-            error = "invalid_ts"
+            error = f'invalid timestamp "{ts_str}": expected RFC3339'
     if error is None and message == "":
-        error = "missing_msg"
+        error = lognorm.ERR_MISSING_MSG
     if error is None and level_raw == "":
-        error = "missing_level"
+        error = lognorm.ERR_MISSING_LEVEL
 
     fields = {}
     for k, v in rec.items():
@@ -182,7 +184,8 @@ def test_normalize_matches_model(spark, records):
             assert got["norm_error"] is None, (rec, got["norm_error"])
             assert got["level"] == want["level"], rec
         else:
-            assert got["norm_error"] is not None, (rec, want["error"])
+            # exact error text AND precedence must match the reference
+            assert got["norm_error"] == want["error"], (rec, got["norm_error"], want["error"])
         for col in ("service", "namespace", "pod", "node", "message", "trace_id"):
             assert got[col] == want[col], (col, rec, got[col], want[col])
         assert dict(got["fields"] or {}) == want["fields"], (rec, got["fields"], want["fields"])
