@@ -55,10 +55,13 @@ def register(
 # round 1 or micro-queries subsumed by a checked composition
 # (scan_jsonl/parse_json are the first two stages of pipeline_events).
 _CHECKED_FIRST = [
-    # log-ETL reference parity (O1-O13 composed)
+    # log-ETL reference parity (O1-O13 composed). filter_service /
+    # agg_by_service are the same plan shapes as filter_level /
+    # agg_by_level with a different column — they keep their round-1
+    # green rows and yield their checked slots to the llmprep family.
     "normalize", "normalize_fields", "ts_validate", "filter_level",
-    "filter_service", "redact", "transform_chain", "agg_by_level",
-    "agg_by_service", "agg_filter_reason", "report_summary",
+    "redact", "transform_chain", "agg_by_level",
+    "agg_filter_reason", "report_summary",
     "pipeline_events", "pipeline_events_report",
     # dedup strategies
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
@@ -69,9 +72,12 @@ _CHECKED_FIRST = [
     # similarity search
     "knn_brute_cosine", "knn_lsh_hyperplane", "knn_ivf_grid",
     "embedding_centroids",
-    # streaming (batch twins)
-    "stream_tumbling_counts", "stream_sliding_avg", "stream_session_windows",
+    # streaming (batch twins; sliding is tumbling with an overlap knob —
+    # its slot goes to llmprep)
+    "stream_tumbling_counts", "stream_session_windows",
     "events_resample_1h",
+    # training-data prep (round-2 additions)
+    "tfidf_top_terms", "pack_chunks_budget", "sample_stratified_topk",
     # text analysis
     "text_token_stats", "text_quality_score", "text_langid_confusion",
     "text_fingerprint_clusters", "text_top_bigrams", "text_token_bpeish",

@@ -18,6 +18,9 @@ FAMILY_REPRESENTATIVES = {
     "capstone": "corpus_clean_pipeline",
     "subquery": "correlated_not_exists",
     "approx": "agg_approx_events",
+    "llmprep": "tfidf_top_terms",
+    "packing": "pack_chunks_budget",
+    "sampling": "sample_stratified_topk",
 }
 
 
