@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
+from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.queries import similarity as S
 from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
@@ -216,4 +217,101 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute.join(lsh, ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(F.round(F.count("hit") / F.lit(float(S.TOP_K)), 6).alias("recall"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+BENCH_DOCS = 10          # doc_id < 10 plays the held-out benchmark set
+CONTAM_NGRAM = 5
+
+_CONTAM_GRAM_SQL = (
+    "(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])"
+)
+
+_CONTAM_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+bench AS (
+  SELECT DISTINCT doc_id, {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id < {BENCH_DOCS}
+),
+corpus AS (
+  SELECT DISTINCT {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id >= {BENCH_DOCS}
+)
+SELECT b.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS contamination
+FROM bench b LEFT JOIN corpus c ON b.g = c.g
+GROUP BY b.doc_id
+"""
+
+
+@register("benchmark_contamination", oracle=_CONTAM_SQL, tags=("llmprep", "text"))
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: for each held-out 'benchmark' document
+    (doc_id < BENCH_DOCS), the fraction of its distinct 5-gram shingles
+    that occur anywhere in the training corpus. The benchmark shingle
+    set is tiny and broadcast; the corpus side is one explode + distinct
+    — the join stays an equi-join on the shingle, so at 100 TB the cost
+    is the corpus dedup shuffle, not a cross product."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    grams = F.transform(
+        ngram_indices(w, CONTAM_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
+    )
+    exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    bench = exploded.filter(F.col("doc_id") < BENCH_DOCS)
+    corpus = exploded.filter(F.col("doc_id") >= BENCH_DOCS).select("g").distinct()
+    hit = corpus.withColumn("hit", F.lit(1))
+    return (
+        bench.join(F.broadcast(hit), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mix weighting
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = """
+WITH by_source AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM by_source)
+SELECT source, n_docs,
+       round(n_docs * 1.0 / total, 6) AS share,
+       round((1.0 / n_sources) / (n_docs * 1.0 / total), 6) AS weight
+FROM by_source, tot
+"""
+
+
+@register("domain_mix_weights", oracle=_MIX_SQL, tags=("llmprep",))
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source resampling weights that would equalize the domain mix
+    (target share = 1/n_sources): weight = target/actual. The numbers a
+    weighted sampler (sample_bernoulli_seeded with per-source rates)
+    consumes. One tally + a broadcast scalar join."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    by_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = by_source.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_docs") / F.col("total")
+    return by_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias("weight"),
     )

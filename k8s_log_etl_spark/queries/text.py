@@ -381,3 +381,49 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = f"""
+WITH words AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         list_transform(range(greatest(len(w) - 2, 0)),
+                        i -> (w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+  FROM words
+),
+ratios AS (
+  SELECT doc_id, source,
+         CASE WHEN len(g) = 0 THEN 1.0
+              ELSE len(list_distinct(g)) * 1.0 / len(g) END AS distinct_ratio
+  FROM grams
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(distinct_ratio), 6) AS avg_distinct_ratio,
+       CAST(sum(CASE WHEN distinct_ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM ratios GROUP BY source
+"""
+
+
+@register("text_repetition_scores", oracle=_REPETITION_SQL, tags=("text",))
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (the duplicate-n-gram-fraction heuristic of
+    standard corpus cleaning): distinct-trigram ratio per document —
+    heavily repetitive text scores low — aggregated per source with a
+    count of docs under the 0.5 flag threshold. Pure array higher-order
+    functions, no explode: one narrow pass + one small shuffle."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    tri = F.transform(
+        ngram_indices(w, 3),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    )
+    ratio = F.when(F.size(tri) == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(tri)) / F.size(tri)
+    )
+    return d.select("source", ratio.alias("distinct_ratio")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        F.sum(F.when(F.col("distinct_ratio") < 0.5, 1).otherwise(0)).alias("n_repetitive"),
+    )
