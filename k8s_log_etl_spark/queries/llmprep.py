@@ -268,8 +268,19 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     bench = exploded.filter(F.col("doc_id") < BENCH_DOCS)
-    corpus = exploded.filter(F.col("doc_id") >= BENCH_DOCS).select("g").distinct()
-    hit = corpus.withColumn("hit", F.lit(1))
+    # Scale shape: the corpus gram set is unbounded, so never broadcast
+    # or even materialize it distinct — semi-join the corpus against the
+    # (tiny, broadcast) benchmark gram set first. What survives is at
+    # most |bench grams| rows; THAT is small enough to broadcast into
+    # the final left join.
+    bench_grams = bench.select("g").distinct()
+    hit = (
+        exploded.filter(F.col("doc_id") >= BENCH_DOCS)
+        .join(F.broadcast(bench_grams), "g", "leftsemi")
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
     return (
         bench.join(F.broadcast(hit), "g", "left")
         .groupBy("doc_id")
