@@ -435,3 +435,49 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= SIMHASH_BANDED_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup via hyperplane-LSH buckets (the scale path)
+# ---------------------------------------------------------------------------
+
+from k8s_log_etl_spark.queries.similarity import _bucket_spark, _bucket_sql  # noqa: E402
+
+_COS_LSH_SQL = f"""
+WITH buck AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({X.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {X.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_COS_LSH_SQL, tags=("dedup",))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup through random-hyperplane LSH buckets: the
+    candidate pair join is keyed on the 8-plane sign bucket instead of
+    the brute all-pairs cross product (`dedup_embedding_cosine`, kept as
+    the oracle-checkable baseline). Same 256-bucket quantizer as
+    knn_lsh_hyperplane; recall for true near-dups is high because
+    near-identical vectors land in the same bucket unless a plane
+    splits them. Sub-quadratic: |pairs| bounded per bucket."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    buck = e.select("vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket"))
+    a = buck.alias("a")
+    b = buck.alias("b")
+    cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
