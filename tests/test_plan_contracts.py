@@ -1,0 +1,73 @@
+"""Physical-plan contracts: the scale-design claims each operator's
+docstring makes must be visible in the plan Catalyst actually produces,
+and must stay that way. Checked on sf0.001 (plan shape is scale-
+independent; only the data volume differs).
+
+Global contract: NO registered query may plan a CartesianProduct. The
+documented brute baselines (knn_brute_cosine, dedup_simhash,
+dedup_embedding_cosine) pair every row with every row *by design*, but
+even they must do it through a broadcast nested-loop join (one side
+bounded/broadcast), never a full shuffle cartesian.
+
+Targeted contracts: the specific physical operators that make a query
+scale — WindowGroupLimit for per-group top-k, TakeOrderedAndProject for
+global top-k, broadcast joins for small sides — are asserted per query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from k8s_log_etl_spark.plans.registry import load_all
+
+SPECS = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_cartesian_product_anywhere(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name), (
+        f"{name} plans a CartesianProduct — an unbounded all-pairs shuffle; "
+        "broadcast the bounded side or key the join"
+    )
+
+
+# query -> (must-contain fragments, must-not-contain fragments)
+CONTRACTS = {
+    # per-group top-k must prune to k rows per partition before the sort
+    "sample_stratified_topk": (["WindowGroupLimit"], []),
+    "window_topk_per_customer": (["WindowGroupLimit"], []),
+    "text_top_bigrams": (["WindowGroupLimit"], []),
+    # global top-k must not global-sort
+    "tfidf_top_terms": (["TakeOrderedAndProject"], []),
+    "topk_global_orders": (["TakeOrderedAndProject"], []),
+    # the sub-quadratic dedup/ANN paths must be keyed equi-joins
+    # the signature frame must be materialized once (localCheckpoint →
+    # Scan ExistingRDD) and the band join stays a keyed equi-join (AQE
+    # picks broadcast at tiny SF, sort-merge at scale — both fine)
+    "dedup_minhash_lsh": (["Scan ExistingRDD"], ["NestedLoop"]),
+    "dedup_simhash_banded": ([], ["NestedLoop"]),
+    "dedup_embedding_lsh": ([], ["NestedLoop"]),
+    "knn_lsh_hyperplane": (["BroadcastHashJoin"], ["NestedLoop"]),
+    "knn_ivf_grid": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # the brute baselines: broadcast NLJ is the only acceptable shape
+    "knn_brute_cosine": (["BroadcastNestedLoopJoin"], []),
+    # small-dim joins broadcast
+    "q5_regional_revenue": (["BroadcastHashJoin"], []),
+    "benchmark_contamination": (["BroadcastHashJoin"], []),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONTRACTS))
+def test_plan_contract(spark, name):
+    plan = _plan(spark, name)
+    must, must_not = CONTRACTS[name]
+    for frag in must:
+        assert frag in plan, f"{name}: expected {frag!r} in plan:\n{plan[:2000]}"
+    for frag in must_not:
+        assert frag not in plan, f"{name}: forbidden {frag!r} in plan:\n{plan[:2000]}"
