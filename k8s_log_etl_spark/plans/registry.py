@@ -104,6 +104,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming_batch,
         text,
+        udx,
     )
 
     ordered: dict[str, QuerySpec] = {}
