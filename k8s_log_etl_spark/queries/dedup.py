@@ -481,3 +481,88 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs (cluster resolution)
+# ---------------------------------------------------------------------------
+
+_CC_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_SIMHASH_BANDED_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+       min(node) AS keeper_id, max(node) AS max_doc
+FROM (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+GROUP BY cluster
+"""
+
+
+@register("dedup_cluster_components", oracle=_CC_SQL, tags=("dedup",))
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the banded-SimHash near-dup pairs:
+    connected components by iterative min-label propagation — each round
+    every node adopts the smallest label among itself and its neighbors;
+    fixpoint in O(component diameter) rounds (dup clusters are shallow).
+    Per cluster: size, keeper (min doc_id), max doc.
+
+    This is the engine's iterative-algorithm surface: a driver loop over
+    DataFrame joins with a localCheckpoint per round (truncating lineage
+    — without it the plan doubles every iteration) and a scalar
+    convergence check (an aggregate per round, the unavoidable sync
+    point of any fixpoint algorithm). At web scale the same loop runs
+    with the large-star/small-star optimization; the per-round plan —
+    edges ⋈ labels, groupBy min — is identical. Oracle: recursive-CTE
+    transitive closure (UNION-dedup guarantees termination)."""
+    pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.groupBy(F.col("lbl").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("node").alias("keeper_id"),
+        F.max("node").alias("max_doc"),
+    )
