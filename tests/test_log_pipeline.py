@@ -130,3 +130,25 @@ def test_rfc3339nano_render(spark):
     # Spark timestamps are microsecond precision; Go renders nanos — parity
     # holds for the micro range the engine stores.
     assert got == ["2025-12-14T19:25:12.345Z", "2025-12-14T19:25:12Z", "2025-12-14T19:25:12.1002Z"]
+
+
+def test_gzip_jsonl_source(spark, tmp_path):
+    """Compressed JSONL reads transparently through the same source
+    (Spark decodes .gz per file; gzip is unsplittable, so at scale many
+    small .gz files beat one giant one — file-level parallelism)."""
+    import gzip
+
+    from k8s_log_etl_spark.fixtures import LOG_LINES
+    from k8s_log_etl_spark.sources import jsonl as sources
+
+    plain = "\n".join(v for _, v in LOG_LINES) + "\n"
+    with gzip.open(tmp_path / "logs.jsonl.gz", "wt") as fh:
+        fh.write(plain)
+    df_gz = lognorm.run_pipeline(sources.read_jsonl(spark, str(tmp_path)), PipelineConfig())
+    df_plain = lognorm.run_pipeline(
+        spark.createDataFrame([(v,) for _, v in LOG_LINES], "value string"),
+        PipelineConfig(),
+    )
+    got = sorted(r["message"] for r in lognorm.written_records(df_gz).collect())
+    want = sorted(r["message"] for r in lognorm.written_records(df_plain).collect())
+    assert got == want and got

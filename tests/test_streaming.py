@@ -236,3 +236,34 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert [(r["trace_id"], r["l_message"], r["r_message"]) for r in rows] == [
         ("t-1", "req-1", "resp-1")
     ]
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Exactly-once resume: stop the query, drop a new file, restart
+    with the SAME checkpoint — only the new file's records are appended
+    (the file-source offset log survives the restart)."""
+    d = tmp_path / "inc_in"
+    d.mkdir()
+    out = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ckpt")
+    (d / "a.jsonl").write_text(
+        '{"ts":"2024-01-01T10:00:00Z","level":"error","msg":"first"}\n'
+    )
+    stream_df = SP.stream_pipeline(spark, str(d), CFG)
+    q1 = SP.start_file_sink(stream_df, out, ckpt, CFG)
+    q1.awaitTermination(120)
+
+    (d / "b.jsonl").write_text(
+        '{"ts":"2024-01-01T10:01:00Z","level":"error","msg":"second"}\n'
+    )
+    q2 = SP.start_file_sink(SP.stream_pipeline(spark, str(d), CFG), out, ckpt, CFG)
+    q2.awaitTermination(120)
+
+    msgs = sorted(
+        json.loads(line)["Message"]
+        for p in os.listdir(out)
+        if p.startswith("part-")
+        for line in open(os.path.join(out, p)).read().splitlines()
+    )
+    # "first" exactly once (not reprocessed on restart), "second" appended
+    assert msgs == ["first", "second"]
