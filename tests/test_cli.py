@@ -192,3 +192,35 @@ def test_cli_unknown_transform_errors(spark, input_file, monkeypatch):
     monkeypatch.setattr(spark, "stop", lambda: None)
     with pytest.raises(ValueError, match="unknown transform"):
         cli.main(["--input", input_file, "--transforms", "nope"])
+
+
+def test_cli_stream_mode(spark, tmp_path, monkeypatch):
+    """--stream runs the identical lineage under Structured Streaming:
+    same written-subset/redaction invariants as the batch golden run."""
+    d = tmp_path / "watch"
+    d.mkdir()
+    (d / "logs.jsonl").write_text("\n".join(GOLDEN_LINES) + "\n")
+    out = str(tmp_path / "stream_out")
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        [
+            "--stream",
+            "--input", str(d),
+            "--output-path", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--filter-levels", "WARN,ERROR",
+            "--redact-keys", "user_email,token",
+        ]
+    )
+    assert rc == 0
+    records = [
+        json.loads(line)
+        for p in os.listdir(out)
+        if p.startswith("part-")
+        for line in open(os.path.join(out, p)).read().splitlines()
+    ]
+    assert sorted(r["Level"] for r in records) == ["ERROR", "ERROR", "WARN"]
+    for rec in records:
+        fields = rec.get("Fields") or {}
+        assert "user_email" not in fields and "token" not in fields

@@ -229,3 +229,75 @@ def test_validation_backoff_ordering():
 def test_validation_file_requires_path():
     with pytest.raises(ValueError, match="output_path is required"):
         PipelineConfig(output_type="file").validate()
+
+
+# ---------------------------------------------------------------------------
+# property test: mini-YAML round trip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_yaml_key = st.sampled_from(
+    ["batch_size", "log_level", "output", "filter_levels", "transforms", "custom_key"]
+)
+_yaml_scalar = st.one_of(
+    st.integers(min_value=-10_000, max_value=10_000),
+    st.floats(min_value=-100, max_value=100, allow_nan=False).map(lambda f: round(f, 3)),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127),
+        min_size=1,
+        max_size=10,
+    ),
+)
+
+
+def _render(key, value):
+    if isinstance(value, list):
+        return f"{key}:\n" + "".join(f"  - {item}\n" for item in value)
+    if isinstance(value, bool):
+        return f"{key}: {str(value).lower()}\n"
+    return f"{key}: {value}\n"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        _yaml_key,
+        st.one_of(_yaml_scalar, st.lists(_yaml_scalar, min_size=1, max_size=4)),
+        max_size=6,
+    )
+)
+def test_mini_yaml_round_trip(cfg_dict):
+    """Render a dict in the reference's YAML subset, parse it back, and
+    every value must survive (ints as ints, floats as floats, bools as
+    bools, strings as strings — the parseScalar coercion ladder)."""
+    text = "# generated\n" + "".join(_render(k, v) for k, v in cfg_dict.items())
+    parsed = parse_mini_yaml(text)
+
+    def expect(v):
+        # parseScalar's coercion ladder (config.go:335-349): strings that
+        # LOOK numeric/boolean coerce by design — the reference has no
+        # quoting escape hatch either (strconv runs before the fallback).
+        if isinstance(v, (bool, int, float)):
+            return v
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            pass
+        if v.lower() in {"true", "false"}:
+            return v.lower() == "true"
+        return v
+
+    for k, v in cfg_dict.items():
+        got = parsed[k]
+        if isinstance(v, list):
+            want = [expect(item) for item in v]
+            assert got == want, (k, got, want)
+        else:
+            want = expect(v)
+            assert got == want and type(got) is type(want), (k, got, want)
