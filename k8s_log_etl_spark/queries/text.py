@@ -427,3 +427,44 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
         F.sum(F.when(F.col("distinct_ratio") < 0.5, 1).otherwise(0)).alias("n_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+
+# Regex subset chosen to parse identically in Java regex and RE2:
+# character classes, +, {n,m} — no lookarounds, no \b.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PHONE_RE = "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,10}"
+_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+_PII_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(text, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(CASE WHEN regexp_matches(text, '{_PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(sum(CASE WHEN regexp_matches(text, '{_IP_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+       CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT) AS total_emails
+FROM documents
+GROUP BY source
+"""
+
+
+@register("pii_scan_documents", oracle=_PII_SQL, tags=("text", "llmprep"))
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure profile per source — the corpus-curation counterpart
+    of the log pipeline's redaction stage (O7): documents containing
+    email / phone / IPv4 patterns, plus total email match count. One
+    narrow regex pass (JVM-side, codegen'd) + one small shuffle; the
+    regex subset is restricted to syntax Java and RE2 read identically
+    so the oracle is bit-for-bit."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    has = lambda pat: F.when(F.col("text").rlike(pat), 1).otherwise(0)  # noqa: E731
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(has(_EMAIL_RE)).alias("docs_with_email"),
+        F.sum(has(_PHONE_RE)).alias("docs_with_phone"),
+        F.sum(has(_IP_RE)).alias("docs_with_ip"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))).alias(
+            "total_emails"
+        ),
+    )
