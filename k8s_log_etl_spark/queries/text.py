@@ -468,3 +468,58 @@ def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_emails"
         ),
     )
+
+
+# Denylist term scrubbing (entity/codename removal) composed with the
+# PII patterns — the synthetic corpus carries no emails/phones, so the
+# denylist term keeps this check non-vacuous while the PII branches
+# still verify their (zero-match) machinery.
+_DENY_RE = "customer"
+
+_REDACT_DOCS_SQL = f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g'),
+             '{_DENY_RE}', '[REDACTED]', 'g')) AS redacted_hash,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+          + len(regexp_extract_all(text, '{_PHONE_RE}'))
+          + len(regexp_extract_all(text, '{_DENY_RE}')) AS BIGINT) AS n_redactions
+FROM documents
+WHERE regexp_matches(text, '{_EMAIL_RE}') OR regexp_matches(text, '{_PHONE_RE}')
+   OR regexp_matches(text, '{_DENY_RE}')
+"""
+
+
+@register("redact_documents", oracle=_REDACT_DOCS_SQL, tags=("text", "llmprep"))
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-side redaction (the O7 semantics applied to training
+    text): emails/phones → typed placeholders, denylist terms →
+    [REDACTED]. Output is (doc_id, md5(redacted_text), n_redactions)
+    for affected docs only — the hash proves byte-identical rewrites
+    across engines without hauling document bodies through the compare.
+    Narrow map-only plan; the filter prunes untouched docs before the
+    hash."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ),
+        _DENY_RE,
+        "[REDACTED]",
+    )
+    n_red = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(_DENY_RE), F.lit(0)))
+    )
+    return (
+        d.filter(
+            F.col("text").rlike(_EMAIL_RE)
+            | F.col("text").rlike(_PHONE_RE)
+            | F.col("text").rlike(_DENY_RE)
+        )
+        .select("doc_id", F.md5(redacted).alias("redacted_hash"), n_red.alias("n_redactions"))
+    )
