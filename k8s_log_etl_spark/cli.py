@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report-path", default=None, help="JSON report output")
     p.add_argument("--prometheus-path", default=None, help="Prometheus text output")
     p.add_argument("--stream", action="store_true", help="Structured Streaming over an input dir")
+    p.add_argument("--curate", action="store_true",
+                   help="corpus-curation mode: clean a documents parquet "
+                        "(quality gate -> exact dedup -> near-dup removal) "
+                        "and write the surviving docs as parquet")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     p.add_argument("--master", default=None, help="Spark master override")
     return p
@@ -198,6 +202,40 @@ def run_stream(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
     q.awaitTermination()
 
 
+def run_curate(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSession) -> None:
+    """Corpus-curation mode: the §2c cleaning chain over a documents
+    parquet (columns doc_id/lang/text/...), survivors written as
+    parquet, per-language budget report to stderr (and --report-path)."""
+    from k8s_log_etl_spark.queries.text import corpus_survivors
+
+    if not cfg.output_path:
+        raise SystemExit("--output-path required in --curate mode")
+    docs = spark.read.parquet(cfg.input_path)
+    survivors = corpus_survivors(docs).cache()
+    survivors.drop("n_tokens").write.mode("overwrite").parquet(cfg.output_path)
+    stats = (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    survivors.unpersist()
+    report = {
+        "kept_docs": sum(r["n_docs"] for r in stats),
+        "by_lang": {r["lang"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]} for r in stats},
+    }
+    if args.report_path:
+        import json as _json
+
+        with open(args.report_path, "w", encoding="utf-8") as fh:
+            _json.dump(report, fh, indent=2, sort_keys=True)
+    for r in stats:
+        print(f"curate: {r['lang']}: kept {r['n_docs']} docs, {r['total_tokens']} tokens", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> int:
     from k8s_log_etl_spark.logging_setup import setup_logging
 
@@ -206,6 +244,9 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging(cfg.log_level, cfg.log_format)
     spark = get_spark(app_name="k8s-log-etl-spark", master=args.master)
     try:
+        if args.curate:
+            run_curate(args, cfg, spark)
+            return 0
         if args.stream:
             run_stream(args, cfg, spark)
             return 0

@@ -316,19 +316,12 @@ FROM survivors GROUP BY lang
 """
 
 
-@register("corpus_clean_pipeline", oracle=_CLEAN_SQL, tags=("text", "dedup"), bench=True)
-def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Capstone composition — the canonical training-data cleaning
-    chain as ONE Catalyst lineage: length/quality gate → exact dedup
-    (keep min doc_id per canonical hash) → near-dup removal (drop the
-    larger id of any trigram-Jaccard pair ≥ 0.5 among survivors) →
-    per-language document and token budget. Every stage reuses the
-    operators defined above; the near-dup stage stays an inverted-index
-    join with the POSTING_CAP hot-shingle guard (same bound as
-    dedup_ngram_jaccard), so the whole pipeline is hash-joins and
-    aggregations with a provable per-shingle pair bound — nothing
-    quadratic, nothing Python."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+def corpus_survivors(d: DataFrame) -> DataFrame:
+    """The cleaning chain's survivor set over a documents frame
+    (doc_id, lang, text, ...): quality gate → exact dedup → near-dup
+    removal. Returns (doc_id, lang, text, n_tokens) of kept docs —
+    the frame `corpus_clean_pipeline` aggregates and the CLI curate
+    mode writes out."""
     w = _words()
     docs = d.select("doc_id", "lang", "text", F.size(w).alias("n_tokens"))
     quality = docs.filter(F.col("n_tokens") >= MIN_TOKENS)
@@ -377,7 +370,23 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("db").alias("doc_id"))
         .distinct()
     )
-    survivors = kept.join(near_dupes, "doc_id", "left_anti")
+    return kept.join(near_dupes, "doc_id", "left_anti")
+
+
+@register("corpus_clean_pipeline", oracle=_CLEAN_SQL, tags=("text", "dedup"), bench=True)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the canonical training-data cleaning
+    chain as ONE Catalyst lineage: length/quality gate → exact dedup
+    (keep min doc_id per canonical hash) → near-dup removal (drop the
+    larger id of any trigram-Jaccard pair ≥ 0.5 among survivors) →
+    per-language document and token budget. Every stage reuses the
+    operators defined above; the near-dup stage stays an inverted-index
+    join with the POSTING_CAP hot-shingle guard (same bound as
+    dedup_ngram_jaccard), so the whole pipeline is hash-joins and
+    aggregations with a provable per-shingle pair bound — nothing
+    quadratic, nothing Python."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    survivors = corpus_survivors(d)
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )

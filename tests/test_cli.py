@@ -224,3 +224,34 @@ def test_cli_stream_mode(spark, tmp_path, monkeypatch):
     for rec in records:
         fields = rec.get("Fields") or {}
         assert "user_email" not in fields and "token" not in fields
+
+
+def test_cli_curate_mode(spark, tmp_path, monkeypatch):
+    """--curate cleans a documents parquet: survivors parquet written,
+    per-language report counts agree with the registered capstone."""
+    out = str(tmp_path / "cleaned")
+    report_path = str(tmp_path / "curate.json")
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        [
+            "--curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output-path", out,
+            "--report-path", report_path,
+        ]
+    )
+    assert rc == 0
+    written = spark.read.parquet(out)
+    rep = json.loads(open(report_path).read())
+    assert written.count() == rep["kept_docs"] > 0
+    assert "text" in written.columns and "doc_id" in written.columns
+    # agrees with the oracle-checked capstone aggregate
+    from k8s_log_etl_spark.queries.text import corpus_clean_pipeline
+
+    agg = {
+        r["lang"]: (r["n_docs"], r["total_tokens"])
+        for r in corpus_clean_pipeline(spark, "/root/testdata/sf0.001").collect()
+    }
+    got = {k: (v["n_docs"], v["total_tokens"]) for k, v in rep["by_lang"].items()}
+    assert got == agg
