@@ -326,3 +326,43 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_documents", oracle=_PROFILE_SQL, tags=("llmprep",))
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table — row count, null count,
+    exact distinct count per column, long-form output. The profiling
+    pass every ingest job runs before trusting a new data drop. One scan
+    feeding per-column aggregates; at 100 TB swap count(DISTINCT) for
+    approx_count_distinct (HLL sketch, one pass, mergeable) — kept exact
+    here so the oracle can hash-match."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    frames = [
+        d.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

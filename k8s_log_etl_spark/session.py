@@ -33,6 +33,19 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{par}]")
+        # HotSpot refuses to JIT methods >8000 bytecodes by default
+        # (DontCompileHugeMethods); big whole-stage-codegen'd plans
+        # exceed that and then run interpreted for their whole life —
+        # measured bimodal 1-3 s vs 20-70 s per stage. Allow huge-method
+        # compilation, size the code cache for dozens of codegen'd
+        # plans, and widen the compiler pool so background compilation
+        # keeps pace with the executor threads. (Only effective at JVM
+        # launch — a getOrCreate() onto a live session keeps its flags.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m "
+            "-XX:CICompilerCount=8",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or par))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
