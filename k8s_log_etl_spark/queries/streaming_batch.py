@@ -146,3 +146,62 @@ def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (event-sequence detection)
+# ---------------------------------------------------------------------------
+
+FUNNEL_FIRST = "click"
+FUNNEL_THEN = "purchase"
+FUNNEL_WINDOW_MIN = 60
+
+_FUNNEL_SQL = f"""
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events
+  WHERE event_type = '{FUNNEL_FIRST}' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.first_ts, min(e.ts) AS conv_ts
+  FROM firsts f JOIN events e
+    ON e.user_id = f.user_id
+   AND e.event_type = '{FUNNEL_THEN}'
+   AND e.ts > f.first_ts
+   AND e.ts <= f.first_ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+  GROUP BY f.user_id, f.first_ts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(avg(date_diff('microsecond', first_ts, conv_ts) / 1000000.0), 6)
+         AS avg_seconds_to_convert
+FROM conv
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_SQL, tags=("events",))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: users whose first '{click}' is followed by a
+    '{purchase}' within the conversion window; reports converted-user
+    count and mean seconds-to-convert. Plan: per-user min over the
+    (pushed-down) first-step scan, then a bounded range join against the
+    second-step scan keyed on user_id — the time bound keeps per-user
+    work constant, the user_id equi-key keeps it a hash join (same
+    shape as join_range_binned, no cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type") == FUNNEL_FIRST)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    seconds = F.col("ts").cast("double") - F.col("first_ts").cast("double")
+    conv = (
+        ev.filter(F.col("event_type") == FUNNEL_THEN)
+        .join(firsts, "user_id")
+        .filter((seconds > 0) & (seconds <= FUNNEL_WINDOW_MIN * 60))
+        .groupBy("user_id", "first_ts")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    delta = F.col("conv_ts").cast("double") - F.col("first_ts").cast("double")
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg(delta), 6).alias("avg_seconds_to_convert"),
+    )
