@@ -205,3 +205,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_converted"),
         F.round(F.avg(delta), 6).alias("avg_seconds_to_convert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(floor(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+           AS week_offset
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+  WHERE e.ts >= c.cohort_week
+)
+SELECT c.cohort_week, a.week_offset, count(*) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention_cohorts", oracle=_RETENTION_SQL, tags=("events",))
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-signup week,
+    counted in every later week they show any activity. Two hash
+    aggregates and one equi-join on user_id — the cohort frame is one
+    row per user, broadcast-or-shuffle by AQE; the distinct bounds the
+    matrix at |users| x |weeks| regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    days = F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+    activity = (
+        ev.join(cohorts, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select("user_id", F.floor(days / 7.0).alias("week_offset"))
+        .distinct()
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
