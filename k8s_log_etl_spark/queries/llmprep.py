@@ -110,7 +110,7 @@ LIMIT {TFIDF_TOP}
 """
 
 
-@register("tfidf_top_terms", oracle=_TFIDF_SQL, tags=("llmprep", "text"))
+@register("tfidf_top_terms", oracle=_TFIDF_SQL, tags=("llmprep", "text"), bench=True)
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level TF-IDF: one explode → hash-aggregate per term
     (count + distinct-doc count, both map-side partial), the corpus

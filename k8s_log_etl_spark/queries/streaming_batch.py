@@ -254,3 +254,45 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling range-frame window
+# ---------------------------------------------------------------------------
+
+_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       round(sum(value) OVER w, 6) AS sum_last_hour
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("events_rolling_1h", oracle=_ROLLING_SQL, tags=("events", "temporal"))
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour stats via a RANGE window frame (value
+    range over event-time, not row counts — each row's frame is every
+    event within the trailing hour). One shuffle on user_id; frame
+    evaluation is a per-partition sliding aggregate, linear state. The
+    temporal complement of the ROWS frames in window_running_total."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # RANGE frames need a numeric ordering key: seconds since epoch
+    # (cast keeps microsecond precision as fractional seconds).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )
