@@ -296,3 +296,79 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# value histogram + z-score anomaly flags
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+_HIST_SQL = f"""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS}.0)) AS BIGINT),
+               {HIST_BINS - 1}) AS bin
+  FROM events, bounds
+)
+SELECT bin, count(*) AS n_events FROM binned GROUP BY bin
+"""
+
+
+@register("events_value_histogram", oracle=_HIST_SQL, tags=("events",))
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of the value column: global min/max
+    as a broadcast scalar frame, bin assignment as a narrow expression,
+    one small shuffle for the counts. The top edge folds into the last
+    bin (max-value rows). Two passes total (bounds + counts) — the
+    unavoidable shape for exact-bounds histograms at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / float(HIST_BINS)
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width), F.lit(HIST_BINS - 1)
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round((e.value - s.mu) / s.sigma, 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e.value - s.mu) / s.sigma) > {ZSCORE_THRESHOLD}
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE_SQL, tags=("events",))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flags: per-type mean/stddev (one
+    tiny aggregate, broadcast back) and every event more than 3 sigma
+    out. The simplest data-quality screen a feed gets; the stats join
+    is a broadcast of |event types| rows, the filter is narrow."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > ZSCORE_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
