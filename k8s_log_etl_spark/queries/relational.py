@@ -819,3 +819,73 @@ def scalar_subquery_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders_ss)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (ntile quartiles over per-customer metrics)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT max(o_orderdate) AS max_date FROM orders),
+scored AS (
+  SELECT o_custkey, frequency, monetary,
+         date_diff('day', last_order, max_date) AS recency_days,
+         ntile(4) OVER (ORDER BY date_diff('day', last_order, max_date), o_custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM per_cust, anchor
+)
+SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR)) AS segment,
+       count(*) AS n_customers,
+       round(avg(monetary), 6) AS avg_monetary,
+       round(avg(recency_days), 6) AS avg_recency_days
+FROM scored GROUP BY 1
+"""
+
+
+@register("rfm_segments", oracle=_RFM_SQL, tags=("relational",))
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary metrics
+    quartiled with fully tie-broken ntile windows (metric, custkey) and
+    rolled up per composite segment. The three global ntile sorts are
+    the scale consideration: each is a total order over |customers| —
+    at 100 TB replace with approx percentile cut-points (two-pass,
+    shuffle-free scoring); kept exact here for the oracle. Monetary sums
+    in DECIMAL, cast double and rounded at the boundary."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice").cast("double"), 2).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("max_date"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("max_date"), F.col("last_order"))
+    )
+    r_w = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = scored.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        "recency_days",
+        F.ntile(4).over(r_w).alias("r"),
+        F.ntile(4).over(f_w).alias("f"),
+        F.ntile(4).over(m_w).alias("m"),
+    )
+    seg = F.concat(
+        F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        F.round(F.avg("recency_days"), 6).alias("avg_recency_days"),
+    )
