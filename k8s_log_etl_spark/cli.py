@@ -212,7 +212,12 @@ def run_curate(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
         raise SystemExit("--output-path required in --curate mode")
     docs = spark.read.parquet(cfg.input_path)
     survivors = corpus_survivors(docs).cache()
-    survivors.drop("n_tokens").write.mode("overwrite").parquet(cfg.output_path)
+    # Partitioned by lang: downstream per-language reads (sampling,
+    # packing, mixing) prune to their partition instead of scanning the
+    # whole cleaned corpus.
+    survivors.drop("n_tokens").write.mode("overwrite").partitionBy("lang").parquet(
+        cfg.output_path
+    )
     stats = (
         survivors.groupBy("lang")
         .agg(
