@@ -223,7 +223,8 @@ activity AS (
   FROM events e JOIN cohorts c ON e.user_id = c.user_id
   WHERE e.ts >= c.cohort_week
 )
-SELECT c.cohort_week, a.week_offset, count(*) AS n_users
+SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week, a.week_offset,
+       count(*) AS n_users
 FROM activity a JOIN cohorts c ON a.user_id = c.user_id
 GROUP BY 1, 2
 """
@@ -251,6 +252,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         activity.join(cohorts, "user_id")
+        # Spark date_trunc returns TIMESTAMP, DuckDB DATE — cast the
+        # oracle up to TIMESTAMP (the proven cross-engine temporal form;
+        # DATE canonicalizes differently between collect() and pandas).
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
