@@ -68,6 +68,11 @@ def main() -> None:
     # tier-4 compilation); the second run measures steady state.
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
+        # Queries that localCheckpoint intermediates leave blocks in the
+        # block manager until the driver GC lets ContextCleaner reclaim
+        # them — force that between queries so a late query isn't taxed
+        # by its predecessors' dead blocks.
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
