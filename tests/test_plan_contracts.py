@@ -60,6 +60,13 @@ CONTRACTS = {
     # small-dim joins broadcast
     "q5_regional_revenue": (["BroadcastHashJoin"], []),
     "benchmark_contamination": (["BroadcastHashJoin"], []),
+    # per-type stats joined back as a broadcast, filter stays narrow
+    "events_anomaly_zscore": (["BroadcastHashJoin"], []),
+    # funnel: keyed hash join (the time bound rides as a post-join
+    # filter), never a pure cross product
+    "events_funnel": ([], ["NestedLoop"]),
+    # rolling range frame: one Window, no self-join
+    "events_rolling_1h": (["Window"], ["Join"]),
 }
 
 
