@@ -366,3 +366,54 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# weighted domain-balanced sampling (mix weights applied as keep-rates)
+# ---------------------------------------------------------------------------
+
+_BALANCED_SQL = f"""
+WITH by_source AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM by_source),
+rates AS (
+  SELECT source,
+         least((1.0 / n_sources) / (n_docs * 1.0 / total), 1.0) AS keep_rate
+  FROM by_source, tot
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {X.md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < CAST(r.keep_rate * 1000000 AS BIGINT)
+GROUP BY d.source
+"""
+
+
+@register("sample_domain_balanced", oracle=_BALANCED_SQL, tags=("llmprep",))
+def sample_domain_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain_mix_weights applied: each source's equalizing weight
+    (capped at 1 — undersampled domains keep everything) becomes a
+    deterministic hash-threshold keep-rate, yielding an approximately
+    uniform domain mix in one pass. The rates frame is |sources| rows,
+    broadcast; the keep decision is a pure map-side predicate — the
+    two-job shape (tiny tally, then filtered scan) any weighted
+    downsampler has at 100 TB."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    by_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = by_source.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rates = by_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            (F.lit(1.0) / F.col("n_sources")) / (F.col("n_docs") / F.col("total")),
+            F.lit(1.0),
+        ).alias("keep_rate"),
+    )
+    keep = X.md5_long(F.col("doc_id").cast("string")) % 1_000_000 < (
+        F.col("keep_rate") * 1_000_000
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
