@@ -11,6 +11,7 @@ the final exchange.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -68,10 +69,14 @@ def main() -> None:
     # tier-4 compilation); the second run measures steady state.
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
-        # Queries that localCheckpoint intermediates leave blocks in the
-        # block manager until the driver GC lets ContextCleaner reclaim
-        # them — force that between queries so a late query isn't taxed
-        # by its predecessors' dead blocks.
+        # Queries that localCheckpoint intermediates leave multi-GB
+        # blocks in the block manager until BOTH garbage collectors have
+        # run: Python must drop its DataFrame (and via py4j the JVM-side
+        # plan holding the checkpointed RDD), then the JVM GC lets
+        # ContextCleaner reclaim the blocks. Skipping either leaves
+        # blocks piling up and later runs degrade monotonically
+        # (measured: 6.7 -> 10.6 -> 15.5 s without this, flat ~4 s with).
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
