@@ -42,52 +42,55 @@ def register(
     return deco
 
 
-# The round driver hard-checks only the FIRST 50 registered queries
-# (CORRECTNESS_r01 covered exactly the first 50 in import order, leaving
-# the whole text/similarity/streaming surface unverified). This list
-# pins the 50 checked slots so every distinct capability family gets a
-# hard correctness signal: the full log-ETL parity chain, one of each
-# dedup strategy (the brute simhash baseline yields its slot to the
-# banded scale path), all multimodal/similarity/streaming/text queries,
-# and the most distinct relational shapes including the subquery trio
-# and the approx-sketch query. Everything not listed stays registered
-# and keeps its round-1 green row; those are queries unchanged since
-# round 1 or micro-queries subsumed by a checked composition
-# (scan_jsonl/parse_json are the first two stages of pipeline_events).
+# The round driver hard-checks only the FIRST 50 registered queries.
+# Round 3 rotation: every query that had never received a driver
+# CORRECTNESS row through round 2 (the 20 listed first) gets a slot, so
+# after this round all 90 registered queries are driver-verified at
+# least once. The permanently-dead `agg_approx_events` slot (no oracle
+# by construction — bounded against exact answers in tests/test_approx
+# instead) is freed for a checkable query. The remaining slots go to
+# (a) queries whose implementation changed this round — a green r2 row
+# says nothing about new code — and (b) a standing regression core:
+# the full log-ETL parity chain, multimodal, similarity, streaming.
+# Everything rotated out keeps its r1/r2 green row, is unchanged since,
+# and stays continuously covered by the full-surface pytest oracle run
+# (tests/test_oracle_parity.py runs all 89 oracled queries every time).
 _CHECKED_FIRST = [
-    # log-ETL reference parity (O1-O13 composed). filter_service /
-    # agg_by_service are the same plan shapes as filter_level /
-    # agg_by_level with a different column — they keep their round-1
-    # green rows and yield their checked slots to the llmprep family.
+    # --- never driver-checked before round 3 (20) ---
+    # events analytics
+    "events_funnel", "events_retention_cohorts", "events_rolling_1h",
+    "events_value_histogram", "events_anomaly_zscore", "rfm_segments",
+    # text / pii
+    "text_repetition_scores", "pii_scan_documents", "redact_documents",
+    # custom-function taxonomy
+    "udaf_embedding_norm", "udtf_sentence_split",
+    # dedup scale paths
+    "dedup_embedding_lsh", "dedup_cluster_components",
+    # sampling / corpus curation
+    "sample_bernoulli_seeded", "sample_domain_balanced",
+    "ann_recall_eval", "benchmark_contamination",
+    "domain_mix_weights", "profile_documents",
+    # streaming
+    "stream_sliding_avg",
+    # --- implementation changed in round 3 (re-verify) (6) ---
+    "pack_chunks_budget", "corpus_clean_pipeline", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash_banded", "knn_lsh_hyperplane",
+    # --- standing regression core (24) ---
+    # log-ETL reference parity (O1-O13 composed)
     "normalize", "normalize_fields", "ts_validate", "filter_level",
     "redact", "transform_chain", "agg_by_level",
     "agg_filter_reason", "report_summary",
     "pipeline_events", "pipeline_events_report",
-    # dedup strategies
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash_banded", "dedup_embedding_cosine",
     # multimodal
     "events_props_typed", "multimodal_blob_meta", "multimodal_decode_stats",
     "multimodal_resize_stats", "multimodal_frame_sample",
     # similarity search
-    "knn_brute_cosine", "knn_lsh_hyperplane", "knn_ivf_grid",
-    "embedding_centroids",
-    # streaming (batch twins; sliding is tumbling with an overlap knob —
-    # its slot goes to llmprep)
+    "knn_brute_cosine", "knn_ivf_grid", "embedding_centroids",
+    # streaming batch twins
     "stream_tumbling_counts", "stream_session_windows",
-    "events_resample_1h",
-    # training-data prep (round-2 additions)
-    "tfidf_top_terms", "pack_chunks_budget", "sample_stratified_topk",
-    # text analysis
-    "text_token_stats", "text_quality_score", "text_langid_confusion",
-    "text_fingerprint_clusters", "text_top_bigrams", "text_token_bpeish",
-    "corpus_clean_pipeline",
     # relational shapes
-    "q1_pricing_summary", "q3_top_unshipped", "q5_regional_revenue",
-    "agg_rollup_orders", "having_large_orders", "window_topk_per_customer",
-    "window_running_total", "join_asof_last_purchase", "agg_approx_events",
-    "q13_order_distribution", "correlated_not_exists",
-    "scalar_subquery_outliers",
+    "q1_pricing_summary", "window_topk_per_customer",
+    "join_asof_last_purchase",
 ]
 
 

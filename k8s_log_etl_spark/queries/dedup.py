@@ -53,28 +53,24 @@ sh AS (SELECT DISTINCT doc_id, (w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS s
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-trigram shingles per document. The tiny-doc scan is
-    repartitioned first: the driver parquet is one row-group (one task)
-    and the explode below is the expensive part — a no-op at scale."""
+    """Distinct word-trigram shingles per document, exploded to a
+    posting list. The tiny-doc scan is repartitioned first: the driver
+    parquet is one row-group (one task) and the explode below is the
+    expensive part — a no-op at scale."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select("doc_id", F.explode(_shingle_array()).alias("s"))
+
+
+def _shingle_array(col: str = "text") -> F.Column:
+    """Distinct word-trigram shingles as a per-row array — the
+    un-exploded form for signature builds that never need a posting
+    list (minhash), keeping them entirely map-side."""
+    w = F.split(F.trim(F.col(col)), r"\s+")
     tri = F.transform(
         ngram_indices(w, 3),
         lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
     )
-    return d.select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))
-
-
-def _tokens_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token term-frequencies per document (scan repartitioned, see
-    _shingles)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = F.split(F.trim(F.col("text")), r"\s+")
-    return (
-        d.select("doc_id", F.explode(w).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    return F.array_distinct(tri)
 
 
 # ---------------------------------------------------------------------------
@@ -134,11 +130,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle-equality) join — candidates only where shingles collide,
     never an all-pairs product. Posting lists over POSTING_CAP docs are
     dropped on both sides (hot-key guard)."""
-    sh = _shingles(spark, sf_dir)
+    # Materialize the posting list once: without it the scan → explode
+    # re-runs for the cap aggregate AND the join probe side, and the
+    # capped list re-runs for each of ITS three consumers (sizes + both
+    # pair-join sides) — five recomputes of the most expensive stage.
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     capped = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
         F.col("df_") <= POSTING_CAP
     )
-    shc = sh.join(capped.select("s"), "s")
+    shc = sh.join(capped.select("s"), "s").localCheckpoint(eager=True)
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shc.alias("a")
     b = shc.alias("b")
@@ -203,6 +203,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minhash similarity estimate. Sub-quadratic: signatures are one
     groupBy over shingles; candidates one self-join on (band, bsig).
     shingle→minhash→band→bucket-join, cf. SURVEY.md §2c."""
+    # Signature build: explode shingles → 16 partial-min aggregates.
+    # md5 + the permutation arithmetic run in whole-stage codegen over
+    # exploded rows, and the min agg combines MAP-SIDE, so the shuffle
+    # carries one 16-long row per doc — scale-safe. (A per-row
+    # array_min(transform(...)) variant avoids even that shuffle but
+    # measured 5.5x SLOWER at sf0.1: higher-order lambdas evaluate
+    # interpreted, outside codegen — md5-per-element in a lambda is the
+    # slow path. Keep the hash work in exploded codegen'd rows.)
     sh = _shingles(spark, sf_dir)
     h = X.md5_long(F.col("s"))
     sig = sh.groupBy("doc_id").agg(
@@ -285,20 +293,27 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
-@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (32-bit, tf-weighted token hashes): near-dup pairs with
-    Hamming distance ≤ 8. The signature build is one shuffle; the pair
-    scan here is the brute O(n²) baseline kept as an oracle-checked
-    reference only — dedup_simhash_banded is the sub-quadratic scale
-    path and the one bench.py times."""
-    tf = _tokens_tf(spark, sf_dir)
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signatures in ONE shuffle: explode
+    tokens, hash each once in whole-stage codegen, and sum the per-
+    OCCURRENCE ±1 bit contributions straight into a 32-column
+    groupBy(doc_id) — identical to the oracle's tf-weighted sum over
+    distinct tokens (tf × sign ≡ sign summed per occurrence), in
+    integers, so no shuffle-order concern. The partial aggregation
+    combines map-side, so the exchange carries one 32-long row per doc.
+    Round 2 shuffled twice (a needless tf pre-aggregation); a
+    zero-shuffle per-row `aggregate` over a hash array was also tried
+    and measured 2.6x slower — higher-order lambdas evaluate
+    interpreted, outside codegen."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
     h = X.md5_long(F.col("tok"))
-    bitsums = tf.select("doc_id", "tf", h.alias("h")).groupBy("doc_id").agg(
+    bitsums = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
             F.sum(
-                F.col("tf")
-                * F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
             ).alias(f"b{bit}")
             for bit in range(SIMHASH_BITS)
         ]
@@ -307,7 +322,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(0)
         for bit in range(SIMHASH_BITS)
     )
-    sigs = bitsums.select("doc_id", simhash.alias("simhash"))
+    return bitsums.select("doc_id", simhash.alias("simhash"))
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, tf-weighted token hashes): near-dup pairs with
+    Hamming distance ≤ 8. The signature build is map-side only (see
+    _simhash_sigs); the pair scan here is the brute O(n²) baseline kept
+    as an oracle-checked reference only — dedup_simhash_banded is the
+    sub-quadratic scale path and the one bench.py times."""
+    sigs = _simhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
     a = sigs.alias("a")
     b = sigs.alias("b")
     hamming = F.bit_count(
@@ -383,23 +408,10 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step then filters to distance <= 3. Provably identical
     results to the brute all-pairs oracle, but the join is keyed, not a
     cross product. (The brute variant `dedup_simhash` keeps the looser
-    distance-8 threshold banding cannot serve exactly.)"""
-    tf = _tokens_tf(spark, sf_dir)
-    h = X.md5_long(F.col("tok"))
-    bitsums = tf.select("doc_id", "tf", h.alias("h")).groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.col("tf")
-                * F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{bit}")
-            for bit in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = sum(
-        F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(0)
-        for bit in range(SIMHASH_BITS)
-    )
-    sigs = bitsums.select("doc_id", simhash.alias("simhash")).localCheckpoint(eager=True)
+    distance-8 threshold banding cannot serve exactly.) Signature build
+    is map-side only (_simhash_sigs); the chunk equi-join is the one
+    shuffle."""
+    sigs = _simhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
     chunks = sigs.select(
         "doc_id",
         "simhash",

@@ -161,16 +161,18 @@ GROUP BY 1, 2
 """
 
 
-@register("pack_chunks_budget", oracle=_PACK_SQL, tags=("llmprep",))
-def pack_chunks_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk sequence packing (the standard pretraining
-    layout): stream each language's docs in doc_id order, assign every
-    doc the context window its running token offset lands in
-    (chunk = floor(exclusive_prefix_sum / budget)), and report per-chunk
-    doc/token counts. The per-language ordered prefix sum is one window;
-    at 100 TB you range-partition doc_id within lang and pack each range
-    independently (chunk ids offset by per-range token totals — an
-    associative fix-up, same plan shape)."""
+# Contiguous doc_id ranges per language for distributed packing: the
+# prefix sum runs per (lang, range) instead of per lang, so parallelism
+# is |langs| x PACK_RANGES rather than a single sorted partition per
+# language. Raise with cluster width; correctness is range-count
+# independent (equivalence-tested against the single-window form).
+PACK_RANGES = 16
+
+
+def pack_chunks_single_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference single-window packing (one sorted partition per lang) —
+    kept as the equivalence oracle for the distributed form below; not
+    registered."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     sized = d.select("doc_id", "lang", F.size(_words()).alias("n_tokens"))
     w = (
@@ -181,6 +183,71 @@ def pack_chunks_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
         sized.withColumn("chunk_id", F.floor(off / PACK_BUDGET))
+        .groupBy("lang", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+@register("pack_chunks_budget", oracle=_PACK_SQL, tags=("llmprep",))
+def pack_chunks_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard pretraining
+    layout): stream each language's docs in doc_id order, assign every
+    doc the context window its running token offset lands in
+    (chunk = floor(exclusive_prefix_sum / budget)), and report per-chunk
+    doc/token counts.
+
+    Distributed prefix sum, not one sorted partition per language:
+    doc_ids are cut into PACK_RANGES contiguous ranges (floor-div on a
+    broadcast [min,max] span — monotone, so range order == doc_id
+    order), each (lang, range) computes its LOCAL exclusive prefix sum
+    in parallel, and a tiny per-range token-total frame (|langs| x
+    PACK_RANGES rows) supplies each range's global starting offset via
+    its own prefix sum + broadcast join back. global_offset =
+    range_start + local_offset — the associative fix-up — then
+    chunk = floor(global_offset / budget). Identical output to the
+    single-window form (equivalence-tested); the heavy window now runs
+    |langs| x PACK_RANGES tasks instead of |langs|."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    sized = d.select("doc_id", "lang", F.size(_words()).alias("n_tokens"))
+
+    span = sized.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    width = F.greatest(
+        F.ceil((F.col("hi") - F.col("lo") + 1) / F.lit(PACK_RANGES)), F.lit(1)
+    )
+    ranged = sized.crossJoin(F.broadcast(span)).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("doc_id") - F.col("lo")) / width).alias("rb"),
+    )
+
+    # Per-(lang, range) token totals -> exclusive prefix over rb gives
+    # each range's global starting offset. |langs| x PACK_RANGES rows:
+    # the window over this frame is negligible at any scale.
+    rb_w = (
+        Window.partitionBy("lang")
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    range_starts = (
+        ranged.groupBy("lang", "rb")
+        .agg(F.sum("n_tokens").alias("rb_tokens"))
+        .select(
+            "lang",
+            "rb",
+            F.coalesce(F.sum("rb_tokens").over(rb_w), F.lit(0)).alias("range_start"),
+        )
+    )
+
+    local_w = (
+        Window.partitionBy("lang", "rb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_off = F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0))
+    return (
+        ranged.join(F.broadcast(range_starts), ["lang", "rb"])
+        .withColumn("chunk_id", F.floor((F.col("range_start") + local_off) / PACK_BUDGET))
         .groupBy("lang", "chunk_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )

@@ -834,13 +834,35 @@ WITH per_cust AS (
   FROM orders GROUP BY o_custkey
 ),
 anchor AS (SELECT max(o_orderdate) AS max_date FROM orders),
-scored AS (
+metrics AS (
   SELECT o_custkey, frequency, monetary,
-         date_diff('day', last_order, max_date) AS recency_days,
-         ntile(4) OVER (ORDER BY date_diff('day', last_order, max_date), o_custkey) AS r,
-         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
-         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+         date_diff('day', last_order, max_date) AS recency_days
   FROM per_cust, anchor
+),
+cuts AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r25,
+         quantile_cont(recency_days, 0.50) AS r50,
+         quantile_cont(recency_days, 0.75) AS r75,
+         quantile_cont(frequency, 0.25) AS f25,
+         quantile_cont(frequency, 0.50) AS f50,
+         quantile_cont(frequency, 0.75) AS f75,
+         quantile_cont(monetary, 0.25) AS m25,
+         quantile_cont(monetary, 0.50) AS m50,
+         quantile_cont(monetary, 0.75) AS m75
+  FROM metrics
+),
+scored AS (
+  SELECT s.monetary, s.recency_days,
+         1 + CAST(s.recency_days > c.r25 AS INT)
+           + CAST(s.recency_days > c.r50 AS INT)
+           + CAST(s.recency_days > c.r75 AS INT) AS r,
+         1 + CAST(s.frequency < c.f75 AS INT)
+           + CAST(s.frequency < c.f50 AS INT)
+           + CAST(s.frequency < c.f25 AS INT) AS f,
+         1 + CAST(s.monetary < c.m75 AS INT)
+           + CAST(s.monetary < c.m50 AS INT)
+           + CAST(s.monetary < c.m25 AS INT) AS m
+  FROM metrics s, cuts c
 )
 SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR)) AS segment,
        count(*) AS n_customers,
@@ -850,15 +872,47 @@ FROM scored GROUP BY 1
 """
 
 
-@register("rfm_segments", oracle=_RFM_SQL, tags=("relational",))
+def _quartile_asc(metric: str, cuts: tuple[str, str, str]):
+    """1..4 bucket by exact quartile cut-points, ascending (low metric →
+    bucket 1). Equal-to-cut values fold down, so ties share a bucket —
+    the cut-point semantics both engines compute identically."""
+    c25, c50, c75 = cuts
+    return (
+        F.lit(1)
+        + (F.col(metric) > F.col(c25)).cast("int")
+        + (F.col(metric) > F.col(c50)).cast("int")
+        + (F.col(metric) > F.col(c75)).cast("int")
+    )
+
+
+def _quartile_desc(metric: str, cuts: tuple[str, str, str]):
+    """1..4 bucket, descending (high metric → bucket 1)."""
+    c25, c50, c75 = cuts
+    return (
+        F.lit(1)
+        + (F.col(metric) < F.col(c75)).cast("int")
+        + (F.col(metric) < F.col(c50)).cast("int")
+        + (F.col(metric) < F.col(c25)).cast("int")
+    )
+
+
+@register("rfm_segments", oracle=_RFM_SQL, tags=("relational",), bench=True)
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation: per-customer recency/frequency/monetary metrics
-    quartiled with fully tie-broken ntile windows (metric, custkey) and
-    rolled up per composite segment. The three global ntile sorts are
-    the scale consideration: each is a total order over |customers| —
-    at 100 TB replace with approx percentile cut-points (two-pass,
-    shuffle-free scoring); kept exact here for the oracle. Monetary sums
-    in DECIMAL, cast double and rounded at the boundary."""
+    """RFM segmentation via quartile CUT-POINTS, not ntile: per-customer
+    recency/frequency/monetary metrics, one tiny 9-value exact-percentile
+    aggregate (Spark `percentile` ≡ DuckDB `quantile_cont`, same
+    linear-interpolation definition, so cut-points agree bit-for-bit),
+    broadcast back and scored with map-side comparisons, then rolled up
+    per composite segment. NO global window sort anywhere — the earlier
+    ntile draft planned three single-partition total orders over all
+    customers, a one-task bottleneck at scale; cut-point scoring is a
+    broadcast + narrow projection. Exact `percentile` partial-aggregates
+    map-side over distinct values; at extreme cardinality swap it for
+    `percentile_approx` (same call shape, mergeable sketch, bounded
+    memory) and accept approximate boundaries. Monetary sums in DECIMAL,
+    cast double and rounded at the boundary; interpolated cut-points
+    land strictly between adjacent order statistics, so comparisons
+    cannot flip on engine-rounding differences."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -866,20 +920,25 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").cast("double"), 2).alias("monetary"),
     )
     anchor = o.agg(F.max("o_orderdate").alias("max_date"))
-    scored = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
-        "recency_days", F.datediff(F.col("max_date"), F.col("last_order"))
-    )
-    r_w = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = scored.select(
+    metrics = per_cust.crossJoin(F.broadcast(anchor)).select(
         "o_custkey",
         "frequency",
         "monetary",
+        F.datediff(F.col("max_date"), F.col("last_order")).alias("recency_days"),
+    )
+    cuts = metrics.agg(
+        *[
+            F.percentile(F.col(col), F.lit(q)).alias(f"{pre}{int(q * 100)}")
+            for col, pre in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m"))
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    scored = metrics.crossJoin(F.broadcast(cuts)).select(
+        "monetary",
         "recency_days",
-        F.ntile(4).over(r_w).alias("r"),
-        F.ntile(4).over(f_w).alias("f"),
-        F.ntile(4).over(m_w).alias("m"),
+        _quartile_asc("recency_days", ("r25", "r50", "r75")).alias("r"),
+        _quartile_desc("frequency", ("f25", "f50", "f75")).alias("f"),
+        _quartile_desc("monetary", ("m25", "m50", "m75")).alias("m"),
     )
     seg = F.concat(
         F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")

@@ -192,15 +192,20 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"))
     )
-    seconds = F.col("ts").cast("double") - F.col("first_ts").cast("double")
+    # Exact integer microseconds for the bound: a double-cast loses
+    # precision past ~2^53 us and can flip inclusion exactly on the
+    # window edge vs the oracle's interval arithmetic.
+    micros = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("first_ts"))
     conv = (
         ev.filter(F.col("event_type") == FUNNEL_THEN)
         .join(firsts, "user_id")
-        .filter((seconds > 0) & (seconds <= FUNNEL_WINDOW_MIN * 60))
+        .filter((micros > 0) & (micros <= FUNNEL_WINDOW_MIN * 60 * 1_000_000))
         .groupBy("user_id", "first_ts")
         .agg(F.min("ts").alias("conv_ts"))
     )
-    delta = F.col("conv_ts").cast("double") - F.col("first_ts").cast("double")
+    delta = (
+        F.unix_micros(F.col("conv_ts")) - F.unix_micros(F.col("first_ts"))
+    ) / 1_000_000.0
     return conv.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.round(F.avg(delta), 6).alias("avg_seconds_to_convert"),
@@ -286,12 +291,14 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    # RANGE frames need a numeric ordering key: seconds since epoch
-    # (cast keeps microsecond precision as fractional seconds).
+    # RANGE frames need a numeric ordering key: exact integer
+    # microseconds since epoch, so boundary rows (exactly 1 hour back)
+    # resolve identically to the oracle's interval arithmetic — a
+    # double-cast can round a fractional-microsecond edge either way.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("double"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -351,7 +358,8 @@ SELECT e.event_id, e.event_type,
        round(e.value, 6) AS value,
        round((e.value - s.mu) / s.sigma, 6) AS zscore
 FROM events e JOIN stats s ON e.event_type = s.event_type
-WHERE abs((e.value - s.mu) / s.sigma) > {ZSCORE_THRESHOLD}
+WHERE s.sigma IS NOT NULL AND s.sigma > 0
+  AND abs((e.value - s.mu) / s.sigma) > {ZSCORE_THRESHOLD}
 """
 
 
@@ -362,8 +370,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     out. The simplest data-quality screen a feed gets; the stats join
     is a broadcast of |event types| rows, the filter is narrow."""
     ev = load_table(spark, sf_dir, "events")
+    # Singleton groups: Spark stddev_samp over one row is NaN (and NaN
+    # compares greater than any threshold under Spark's total ordering),
+    # while DuckDB returns NULL and drops the row — so guard the stats
+    # frame to positive finite sigma on both sides.
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    ).filter(
+        F.col("sigma").isNotNull() & ~F.isnan("sigma") & (F.col("sigma") > 0)
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (

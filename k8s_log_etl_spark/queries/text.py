@@ -316,28 +316,37 @@ FROM survivors GROUP BY lang
 """
 
 
-def corpus_survivors(d: DataFrame) -> DataFrame:
+def corpus_survivors(d: DataFrame, include_text: bool = True) -> DataFrame:
     """The cleaning chain's survivor set over a documents frame
     (doc_id, lang, text, ...): quality gate → exact dedup → near-dup
-    removal. Returns (doc_id, lang, text, n_tokens) of kept docs —
-    the frame `corpus_clean_pipeline` aggregates and the CLI curate
-    mode writes out."""
-    w = _words()
-    docs = d.select("doc_id", "lang", "text", F.size(w).alias("n_tokens"))
-    quality = docs.filter(F.col("n_tokens") >= MIN_TOKENS)
+    removal. Returns (doc_id, lang[, text], n_tokens) of kept docs —
+    the frame `corpus_clean_pipeline` aggregates (include_text=False:
+    no text rejoin, the aggregate never reads it) and the CLI curate
+    mode writes out.
 
-    canon = F.concat_ws(
-        " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    ONE parquet scan: the words array is computed once and carried —
+    token count, canonical hash (lowercase the tokens ≡ lowercase the
+    text for whitespace splitting), and the trigram shingles all derive
+    from it. The quality-gated base is materialized so the exact-dedup
+    aggregate, its join-back, the shingle build, and the final
+    anti-join all read the checkpoint instead of re-running
+    scan → split (round 2 re-scanned documents for each consumer). On a
+    cluster this is the standard persist of the pipeline's reused
+    spine; it holds only quality survivors' tokens."""
+    w = _words()
+    base = (
+        d.select("doc_id", "lang", w.alias("w"))
+        .withColumn("n_tokens", F.size("w"))
+        .filter(F.col("n_tokens") >= MIN_TOKENS)
+        .withColumn("h", F.md5(F.concat_ws(" ", F.transform("w", F.lower))))
+        .localCheckpoint(eager=True)
     )
     exact_keep = (
-        quality.select("doc_id", F.md5(canon).alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        base.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
-    kept = quality.join(exact_keep, "doc_id")
+    kept = base.join(exact_keep, "doc_id")
 
-    wk = F.split(F.trim(F.col("text")), r"\s+")
+    wk = F.col("w")
     tri = F.transform(
         ngram_indices(wk, 3),
         lambda i: F.concat_ws(" ", wk[i], wk[i + 1], wk[i + 2]),
@@ -370,7 +379,17 @@ def corpus_survivors(d: DataFrame) -> DataFrame:
         .select(F.col("db").alias("doc_id"))
         .distinct()
     )
-    return kept.join(near_dupes, "doc_id", "left_anti")
+    out = kept.select("doc_id", "lang", "n_tokens").join(
+        near_dupes, "doc_id", "left_anti"
+    )
+    if include_text:
+        # Rejoin original text for survivors only (the write path needs
+        # it; the aggregate path passes include_text=False and never
+        # scans text at all).
+        out = out.join(d.select("doc_id", "text"), "doc_id").select(
+            "doc_id", "lang", "text", "n_tokens"
+        )
+    return out
 
 
 @register("corpus_clean_pipeline", oracle=_CLEAN_SQL, tags=("text", "dedup"), bench=True)
@@ -386,7 +405,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations with a provable per-shingle pair bound — nothing
     quadratic, nothing Python."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    survivors = corpus_survivors(d)
+    survivors = corpus_survivors(d, include_text=False)
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )

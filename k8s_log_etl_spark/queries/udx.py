@@ -98,7 +98,10 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             for pos, raw in enumerate(text.split(".")):
-                s = raw.strip()
+                # strip(' ') not strip(): DuckDB trim() removes spaces
+                # only, Python's bare strip() also removes tabs/newlines
+                # — both engines must trim the same character set.
+                s = raw.strip(" ")
                 if s:
                     yield pos, s, len(s)
 

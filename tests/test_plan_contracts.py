@@ -67,6 +67,10 @@ CONTRACTS = {
     "events_funnel": ([], ["NestedLoop"]),
     # rolling range frame: one Window, no self-join
     "events_rolling_1h": (["Window"], ["Join"]),
+    # cut-point RFM: the quartiles come from a broadcast percentile
+    # aggregate, NEVER a global ntile sort — no Window may appear
+    # (which also rules out ntile: every ntile lives in a Window)
+    "rfm_segments": ([], ["Window"]),
 }
 
 
@@ -78,3 +82,18 @@ def test_plan_contract(spark, name):
         assert frag in plan, f"{name}: expected {frag!r} in plan:\n{plan[:2000]}"
     for frag in must_not:
         assert frag not in plan, f"{name}: forbidden {frag!r} in plan:\n{plan[:2000]}"
+
+
+def test_pack_chunks_window_is_range_partitioned(spark):
+    """The doc-level prefix-sum window must partition by (lang, rb) —
+    |langs| x PACK_RANGES parallel tasks — never by lang alone (one
+    sorted partition per language, the round-2 shape)."""
+    import re
+
+    plan = _plan(spark, "pack_chunks_budget")
+    assert re.search(r"windowspecdefinition\(lang#\d+, rb#\d+L?, doc_id#", plan), (
+        f"doc-level window not partitioned by (lang, rb):\n{plan[:2000]}"
+    )
+    assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), (
+        f"found a lang-only doc-ordered window (single partition per lang):\n{plan[:2000]}"
+    )

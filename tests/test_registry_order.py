@@ -8,19 +8,24 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
+# Round-3 rotation: reps follow the slots. The approx family's
+# agg_approx_events slot was freed (no oracle by construction — its
+# bounds live in tests/test_approx.py); subquery/relational greens from
+# r2 rotated out and stay covered by the full pytest oracle run.
 FAMILY_REPRESENTATIVES = {
     "log": "pipeline_events",
     "dedup": "dedup_minhash_lsh",
     "multimodal": "multimodal_decode_stats",
     "knn": "knn_lsh_hyperplane",
     "streaming": "stream_session_windows",
-    "text": "text_quality_score",
+    "text": "text_repetition_scores",
     "capstone": "corpus_clean_pipeline",
-    "subquery": "correlated_not_exists",
-    "approx": "agg_approx_events",
-    "llmprep": "tfidf_top_terms",
+    "relational": "q1_pricing_summary",
+    "events": "events_funnel",
+    "llmprep": "benchmark_contamination",
     "packing": "pack_chunks_budget",
-    "sampling": "sample_stratified_topk",
+    "sampling": "sample_bernoulli_seeded",
+    "udx": "udaf_embedding_norm",
 }
 
 

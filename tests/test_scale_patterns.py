@@ -59,3 +59,16 @@ def test_observation_counters_match_compute_report(spark):
     rep_direct = R.compute_report(df)
     assert rep_obs.to_dict() == rep_direct.to_dict()
     assert rep_obs.total_lines > 0
+
+
+def test_pack_chunks_distributed_equals_single_window(spark, sf_dir):
+    """The range-partitioned packing (local prefix sums + per-range
+    offset fix-up) must produce row-for-row the same chunks as the
+    reference single-window-per-lang form."""
+    from k8s_log_etl_spark.queries import llmprep
+
+    dist = {tuple(r) for r in llmprep.pack_chunks_budget(spark, sf_dir).collect()}
+    single = {
+        tuple(r) for r in llmprep.pack_chunks_single_window(spark, sf_dir).collect()
+    }
+    assert dist == single
