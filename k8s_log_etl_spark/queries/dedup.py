@@ -521,23 +521,13 @@ GROUP BY cluster
 """
 
 
-@register("dedup_cluster_components", oracle=_CC_SQL, tags=("dedup",))
-def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster resolution over the banded-SimHash near-dup pairs:
-    connected components by iterative min-label propagation — each round
-    every node adopts the smallest label among itself and its neighbors;
-    fixpoint in O(component diameter) rounds (dup clusters are shallow).
-    Per cluster: size, keeper (min doc_id), max doc.
-
-    This is the engine's iterative-algorithm surface: a driver loop over
-    DataFrame joins with a localCheckpoint per round (truncating lineage
-    — without it the plan doubles every iteration) and a scalar
-    convergence check (an aggregate per round, the unavoidable sync
-    point of any fixpoint algorithm). At web scale the same loop runs
-    with the large-star/small-star optimization; the per-round plan —
-    edges ⋈ labels, groupBy min — is identical. Oracle: recursive-CTE
-    transitive closure (UNION-dedup guarantees termination)."""
-    pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+def cc_min_label_propagation(pairs: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation over a
+    (doc_a, doc_b) pair frame — each round every node adopts the
+    smallest label among itself and its neighbors; fixpoint in
+    O(component DIAMETER) rounds. Kept as the reference implementation
+    the star algorithm is equivalence-tested against. Returns
+    (node, lbl)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").localCheckpoint(eager=True)
@@ -572,7 +562,98 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
 
+
+def cc_star(pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", public algorithm): every round each node re-links its
+    larger neighbors (large-star) / smaller neighbors (small-star)
+    directly to the minimum of its neighborhood, collapsing chains to
+    stars — convergence in O(log n) rounds independent of component
+    DIAMETER, where plain label propagation needs diameter rounds.
+    Per-round cost: two keyed min-aggregates + broadcast-or-shuffle
+    joins, each checkpointed to truncate lineage. Returns (node, lbl)
+    with lbl = component minimum — verified equivalent to
+    cc_min_label_propagation (tests/test_scale_patterns.py)."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # working edge set, kept deduplicated and loop-free
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # LARGE-STAR: for each node u over its full neighborhood Γ(u),
+        # m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: orient each edge (larger, smaller); per larger
+        # node u with smaller neighbors N, m = min(N); emit (v, m) for
+        # v ∈ N \ {m} plus (u, m).
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            small.exceptAll(e).union(e.exceptAll(small)).isEmpty()
+        )
+        e = small
+        if converged:
+            break
+    # e is now a star forest: (node, component-min) for every non-root;
+    # roots (component minima, and isolated nodes if any) label themselves.
+    roots = nodes.join(e.select(F.col("u").alias("node")), "node", "left_anti")
+    return e.select(F.col("u").alias("node"), F.col("v").alias("lbl")).union(
+        roots.select("node", F.col("node").alias("lbl"))
+    )
+
+
+@register("dedup_cluster_components", oracle=_CC_SQL, tags=("dedup",))
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the banded-SimHash near-dup pairs:
+    connected components via alternating large-star/small-star rounds
+    (O(log n) rounds — component depth, not diameter, bounds the
+    iteration count; see cc_star). Per cluster: size, keeper (min
+    doc_id), max doc.
+
+    This is the engine's iterative-algorithm surface: a driver loop
+    over DataFrame joins with a localCheckpoint per round (truncating
+    lineage — without it the plan doubles every iteration) and a
+    scalar convergence check per round (the unavoidable sync point of
+    any fixpoint algorithm). The simpler min-label-propagation variant
+    is kept as cc_min_label_propagation and equivalence-tested. Oracle:
+    recursive-CTE transitive closure (UNION-dedup guarantees
+    termination)."""
+    pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_star(pairs)
     return labels.groupBy(F.col("lbl").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("node").alias("keeper_id"),

@@ -177,7 +177,7 @@ FROM conv
 """
 
 
-@register("events_funnel", oracle=_FUNNEL_SQL, tags=("events",))
+@register("events_funnel", oracle=_FUNNEL_SQL, tags=("events",), bench=True)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step funnel: users whose first '{click}' is followed by a
     '{purchase}' within the conversion window; reports converted-user

@@ -255,3 +255,37 @@ def test_cli_curate_mode(spark, tmp_path, monkeypatch):
     }
     got = {k: (v["n_docs"], v["total_tokens"]) for k, v in rep["by_lang"].items()}
     assert got == agg
+
+
+def test_cli_curate_sf01_partition_pruning(spark, tmp_path, monkeypatch):
+    """--curate at sf0.1: the lang-partitioned output must prune to one
+    partition's files when read with a lang filter — the contract the
+    write layout exists for (downstream per-language sampling/packing
+    reads touch only their partition)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "cleaned_sf01")
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        [
+            "--curate",
+            "--input", "/root/testdata/sf0.1/documents.parquet",
+            "--output-path", out,
+        ]
+    )
+    assert rc == 0
+    lang_dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert len(lang_dirs) > 1, "expected a multi-language partitioned layout"
+    one = lang_dirs[0].split("=", 1)[1]
+
+    whole = spark.read.parquet(out)
+    pruned = whole.filter(F.col("lang") == one)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate must land in PartitionFilters (directory
+    # pruning), NOT as a post-scan Filter over all files
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, f"no PartitionFilters in plan:\n{plan[:1500]}"
+    assert f"= {one})" in pf[1].split("]", 1)[0], plan[:1500]
+    n_one, n_all = pruned.count(), whole.count()
+    assert 0 < n_one < n_all

@@ -72,3 +72,19 @@ def test_pack_chunks_distributed_equals_single_window(spark, sf_dir):
         tuple(r) for r in llmprep.pack_chunks_single_window(spark, sf_dir).collect()
     }
     assert dist == single
+
+
+def test_cc_star_equals_min_label_propagation(spark, sf_dir):
+    """The large-star/small-star components (O(log n) rounds) must
+    assign every node exactly the same component minimum as the
+    reference min-label-propagation fixpoint."""
+    from k8s_log_etl_spark.queries import dedup
+
+    pairs = dedup.dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    star = {(r["node"], r["lbl"]) for r in dedup.cc_star(pairs).collect()}
+    prop = {
+        (r["node"], r["lbl"])
+        for r in dedup.cc_min_label_propagation(pairs).collect()
+    }
+    assert star == prop and len(star) > 0
