@@ -45,16 +45,18 @@ def register(
 # The round driver hard-checks only the FIRST 50 registered queries.
 # Round 3 rotation: every query that had never received a driver
 # CORRECTNESS row through round 2 (the 20 listed first) gets a slot, so
-# after this round all 90 registered queries are driver-verified at
-# least once. The permanently-dead `agg_approx_events` slot (no oracle
-# by construction — bounded against exact answers in tests/test_approx
+# after this round all r2-era queries are driver-verified at least
+# once. The permanently-dead `agg_approx_events` slot (no oracle by
+# construction — bounded against exact answers in tests/test_approx
 # instead) is freed for a checkable query. The remaining slots go to
 # (a) queries whose implementation changed this round — a green r2 row
-# says nothing about new code — and (b) a standing regression core:
-# the full log-ETL parity chain, multimodal, similarity, streaming.
-# Everything rotated out keeps its r1/r2 green row, is unchanged since,
-# and stays continuously covered by the full-surface pytest oracle run
-# (tests/test_oracle_parity.py runs all 89 oracled queries every time).
+# says nothing about new code — (b) the 11 queries ADDED this round,
+# which have no driver row yet, and (c) a standing regression core:
+# the full log-ETL parity chain plus one similarity and one multimodal
+# representative. Everything rotated out keeps its r1/r2 green row, is
+# unchanged since, and stays continuously covered by the full-surface
+# pytest oracle run (tests/test_oracle_parity.py runs every oracled
+# query every time).
 _CHECKED_FIRST = [
     # --- never driver-checked before round 3 (20) ---
     # events analytics
@@ -75,22 +77,26 @@ _CHECKED_FIRST = [
     # --- implementation changed in round 3 (re-verify) (6) ---
     "pack_chunks_budget", "corpus_clean_pipeline", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash_banded", "knn_lsh_hyperplane",
-    # --- standing regression core (24) ---
+    # --- NEW in round 3 (11): first driver check for the new surface ---
+    # llmprep additions
+    "split_train_holdout", "chunk_sliding_windows", "text_perplexity_proxy",
+    "decontam_filter_corpus", "embedding_quantize_int8",
+    # dedup / events additions
+    "dedup_containment", "events_dau_wau",
+    # relational join shapes
+    "q7_volume_shipping", "q10_returned_items", "promo_revenue_share",
+    "q19_disjunctive_revenue",
+    # --- standing regression core (13) ---
     # log-ETL reference parity (O1-O13 composed)
     "normalize", "normalize_fields", "ts_validate", "filter_level",
     "redact", "transform_chain", "agg_by_level",
     "agg_filter_reason", "report_summary",
     "pipeline_events", "pipeline_events_report",
-    # multimodal
-    "events_props_typed", "multimodal_blob_meta", "multimodal_decode_stats",
-    "multimodal_resize_stats", "multimodal_frame_sample",
-    # similarity search
-    "knn_brute_cosine", "knn_ivf_grid", "embedding_centroids",
-    # streaming batch twins
-    "stream_tumbling_counts", "stream_session_windows",
-    # relational shapes
-    "q1_pricing_summary", "window_topk_per_customer",
-    "join_asof_last_purchase",
+    # one similarity + one multimodal representative (streaming keeps
+    # stream_sliding_avg above; the remaining r2 greens rotate out on
+    # their green rows — the full-surface pytest oracle run keeps
+    # covering them every time)
+    "knn_ivf_grid", "multimodal_decode_stats",
 ]
 
 

@@ -659,3 +659,64 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("keeper_id"),
         F.max("node").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (asymmetric near-dup: sub-document duplication)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+capped AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {POSTING_CAP}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN capped USING (s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+FROM common
+JOIN sizes sa ON da = sa.doc_id
+JOIN sizes sb ON db = sb.doc_id
+WHERE c * 1.0 / least(sa.sz, sb.sz) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_SQL, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment C(A,B) = |A∩B| / min(|A|,|B|):
+    catches sub-document duplication (a short doc wholly embedded in a
+    longer one) that symmetric Jaccard misses, because the union in
+    Jaccard's denominator dilutes the score when sizes differ. Same
+    inverted-index join + POSTING_CAP hot-shingle guard as
+    dedup_ngram_jaccard — candidates only where shingles collide, pair
+    count per shingle provably bounded — only the scoring denominator
+    changes, so the scale story is identical."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
+    capped = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") <= POSTING_CAP
+    )
+    shc = sh.join(capped.select("s"), "s").localCheckpoint(eager=True)
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("c") / F.least(F.col("sa.sz"), F.col("sb.sz"))
+    return (
+        common.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -484,3 +484,290 @@ def sample_domain_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/holdout split
+# ---------------------------------------------------------------------------
+
+TRAIN_PCT = 90           # md5(doc_id) % 100 buckets: [0,90) train
+VAL_PCT = 95             # [90,95) val, [95,100) test
+
+_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN {X.md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN {X.md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         len({_WORDS_SQL}) AS n_tokens
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned GROUP BY split, lang
+"""
+
+
+@register("split_train_holdout", oracle=_SPLIT_SQL, tags=("llmprep",))
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket
+    (md5(doc_id) % 100 → 90/5/5), reported as per-(split, lang) doc and
+    token counts. The split decision is a pure function of the row key —
+    no shuffle, no sampling state, stable under re-ingestion and across
+    engines — which is the only split discipline that survives a 100 TB
+    corpus being re-partitioned or incrementally extended. One scan +
+    one hash-aggregate on (split, lang) (tiny key space)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    bucket = X.md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", F.size(_words()).alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding context windows (chunking with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 32        # tokens per training window
+CHUNK_STRIDE = 24        # window start spacing (overlap = 8)
+
+_CHUNK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
+)
+SELECT doc_id,
+       CAST(i // {CHUNK_STRIDE} AS BIGINT) AS win_id,
+       CAST(i AS BIGINT) AS win_start,
+       CAST(least({CHUNK_WINDOW}, n_tokens - i) AS BIGINT) AS win_len
+FROM sized, unnest(range(0, n_tokens, {CHUNK_STRIDE})) AS t(i)
+WHERE n_tokens > 0
+"""
+
+
+@register("chunk_sliding_windows", oracle=_CHUNK_SQL, tags=("llmprep",))
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document yields training windows of
+    CHUNK_WINDOW tokens starting every CHUNK_STRIDE tokens (tail windows
+    truncated), the standard overlap chunking for long-context training
+    and retrieval indexing. Pure map-side sequence + explode — window
+    boundaries are integer arithmetic on the row itself, so the operator
+    is shuffle-free and scales embarrassingly; the ~window/stride row
+    amplification is the (intended) output size, not a join blowup."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    sized = d.select("doc_id", F.size(_words()).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(CHUNK_STRIDE))
+    return sized.select(
+        "doc_id", F.explode(starts).alias("i"), "n_tokens"
+    ).select(
+        "doc_id",
+        (F.col("i") / CHUNK_STRIDE).cast("bigint").alias("win_id"),
+        F.col("i").cast("bigint").alias("win_start"),
+        F.least(F.lit(CHUNK_WINDOW), F.col("n_tokens") - F.col("i"))
+        .cast("bigint")
+        .alias("win_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity proxy (quality scoring)
+# ---------------------------------------------------------------------------
+
+NLL_QUANT = 1_000_000    # per-token nll quantized to integer micro-nats
+
+_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM vocab),
+scored AS (
+  SELECT term, CAST(round(ln((n + v) * 1.0 / (c + 1)) * {NLL_QUANT}) AS BIGINT) AS nll_q
+  FROM vocab, tot
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(sum(s.nll_q) * 1.0 / count(*) / {NLL_QUANT}, 6) AS avg_nll
+FROM toks t JOIN scored s ON t.term = s.term
+GROUP BY t.doc_id
+"""
+
+
+@register("text_perplexity_proxy", oracle=_PPL_SQL, tags=("llmprep", "text"))
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy — the cheap stand-in for a KenLM
+    quality filter: per-token negative log-likelihood under the corpus's
+    own add-one-smoothed unigram distribution, averaged per document.
+    High avg_nll = rare-token gibberish; low = repetitive boilerplate.
+
+    Two hash-aggregates (vocab counts, per-doc sum) + one equi-join of
+    the token stream against the scored vocabulary — at 100 TB the vocab
+    frame is millions of rows, so it stays a shuffled hash join (never
+    collected); the corpus total is a 1-row broadcast. Per-token nll is
+    quantized to integer micro-nats BEFORE summation so the aggregate is
+    exact integer math — order-independent and bit-identical across
+    engines (float sums would differ by accumulation order)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id", F.explode(_words()).alias("raw")
+    ).select("doc_id", F.lower(F.col("raw")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") + F.col("v")) / (F.col("c") + F.lit(1.0))) * NLL_QUANT
+        )
+        .cast("bigint")
+        .alias("nll_q"),
+    )
+    return (
+        toks.join(scored, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll_q") / F.count(F.lit(1)) / NLL_QUANT, 6).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — the filter that applies the report
+# ---------------------------------------------------------------------------
+
+_DECONTAM_SQL = f"""
+WITH words AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+bench AS (
+  SELECT DISTINCT {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id < {BENCH_DOCS}
+),
+corpus_grams AS (
+  SELECT DISTINCT doc_id, {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id >= {BENCH_DOCS}
+),
+hits AS (SELECT DISTINCT c.doc_id FROM corpus_grams c JOIN bench b ON c.g = b.g)
+SELECT w.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM words w LEFT JOIN hits h ON w.doc_id = h.doc_id
+WHERE w.doc_id >= {BENCH_DOCS}
+GROUP BY w.source
+"""
+
+
+@register("decontam_filter_corpus", oracle=_DECONTAM_SQL, tags=("llmprep", "text"))
+def decontam_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark_contamination applied as a filter: drop every training
+    document sharing ANY 5-gram with the held-out benchmark set, report
+    per-source kept/dropped counts — the decontamination pass run before
+    a training corpus ships. The benchmark gram set is tiny and
+    broadcast; contaminated doc_ids come from one semi-join over the
+    exploded corpus grams (never materializing the corpus gram set
+    distinct), and the verdict rejoins doc-level — all equi-joins keyed
+    on gram / doc_id, nothing quadratic, same shape at 100 TB."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    grams = F.transform(
+        ngram_indices(w, CONTAM_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
+    )
+    exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    bench_grams = exploded.filter(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
+    contaminated = (
+        exploded.filter(F.col("doc_id") >= BENCH_DOCS)
+        .join(F.broadcast(bench_grams), "g", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = d.filter(F.col("doc_id") >= BENCH_DOCS).select("doc_id", "source")
+    return (
+        corpus.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of embeddings
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255       # int8 code range
+ERR_QUANT = 1_000_000_000  # per-element |error| quantized to nano-units
+
+
+def _q8_err_sql() -> str:
+    x = "CAST(embedding[i + 1] AS DOUBLE)"
+    return f"""
+WITH elems AS (
+  SELECT vec_id, i AS dim, {x} AS x
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+),
+dimstats AS (
+  SELECT dim, min(x) AS mn, (max(x) - min(x)) / {QUANT_LEVELS}.0 AS scale
+  FROM elems GROUP BY dim
+),
+errs AS (
+  SELECT e.vec_id,
+         CASE WHEN d.scale = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(abs(e.x - (d.mn + round((e.x - d.mn) / d.scale) * d.scale))
+                              * {ERR_QUANT}) AS BIGINT) END AS err_q
+  FROM elems e JOIN dimstats d ON e.dim = d.dim
+)
+SELECT vec_id, count(*) AS n_dims,
+       round(sum(err_q) * 1.0 / count(*) / {ERR_QUANT}, 6) AS mean_abs_err
+FROM errs GROUP BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", oracle=_q8_err_sql(), tags=("llmprep", "similarity"))
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding table —
+    the compression step before a billion-vector ANN index ships — with
+    per-vector mean absolute reconstruction error as the fidelity
+    report. Per-dim [min, max] comes from one posexplode + hash-agg
+    (output = n_dims rows, trivially broadcast); codes and errors are
+    then computed back on the elements keyed by dim and re-aggregated by
+    vec_id. Both joins are equi-joins on tiny/bounded keys; per-element
+    error is quantized to integer nano-units BEFORE the per-vector sum,
+    so the aggregate is exact and order-independent across engines."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    elems = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    dimstats = elems.groupBy("dim").agg(
+        F.min("x").alias("mn"),
+        ((F.max("x") - F.min("x")) / QUANT_LEVELS).alias("scale"),
+    )
+    code = F.round((F.col("x") - F.col("mn")) / F.col("scale"))
+    recon = F.col("mn") + code * F.col("scale")
+    err_q = F.when(F.col("scale") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(F.abs(F.col("x") - recon) * ERR_QUANT).cast("bigint")
+    )
+    return (
+        elems.join(F.broadcast(dimstats), "dim")
+        .select("vec_id", err_q.alias("err_q"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(F.sum("err_q") / F.count(F.lit(1)) / ERR_QUANT, 6).alias(
+                "mean_abs_err"
+            ),
+        )
+    )

@@ -390,3 +390,56 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct actives (DAU / WAU)
+# ---------------------------------------------------------------------------
+
+_DAU_WAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT p.user_id) AS wau
+  FROM dau d JOIN pairs p
+    ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w USING (day)
+"""
+
+
+@register("events_dau_wau", oracle=_DAU_WAU_SQL, tags=("events",))
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus exact 7-day rolling actives (WAU) per
+    day — the canonical rolling-distinct metric, which a naive
+    count(DISTINCT) OVER (RANGE 7 DAYS) window cannot express in Spark.
+    Scale shape: dedup to (user, day) pairs first (one hash-agg keyed
+    user+day — map-side partial absorbs the raw event volume), then each
+    pair scatters to the ≤7 week-windows it contributes to via a
+    map-side sequence+explode (bounded 7× amplification of the already
+    tiny pair set, NOT of raw events), and one count-distinct per
+    cover day. No range join, no per-day rescans; at 100 TB the cost is
+    the (user, day) dedup shuffle, everything after is on day keys.
+    Restricting output to days with actual activity makes the inner join
+    back to dau also the correctness filter (no phantom trailing days)."""
+    ev = load_table(spark, sf_dir, "events")
+    # day stays TIMESTAMP (not DATE) end-to-end: the driver's pandas
+    # canonicalization renders DuckDB DATE as datetime64 midnight but
+    # Spark DATE as datetime.date — timestamps agree byte-for-byte.
+    pairs = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    wau = cover.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

@@ -71,6 +71,30 @@ CONTRACTS = {
     # aggregate, NEVER a global ntile sort — no Window may appear
     # (which also rules out ntile: every ntile lives in a Window)
     "rfm_segments": ([], ["Window"]),
+    # --- round-3b additions ---
+    # split assignment is a pure map-side function of the row key: one
+    # aggregate, no join, no window
+    "split_train_holdout": ([], ["Join", "Window"]),
+    # chunking is sequence+explode on the row itself: no keyed shuffle
+    # (the only Exchange allowed is the tiny-fixture round-robin
+    # repartition from ensure_min_parallelism — a no-op at scale)
+    "chunk_sliding_windows": (["Generate"], ["hashpartitioning", "Join"]),
+    # q10: top-20 must be TakeOrderedAndProject, dims broadcast
+    "q10_returned_items": (["TakeOrderedAndProject", "BroadcastHashJoin"], []),
+    # q7: every dimension leg (supplier/customer/nation x2) broadcasts;
+    # only the lineitem-orders fact join may shuffle
+    "q7_volume_shipping": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # q19: the disjunctive predicate must partially push below the join
+    # (PushedFilters on the part scan), part side broadcast
+    "q19_disjunctive_revenue": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # containment: same inverted-index equi-join discipline as jaccard
+    "dedup_containment": (["Scan ExistingRDD"], ["NestedLoop"]),
+    # DAU/WAU: pair-dedup + explode + hash-aggs; never a range self-join
+    "events_dau_wau": (["Generate"], ["NestedLoop"]),
+    # per-dim stats broadcast back onto elements
+    "embedding_quantize_int8": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # decontam: benchmark gram set broadcast into the semi-join
+    "decontam_filter_corpus": (["BroadcastHashJoin"], ["NestedLoop"]),
 }
 
 

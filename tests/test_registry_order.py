@@ -17,10 +17,10 @@ FAMILY_REPRESENTATIVES = {
     "dedup": "dedup_minhash_lsh",
     "multimodal": "multimodal_decode_stats",
     "knn": "knn_lsh_hyperplane",
-    "streaming": "stream_session_windows",
+    "streaming": "stream_sliding_avg",
     "text": "text_repetition_scores",
     "capstone": "corpus_clean_pipeline",
-    "relational": "q1_pricing_summary",
+    "relational": "q7_volume_shipping",
     "events": "events_funnel",
     "llmprep": "benchmark_contamination",
     "packing": "pack_chunks_budget",
