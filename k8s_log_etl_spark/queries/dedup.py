@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
@@ -71,6 +71,71 @@ def _shingle_array(col: str = "text") -> F.Column:
         lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
     )
     return F.array_distinct(tri)
+
+
+def posting_pairs(sh: DataFrame, cap: int = POSTING_CAP):
+    """Grouped-postings candidate generation shared by the inverted-index
+    near-dup operators (jaccard / containment / capstone): from an
+    exploded (doc_id, s) posting stream, return
+
+      sizes — (doc_id, sz): surviving-shingle count per doc
+      pairs — (da, db, c):  candidate pairs (da < db) with co-occurrence
+              counts, generated IN-ROW from each shingle's ≤cap doc list
+
+    ONE shuffle of the posting stream does everything: the window count
+    over s (spill-safe — hot-key groups go through Spark's external row
+    buffer, never an unbounded agg state) drops over-cap shingles, and
+    the collect_list reuses the window's hash partitioning (no second
+    exchange; every list is provably ≤ cap BEFORE collection). Pair
+    candidates then come from a map-side combination expansion of each
+    posting list — replacing the former a.s = b.s self-join, which
+    re-shuffled and re-sorted the full posting stream twice. The
+    per-shingle pair count stays bounded by cap²/2 exactly as before.
+    The grouped postings frame is checkpointed once for its two
+    consumers (sizes + pair expansion)."""
+    wcap = Window.partitionBy("s")
+    postings = (
+        sh.withColumn("df_", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("df_") <= cap)
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select("ds")
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("da"), y.alias("db")),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return sizes, pairs
+
+
+def _scored_pairs(sizes: DataFrame, pairs: DataFrame, score: F.Column):
+    """Join per-doc sizes onto candidate pairs (NOT hint-broadcast:
+    sizes is one row per document — AQE broadcasts it at small scale,
+    shuffles it at 100 TB) and attach the similarity score column."""
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .withColumn("_score", score)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -126,38 +191,21 @@ WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {JACCARD_THRESHOLD}
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, tags=("dedup",))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard near-dup pairs via an inverted-index
-    (shingle-equality) join — candidates only where shingles collide,
-    never an all-pairs product. Posting lists over POSTING_CAP docs are
-    dropped on both sides (hot-key guard)."""
-    # Materialize the posting list once: without it the scan → explode
-    # re-runs for the cap aggregate AND the join probe side, and the
-    # capped list re-runs for each of ITS three consumers (sizes + both
-    # pair-join sides) — five recomputes of the most expensive stage.
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
-    capped = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
-        F.col("df_") <= POSTING_CAP
-    )
-    shc = sh.join(capped.select("s"), "s").localCheckpoint(eager=True)
-    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shc.alias("a")
-    b = shc.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    """Word-trigram Jaccard near-dup pairs via grouped postings —
+    candidates only where shingles collide, never an all-pairs product.
+    Posting lists over POSTING_CAP docs are dropped entirely (hot-key
+    guard); candidate pairs expand map-side from each shingle's ≤cap
+    doc list (see posting_pairs — one shuffle of the posting stream,
+    versus the former cap-agg + rejoin + self-join chain)."""
+    sizes, pairs = posting_pairs(_shingles(spark, sf_dir))
     jac = F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
     return (
-        common.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        _scored_pairs(sizes, pairs, jac)
+        .filter(F.col("_score") >= JACCARD_THRESHOLD)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.round(F.col("_score"), 6).alias("jaccard"),
         )
     )
 
@@ -690,33 +738,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches sub-document duplication (a short doc wholly embedded in a
     longer one) that symmetric Jaccard misses, because the union in
     Jaccard's denominator dilutes the score when sizes differ. Same
-    inverted-index join + POSTING_CAP hot-shingle guard as
-    dedup_ngram_jaccard — candidates only where shingles collide, pair
-    count per shingle provably bounded — only the scoring denominator
-    changes, so the scale story is identical."""
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
-    capped = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
-        F.col("df_") <= POSTING_CAP
-    )
-    shc = sh.join(capped.select("s"), "s").localCheckpoint(eager=True)
-    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shc.alias("a")
-    b = shc.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    grouped-postings candidate generation + POSTING_CAP hot-shingle
+    guard as dedup_ngram_jaccard (posting_pairs) — candidates only
+    where shingles collide, pair count per shingle provably bounded —
+    only the scoring denominator changes, so the scale story is
+    identical."""
+    sizes, pairs = posting_pairs(_shingles(spark, sf_dir))
     cont = F.col("c") / F.least(F.col("sa.sz"), F.col("sb.sz"))
     return (
-        common.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .filter(cont >= CONTAINMENT_THRESHOLD)
+        _scored_pairs(sizes, pairs, cont)
+        .filter(F.col("_score") >= CONTAINMENT_THRESHOLD)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.round(cont, 6).alias("containment"),
+            F.round(F.col("_score"), 6).alias("containment"),
         )
     )

@@ -16,7 +16,7 @@ from k8s_log_etl_spark.plans.registry import register
 # shared by more docs than POSTING_CAP is dropped on both sides of the
 # near-dup self-join — without it one hot shingle makes the a.s=b.s
 # join quadratic at scale.
-from k8s_log_etl_spark.queries.dedup import POSTING_CAP
+from k8s_log_etl_spark.queries.dedup import POSTING_CAP, posting_pairs
 from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
 # Tiny per-language function-word lists for the n-gram/stopword
@@ -352,23 +352,12 @@ def corpus_survivors(d: DataFrame, include_text: bool = True) -> DataFrame:
         lambda i: F.concat_ws(" ", wk[i], wk[i + 1], wk[i + 2]),
     )
     sh = kept.select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))
-    capped = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
-        F.col("df_") <= POSTING_CAP
-    )
-    sh = sh.join(capped.select("s"), "s")
-    # Materialize the capped posting list once — it feeds three
-    # consumers (per-doc sizes + both sides of the pair join) and would
-    # otherwise re-run scan→explode→cap for each (same deliberate
-    # persist-of-a-reused-intermediate as dedup_minhash_lsh).
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # Grouped-postings candidate generation (see dedup.posting_pairs):
+    # one shuffle of the posting stream — window count drops over-cap
+    # shingles, collect_list reuses the partitioning, pairs expand
+    # map-side from each ≤cap list. Replaces the former cap-agg +
+    # rejoin + a.s=b.s self-join (three reshuffles of the stream).
+    sizes, pairs = posting_pairs(sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
