@@ -602,7 +602,7 @@ GROUP BY t.doc_id
 """
 
 
-@register("text_perplexity_proxy", oracle=_PPL_SQL, tags=("llmprep", "text"))
+@register("text_perplexity_proxy", oracle=_PPL_SQL, tags=("llmprep", "text"), bench=True)
 def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy — the cheap stand-in for a KenLM
     quality filter: per-token negative log-likelihood under the corpus's

@@ -972,7 +972,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("q7_volume_shipping", oracle=_Q7_SQL, tags=("join", "agg"))
+@register("q7_volume_shipping", oracle=_Q7_SQL, tags=("join", "agg"), bench=True)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped bilateral trade volume: lineitem→orders→customer
     and lineitem→supplier, each side resolved to its nation, revenue per

@@ -411,7 +411,7 @@ SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w USING (day)
 """
 
 
-@register("events_dau_wau", oracle=_DAU_WAU_SQL, tags=("events",))
+@register("events_dau_wau", oracle=_DAU_WAU_SQL, tags=("events",), bench=True)
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users plus exact 7-day rolling actives (WAU) per
     day — the canonical rolling-distinct metric, which a naive
