@@ -86,17 +86,20 @@ _CHECKED_FIRST = [
     # relational join shapes
     "q7_volume_shipping", "q10_returned_items", "promo_revenue_share",
     "q19_disjunctive_revenue",
-    # --- standing regression core (13) ---
+    # iterative ML (kmeans took knn_ivf_grid's core slot: that query is
+    # r2-green and unchanged; kmeans is new code with no driver row)
+    "kmeans_ivf_train",
+    # --- standing regression core (12) ---
     # log-ETL reference parity (O1-O13 composed)
     "normalize", "normalize_fields", "ts_validate", "filter_level",
     "redact", "transform_chain", "agg_by_level",
     "agg_filter_reason", "report_summary",
     "pipeline_events", "pipeline_events_report",
-    # one similarity + one multimodal representative (streaming keeps
-    # stream_sliding_avg above; the remaining r2 greens rotate out on
-    # their green rows — the full-surface pytest oracle run keeps
-    # covering them every time)
-    "knn_ivf_grid", "multimodal_decode_stats",
+    # one multimodal representative (streaming keeps stream_sliding_avg
+    # above, similarity keeps knn_lsh_hyperplane + kmeans; the remaining
+    # r2 greens rotate out on their green rows — the full-surface pytest
+    # oracle run keeps covering them every time)
+    "multimodal_decode_stats",
 ]
 
 

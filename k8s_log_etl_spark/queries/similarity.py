@@ -282,3 +282,142 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .applyInPandas(centroid, "label int, dim int, centroid double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means (IVF coarse-quantizer training)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+DIST_QUANT = 1_000_000  # per-vector sq-distance quantized to micro-units
+
+
+def _sqdist_sql(vec: str, cvec: str) -> str:
+    """Sequential-fold squared distance (same left-to-right order as the
+    Spark zip_with/aggregate below)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({vec}, {cvec}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd's iterations: init centroids = the first K vectors
+    by vec_id; each round assigns every vector to its nearest centroid
+    (ties to the lowest k) and recomputes per-dimension means rounded to
+    6 dp (the rounding makes the next round's inputs bit-identical
+    across engines)."""
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS k, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        assign = f"a{it}"
+        cent = f"c{it}"
+        parts.append(f"""{assign} AS (
+  SELECT vec_id, embedding, k, d FROM (
+    SELECT e.vec_id, e.embedding, c.k,
+           {_sqdist_sql('e.embedding', 'c.cvec')} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')}, c.k
+           ) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        if it < KMEANS_ITERS:
+            parts.append(f"""{cent} AS (
+  SELECT k, list(cv ORDER BY dim) AS cvec FROM (
+    SELECT a.k, t.i AS dim, round(avg(CAST(a.embedding[t.i + 1] AS DOUBLE)), 6) AS cv
+    FROM {assign} a, unnest(range(len(a.embedding))) AS t(i)
+    GROUP BY a.k, t.i
+  ) GROUP BY k
+)""")
+            prev = cent
+    final = f"a{KMEANS_ITERS}"
+    return f"""
+WITH {', '.join(parts)}
+SELECT k AS cluster, count(*) AS n_vecs,
+       round(sum(CAST(round(d * {DIST_QUANT}) AS BIGINT)) * 1.0 / {DIST_QUANT}, 6)
+         AS inertia
+FROM {final} GROUP BY k
+"""
+
+
+@register("kmeans_ivf_train", oracle=_kmeans_sql(), tags=("similarity",))
+def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table — the training step an
+    IVF index runs to learn its coarse quantizer (knn_ivf_grid's cells
+    are the untrained stand-in). Deterministic end to end: centroids
+    initialize to the first K vectors by vec_id, assignment ties break
+    to the lowest cluster id, and each round's recomputed centroids are
+    rounded to 6 dp so both engines feed bit-identical values into the
+    next round; per-vector distances are sequential double folds
+    (xengine convention) and the final inertia sums integer-quantized
+    distances (exact, order-free).
+
+    Scale shape — the standard distributed Lloyd's: centroids are a
+    K x dim frame collected to the driver each round (K·dim doubles —
+    the algorithm's unavoidable sync point, same role as the
+    connected-components convergence scalar) and re-broadcast as
+    literal arrays, so assignment is one narrow map-side pass per
+    round (zip_with/aggregate folds inside codegen, no join, no
+    shuffle) and the centroid update is one posexplode + (k, dim)
+    hash-aggregate of K·dim output rows. Iterations: fixed
+    KMEANS_ITERS (production would add a movement-epsilon stop)."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    init = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init
+    }
+
+    def sqdist(cvec: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(v) for v in cvec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                arr,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for it in range(1, KMEANS_ITERS + 1):
+        dists = F.array(*[sqdist(centroids[k]) for k in range(KMEANS_K)])
+        # argmin with ties to the lowest k: array_position finds the
+        # FIRST element equal to the minimum (exact double equality —
+        # both candidates are the same computed value).
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
+            F.array_min(dists).alias("d"),
+        )
+        if it < KMEANS_ITERS:
+            rows = (
+                assigned.select("k", F.posexplode("embedding").alias("dim", "x"))
+                .groupBy("k", "dim")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+                .collect()
+            )
+            centroids = {k: [0.0] * len(centroids[0]) for k in range(KMEANS_K)}
+            for r in rows:
+                centroids[int(r["k"])][int(r["dim"])] = float(r["cv"])
+
+    return assigned.groupBy(F.col("k").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("d") * DIST_QUANT).cast("bigint")) / DIST_QUANT, 6
+        ).alias("inertia"),
+    )

@@ -95,6 +95,10 @@ CONTRACTS = {
     "embedding_quantize_int8": (["BroadcastHashJoin"], ["NestedLoop"]),
     # decontam: benchmark gram set broadcast into the semi-join
     "decontam_filter_corpus": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # kmeans assignment: centroids ride as literal arrays, so the
+    # per-round assignment is a pure map-side pass — no join of any
+    # kind in the final plan, one aggregate on cluster id
+    "kmeans_ivf_train": ([], ["Join"]),
 }
 
 
