@@ -88,3 +88,37 @@ def test_cc_star_equals_min_label_propagation(spark, sf_dir):
         for r in dedup.cc_min_label_propagation(pairs).collect()
     }
     assert star == prop and len(star) > 0
+
+
+def test_posting_pairs_equals_self_join(spark, sf_dir):
+    """The grouped-postings candidate generation (window cap +
+    collect_list + map-side pair expansion) must produce exactly the
+    (da, db, c) multiset and per-doc sizes of the reference
+    inverted-index self-join it replaced."""
+    from k8s_log_etl_spark.queries import dedup
+
+    sh = dedup._shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sizes_new, pairs_new = dedup.posting_pairs(sh)
+
+    capped = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= dedup.POSTING_CAP)
+    )
+    shc = sh.join(capped.select("s"), "s")
+    sizes_ref = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shc.alias("a"), shc.alias("b")
+    pairs_ref = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert {tuple(r) for r in sizes_new.collect()} == {
+        tuple(r) for r in sizes_ref.collect()
+    }
+    got = {tuple(r) for r in pairs_new.collect()}
+    want = {tuple(r) for r in pairs_ref.collect()}
+    assert got == want and len(got) > 0
