@@ -540,3 +540,57 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5(redacted).alias("redacted_hash"), n_red.alias("n_redactions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate detection (word n-grams repeated across many documents)
+# ---------------------------------------------------------------------------
+
+BOILER_NGRAM = 8    # phrase length
+BOILER_MIN_DF = 3   # a phrase in >= this many docs is boilerplate
+BOILER_TOP = 20
+
+_BOILER_GRAM_SQL = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(BOILER_NGRAM))
+
+_BOILER_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+phrases AS (
+  SELECT DISTINCT doc_id, ({_BOILER_GRAM_SQL}) AS phrase
+  FROM words, unnest(range(greatest(len(w) - {BOILER_NGRAM - 1}, 0))) AS t(i)
+),
+df AS (
+  SELECT phrase, count(*) AS n_docs FROM phrases GROUP BY phrase
+  HAVING count(*) >= {BOILER_MIN_DF}
+)
+SELECT phrase, n_docs FROM df
+ORDER BY n_docs DESC, phrase
+LIMIT {BOILER_TOP}
+"""
+
+
+@register("text_boilerplate_phrases", oracle=_BOILER_SQL, tags=("text",))
+def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the cleaning pass that strips repeated
+    headers/footers/disclaimers before near-dup scoring: word 8-gram
+    phrases appearing in at least BOILER_MIN_DF distinct documents,
+    top-BOILER_TOP by document frequency. Each doc votes once per
+    phrase (per-row array_distinct — map-side), the document-frequency
+    count is one hash-aggregate keyed on the phrase, and the global
+    top-k is TakeOrderedAndProject (per-partition heaps, no global
+    sort). At 100 TB this is the CCNet/C4-style boilerplate census:
+    one explode + one agg; grouping on an md5 of the phrase would
+    bound shuffle width further for very long phrases."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    grams = F.transform(
+        ngram_indices(w, BOILER_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(BOILER_NGRAM)]),
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(grams)).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DF)
+        .orderBy(F.desc("n_docs"), F.asc("phrase"))
+        .limit(BOILER_TOP)
+    )

@@ -99,6 +99,9 @@ CONTRACTS = {
     # per-round assignment is a pure map-side pass — no join of any
     # kind in the final plan, one aggregate on cluster id
     "kmeans_ivf_train": ([], ["Join"]),
+    # boilerplate census: global top-k must be TakeOrderedAndProject,
+    # and the whole query is explode + one agg — no join
+    "text_boilerplate_phrases": (["TakeOrderedAndProject"], ["Join"]),
 }
 
 
