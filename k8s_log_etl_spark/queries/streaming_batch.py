@@ -443,3 +443,59 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wau = cover.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (sequence-model prep)
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, sum(n) AS row_total FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n,
+       round(t.n * 1.0 / o.row_total, 6) AS p
+FROM trans t JOIN tot o ON t.prev_type = o.prev_type
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_SQL, tags=("events",))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per the user stream —
+    the counts/probabilities a behavior model (or a session-anomaly
+    scorer) trains on. lag() over (user_id; ts, event_id) is a window
+    partitioned by the high-cardinality user key, so per-partition
+    state is one user's events and the sort is local — the scale-safe
+    window shape. Transition tally and row-normalization are two tiny
+    hash-aggregates on the |event_types|² key space; the row-total
+    join is broadcast-sized at any scale. Ties in ts break on event_id
+    identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Property-style invariant tests for the round-3 training-data-prep
+operators — pure-Python models of the documented semantics checked
+against the Spark implementations on synthetic frames (Hypothesis
+generates the document shapes; Spark runs once per generated corpus
+batch, so examples are bundled to keep JVM round-trips bounded).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.queries import llmprep
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+def _doc_frame(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(words), "en", "src", len(" ".join(words))) for i, words in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=120),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_chunk_windows_cover_every_token_exactly_once_per_window_set(spark, docs):
+    """Window starts are 0, stride, 2*stride, ...; the union of
+    [start, start+len) intervals covers [0, n) with the documented
+    overlap; the last window is truncated, never empty."""
+    d = _doc_frame(spark, docs)
+    sized = d.select("doc_id", F.size(llmprep._words()).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(llmprep.CHUNK_STRIDE))
+    rows = (
+        sized.select("doc_id", F.explode(starts).alias("i"), "n_tokens")
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("win_start"),
+            F.least(F.lit(llmprep.CHUNK_WINDOW), F.col("n_tokens") - F.col("i"))
+            .cast("bigint")
+            .alias("win_len"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["win_start"], r["win_len"]))
+    for i, words in enumerate(docs):
+        n = len(words)
+        got = sorted(by_doc.get(i, []))
+        if n == 0:
+            assert got == []
+            continue
+        expect = [
+            (s, min(llmprep.CHUNK_WINDOW, n - s))
+            for s in range(0, n, llmprep.CHUNK_STRIDE)
+        ]
+        assert got == expect
+        assert all(ln > 0 for _, ln in got)
+        covered = set()
+        for s, ln in got:
+            covered.update(range(s, s + ln))
+        assert covered == set(range(n))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_docs=st.integers(min_value=1, max_value=200))
+def test_split_assignment_is_a_partition(spark, n_docs):
+    """Every doc lands in exactly one split, and the assignment is a
+    pure function of doc_id (stable under re-ingestion: computing it
+    twice, or on a shuffled frame, gives the same mapping)."""
+    d = _doc_frame(spark, [["alpha"]] * n_docs)
+    from k8s_log_etl_spark.functions import xengine as X
+
+    bucket = X.md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < llmprep.TRAIN_PCT, "train")
+        .when(bucket < llmprep.VAL_PCT, "val")
+        .otherwise("test")
+    )
+    a = {r["doc_id"]: r["s"] for r in d.select("doc_id", split.alias("s")).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in d.orderBy(F.desc("doc_id")).select("doc_id", split.alias("s")).collect()
+    }
+    assert a == b
+    assert set(a) == set(range(n_docs))
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_perplexity_matches_pure_python_model(spark):
+    """avg_nll agrees with an independent Python unigram model on a
+    small corpus (exercises the integer micro-nat quantization)."""
+    docs = [
+        ["alpha", "alpha", "beta"],
+        ["beta", "gamma"],
+        ["alpha", "delta", "delta", "delta"],
+    ]
+    d = _doc_frame(spark, docs)
+
+    from collections import Counter
+
+    toks = [w for ws in docs for w in ws]
+    vocab = Counter(toks)
+    n, v = sum(vocab.values()), len(vocab)
+
+    def nll_q(word: int) -> int:
+        p_inv = (n + v) / (vocab[word] + 1)
+        return round(math.log(p_inv) * llmprep.NLL_QUANT)
+
+    def round6_half_up(x: float) -> float:
+        # Spark's round() and DuckDB's round() are both half-up on the
+        # shortest decimal repr; Python's round() is banker's on the
+        # binary double — mirror the engines, not Python.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    expect = {
+        i: round6_half_up(sum(nll_q(w) for w in ws) / len(ws) / llmprep.NLL_QUANT)
+        for i, ws in enumerate(docs)
+    }
+
+    toks_df = d.select("doc_id", F.explode(llmprep._words()).alias("raw")).select(
+        "doc_id", F.lower(F.col("raw")).alias("term")
+    )
+    vocab_df = toks_df.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab_df.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    scored = vocab_df.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") + F.col("v")) / (F.col("c") + F.lit(1.0)))
+            * llmprep.NLL_QUANT
+        )
+        .cast("bigint")
+        .alias("nll_q"),
+    )
+    got = {
+        r["doc_id"]: r["avg_nll"]
+        for r in toks_df.join(scored, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("nll_q") / F.count(F.lit(1)) / llmprep.NLL_QUANT, 6).alias(
+                "avg_nll"
+            )
+        )
+        .collect()
+    }
+    assert got == expect

@@ -102,6 +102,9 @@ CONTRACTS = {
     # boilerplate census: global top-k must be TakeOrderedAndProject,
     # and the whole query is explode + one agg — no join
     "text_boilerplate_phrases": (["TakeOrderedAndProject"], ["Join"]),
+    # transition matrix: lag window partitioned by user_id (local
+    # per-user sort), row totals joined back broadcast
+    "events_markov_transitions": (["Window", "BroadcastHashJoin"], ["NestedLoop"]),
 }
 
 
