@@ -151,3 +151,23 @@ def stop_gracefully(query: StreamingQuery, timeout_sec: float = 30.0) -> bool:
     finally:
         query.stop()
     return query.awaitTermination(timeout_sec)
+
+
+def windowed_distinct_services(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Distinct services per 1-hour event-time window via two CHAINED
+    stateful aggregations — (window, service) dedup-count, then a
+    per-window count of surviving groups. Exact windowed
+    count-distinct, the shape a naive count(DISTINCT) over a stream
+    cannot express; requires Spark's multiple-stateful-operators
+    support (3.4+), where the second aggregation consumes the first's
+    event-time window column. Batch runs the identical lineage
+    (equivalence-tested); state is bounded by the watermark on both
+    levels."""
+    per = (
+        (df.withWatermark("ts", watermark) if df.isStreaming else df)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "service")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_services")
+    ).select(F.col("w.start").alias("window_start"), "n_services")

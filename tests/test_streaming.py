@@ -267,3 +267,45 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     # "first" exactly once (not reprocessed on restart), "second" appended
     assert msgs == ["first", "second"]
+
+
+def test_stream_chained_stateful_distinct_matches_batch(spark, jsonl_dir, tmp_path):
+    """Two chained stateful aggregations (per-(window, service) dedup →
+    per-window distinct count) in APPEND mode: windows emit once the
+    watermark passes them, so a far-future flush line pushes every real
+    window closed; the emitted set must equal the batch lineage run on
+    the real lines."""
+    # flush sentinel: one line two days past the fixture's event times
+    flush = (
+        '{"ts":"2025-12-16T23:59:59Z","level":"INFO","msg":"flush",'
+        '"service":"zz_flush"}'
+    )
+    with open(os.path.join(jsonl_dir, "z_flush.jsonl"), "w") as f:
+        f.write(flush + "\n")
+
+    stream_df = SP.stream_pipeline(spark, jsonl_dir, CFG, max_files_per_trigger=1)
+    out = SP.windowed_distinct_services(stream_df)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("distinct_services")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ds"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["n_services"])
+        for r in spark.sql("SELECT * FROM distinct_services").collect()
+    }
+
+    batch = SP.windowed_distinct_services(
+        lognorm.run_pipeline(spark.read.text(jsonl_dir), CFG)
+    )
+    # batch includes the (open) flush window; streaming append only
+    # emits watermark-closed windows — compare the closed set
+    want_all = {(r["window_start"], r["n_services"]) for r in batch.collect()}
+    flush_windows = {w for w in want_all if w[0].year == 2025 and w[0].month == 12 and w[0].day == 16}
+    want_closed = want_all - flush_windows
+    assert got == want_closed and len(want_closed) > 0
