@@ -771,3 +771,136 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics (tokenizer-training step)
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+_BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+pairs AS (
+  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM vocab, unnest(range(1, len(term))) AS t(i)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+FROM pairs GROUP BY pair
+ORDER BY weight DESC, pair
+LIMIT {BPE_TOP}
+"""
+
+
+@register("bpe_pair_stats", oracle=_BPE_PAIRS_SQL, tags=("llmprep", "text"))
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: corpus-weighted
+    adjacent-symbol pair counts (here the character-pair base case —
+    each merge round would re-run the same shape over the merged
+    symbol sequences). Scale shape: the raw token stream collapses to
+    the distinct-word vocabulary FIRST (one hash-agg with map-side
+    partials — the corpus-size term never re-explodes), pairs then
+    expand per distinct word weighted by its frequency, and the global
+    top-k is TakeOrderedAndProject. This two-level aggregation is why
+    BPE training is tractable at 100 TB: pair counting is linear in
+    |vocab|, not corpus tokens."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select(F.explode(_words()).alias("raw")).select(
+        F.lower(F.col("raw")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    # guard 1-char terms: sequence(1, 0) steps DOWNWARD in Spark
+    # ([1, 0], not empty) — same pitfall ngram_indices documents
+    starts = F.when(
+        F.length("term") >= 2, F.sequence(F.lit(1), F.length("term") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pair = F.explode(
+        F.transform(starts, lambda i: F.col("term").substr(i, F.lit(2)))
+    )
+    return (
+        vocab.select(pair.alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental batch dedup (delta-ingest shape)
+# ---------------------------------------------------------------------------
+
+CORPUS_MAX_ID = 400  # doc_id < this plays the existing corpus; rest = new batch
+
+_CANON_SQL = (
+    "md5(array_to_string(list_filter(string_split_regex(lower(trim(text)), "
+    "'\\s+'), x -> x <> ''), ' '))"
+)
+
+_INCR_SQL = f"""
+WITH hashed AS (SELECT doc_id, source, {_CANON_SQL} AS h FROM documents),
+corpus AS (SELECT DISTINCT h FROM hashed WHERE doc_id < {CORPUS_MAX_ID}),
+batch AS (SELECT * FROM hashed WHERE doc_id >= {CORPUS_MAX_ID}),
+flagged AS (
+  SELECT b.doc_id, b.source, b.h,
+         CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS dup_corpus,
+         CASE WHEN b.doc_id > min(b.doc_id) OVER (PARTITION BY b.h) THEN 1 ELSE 0 END
+           AS dup_batch
+  FROM batch b LEFT JOIN corpus c ON b.h = c.h
+)
+SELECT source,
+       count(*) AS n_new,
+       CAST(sum(dup_corpus) AS BIGINT) AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN dup_corpus = 0 THEN dup_batch ELSE 0 END) AS BIGINT)
+         AS n_dup_within_batch,
+       CAST(sum(CASE WHEN dup_corpus = 0 AND dup_batch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique
+FROM flagged GROUP BY source
+"""
+
+
+@register("dedup_incremental_batch", oracle=_INCR_SQL, tags=("dedup", "llmprep"))
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the delta shape every continuously-fed
+    corpus runs instead of re-deduping 100 TB per drop: canonical-hash
+    the NEW batch, check it against the existing corpus's hash set, and
+    dedup within the batch itself; report per-source new / dup-vs-corpus
+    / dup-within-batch / unique counts. Scale: the join is keyed on the
+    32-byte digest; the batch side is the small one (broadcast it in
+    production — here left unhinted so AQE decides); within-batch dedup
+    is a window keyed on the hash (bounded groups). The corpus side is
+    only ever its hash column — at scale that column lives as its own
+    compact index table."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    canon = F.concat_ws(
+        " ",
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""),
+    )
+    hashed = d.select("doc_id", "source", F.md5(canon).alias("h"))
+    corpus = (
+        hashed.filter(F.col("doc_id") < CORPUS_MAX_ID).select("h").distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    batch = hashed.filter(F.col("doc_id") >= CORPUS_MAX_ID)
+    w = Window.partitionBy("h")
+    flagged = (
+        batch.join(corpus, "h", "left")
+        .withColumn("dup_corpus", F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0))
+        .withColumn(
+            "dup_batch",
+            F.when(F.col("doc_id") > F.min("doc_id").over(w), 1).otherwise(0),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("dup_corpus").alias("n_dup_vs_corpus"),
+        F.sum(
+            F.when(F.col("dup_corpus") == 0, F.col("dup_batch")).otherwise(0)
+        ).alias("n_dup_within_batch"),
+        F.sum(
+            F.when((F.col("dup_corpus") == 0) & (F.col("dup_batch") == 0), 1).otherwise(0)
+        ).alias("n_unique"),
+    )

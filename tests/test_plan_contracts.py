@@ -105,6 +105,12 @@ CONTRACTS = {
     # transition matrix: lag window partitioned by user_id (local
     # per-user sort), row totals joined back broadcast
     "events_markov_transitions": (["Window", "BroadcastHashJoin"], ["NestedLoop"]),
+    # BPE pair stats: token stream collapses to the vocab FIRST, pairs
+    # expand per distinct word, top-k never global-sorts
+    "bpe_pair_stats": (["TakeOrderedAndProject"], ["NestedLoop"]),
+    # incremental dedup: keyed hash join + hash-keyed window; never an
+    # all-pairs shape
+    "dedup_incremental_batch": (["Window"], ["NestedLoop"]),
 }
 
 
