@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report-path", default=None, help="JSON report output")
     p.add_argument("--prometheus-path", default=None, help="Prometheus text output")
     p.add_argument("--stream", action="store_true", help="Structured Streaming over an input dir")
+    p.add_argument("--sql", default=None,
+                   help="run an ANSI SQL statement over the registered tables "
+                        "(--sf-dir) and print JSONL rows to stdout")
+    p.add_argument("--sf-dir", default=None,
+                   help="table directory for --sql mode (parquet per table)")
     p.add_argument("--curate", action="store_true",
                    help="corpus-curation mode: clean a documents parquet "
                         "(quality gate -> exact dedup -> near-dup removal) "
@@ -241,6 +246,21 @@ def run_curate(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
         print(f"curate: {r['lang']}: kept {r['n_docs']} docs, {r['total_tokens']} tokens", file=sys.stderr)
 
 
+def run_sql(args: argparse.Namespace, spark: SparkSession) -> None:
+    """SQL front door: register the star-schema tables from --sf-dir as
+    temp views and execute one ANSI SQL statement, streaming the result
+    to stdout as JSONL. The statement goes through the same Catalyst
+    planning (pushdown, broadcast, AQE) as the DataFrame surface — the
+    two APIs are one engine. Results are collected via toLocalIterator
+    so the driver holds one partition at a time, not the full result."""
+    from k8s_log_etl_spark.tables import DEFAULT_SF_DIR, register_views
+
+    register_views(spark, args.sf_dir or DEFAULT_SF_DIR)
+    df = spark.sql(args.sql)
+    for row in df.toJSON().toLocalIterator():
+        print(row)
+
+
 def main(argv: list[str] | None = None) -> int:
     from k8s_log_etl_spark.logging_setup import setup_logging
 
@@ -249,6 +269,9 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging(cfg.log_level, cfg.log_format)
     spark = get_spark(app_name="k8s-log-etl-spark", master=args.master)
     try:
+        if args.sql:
+            run_sql(args, spark)
+            return 0
         if args.curate:
             run_curate(args, cfg, spark)
             return 0

@@ -289,3 +289,26 @@ def test_cli_curate_sf01_partition_pruning(spark, tmp_path, monkeypatch):
     assert f"= {one})" in pf[1].split("]", 1)[0], plan[:1500]
     n_one, n_all = pruned.count(), whole.count()
     assert 0 < n_one < n_all
+
+
+def test_cli_sql_mode(capsys):
+    """--sql runs ANSI SQL over the registered tables and prints JSONL."""
+    import json
+
+    from k8s_log_etl_spark import cli
+
+    rc = cli.main(
+        [
+            "--sql",
+            "SELECT n_name FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out == [
+        {"n_name": "NATION_0"},
+        {"n_name": "NATION_1"},
+        {"n_name": "NATION_2"},
+    ]
