@@ -421,3 +421,145 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("d") * DIST_QUANT).cast("bigint")) / DIST_QUANT, 6
         ).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization codebook training (PQ — the fine quantizer)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                  # subspaces (64 dims -> 4 x 16)
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 4                  # codewords per subspace
+PQ_ITERS = 2
+
+
+def _pq_sql() -> str:
+    """Unrolled Lloyd's per subspace (same determinism contract as
+    _kmeans_sql: fixed init, ties to lowest codeword, 6-dp centroid
+    rounding between rounds, integer-quantized inertia)."""
+    parts = []
+    finals = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        sub = f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
+        parts.append(
+            f"""s{m} AS (SELECT vec_id, {sub} AS sv FROM embeddings)"""
+        )
+        parts.append(
+            f"""c{m}_0 AS (SELECT vec_id AS k, sv AS cvec FROM s{m} WHERE vec_id < {PQ_K})"""
+        )
+        prev = f"c{m}_0"
+        for it in range(1, PQ_ITERS + 1):
+            assign = f"a{m}_{it}"
+            parts.append(f"""{assign} AS (
+  SELECT vec_id, sv, k, d FROM (
+    SELECT e.vec_id, e.sv, c.k,
+           {_sqdist_sql('e.sv', 'c.cvec')} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_sqdist_sql('e.sv', 'c.cvec')}, c.k
+           ) AS rn
+    FROM s{m} e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+            if it < PQ_ITERS:
+                cent = f"c{m}_{it}"
+                parts.append(f"""{cent} AS (
+  SELECT k, list(cv ORDER BY dim) AS cvec FROM (
+    SELECT a.k, t.i AS dim, round(avg(a.sv[t.i + 1]), 6) AS cv
+    FROM a{m}_{it} a, unnest(range({PQ_SUBDIM})) AS t(i)
+    GROUP BY a.k, t.i
+  ) GROUP BY k
+)""")
+                prev = cent
+        finals.append(
+            f"""SELECT {m} AS subspace, k AS codeword, count(*) AS n_vecs,
+       round(sum(CAST(round(d * {DIST_QUANT}) AS BIGINT)) * 1.0 / {DIST_QUANT}, 6)
+         AS inertia
+FROM a{m}_{PQ_ITERS} GROUP BY k"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("pq_codebook_train", oracle=_pq_sql(), tags=("similarity",))
+def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training — the fine quantizer an
+    IVF-PQ index pairs with the coarse cells (kmeans_ivf_train): the
+    64-dim embedding splits into PQ_M contiguous 16-dim subspaces, each
+    trained with its own deterministic Lloyd's loop, so a vector
+    compresses to PQ_M codeword ids (here 4 x 2 bits). Output: per
+    (subspace, codeword) population and quantization inertia — the
+    codebook quality report.
+
+    Scale shape: ALL subspaces train in one pass per round — the
+    assignment select computes every subspace's argmin off broadcast
+    literal centroids map-side (no join), and the centroid update is a
+    single two-level explode (subspace struct → sub-dimension) into one
+    (m, k, dim) hash-aggregate whose output is PQ_M·K·SUBDIM rows
+    collected to the driver (the Lloyd's sync point, same as
+    kmeans_ivf_train). Same cross-engine determinism contract: 6-dp
+    centroid rounding between rounds, sequential-fold distances,
+    integer-quantized inertia."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+
+    def subvec(m: int) -> F.Column:
+        return F.slice(
+            F.transform("embedding", lambda x: x.cast("double")),
+            m * PQ_SUBDIM + 1,
+            PQ_SUBDIM,
+        )
+
+    init = e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+    cents = {
+        m: {
+            int(r["vec_id"]): [
+                float(x) for x in r["embedding"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            ]
+            for r in init
+        }
+        for m in range(PQ_M)
+    }
+
+    def sqdist(sv: F.Column, cvec: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(v) for v in cvec])
+        return F.aggregate(
+            F.zip_with(sv, arr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for it in range(1, PQ_ITERS + 1):
+        cols = []
+        for m in range(PQ_M):
+            sv = subvec(m)
+            dists = F.array(*[sqdist(sv, cents[m][k]) for k in range(PQ_K)])
+            cols.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
+                    F.array_min(dists).alias("d"),
+                    sv.alias("sv"),
+                )
+            )
+        assigned = e.select("vec_id", F.explode(F.array(*cols)).alias("a")).select(
+            "vec_id", "a.m", "a.k", "a.d", "a.sv"
+        )
+        if it < PQ_ITERS:
+            rows = (
+                assigned.select("m", "k", F.posexplode("sv").alias("dim", "x"))
+                .groupBy("m", "k", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("cv"))
+                .collect()
+            )
+            cents = {m: {k: [0.0] * PQ_SUBDIM for k in range(PQ_K)} for m in range(PQ_M)}
+            for r in rows:
+                cents[int(r["m"])][int(r["k"])][int(r["dim"])] = float(r["cv"])
+
+    return assigned.groupBy(
+        F.col("m").alias("subspace"), F.col("k").alias("codeword")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("d") * DIST_QUANT).cast("bigint")) / DIST_QUANT, 6
+        ).alias("inertia"),
+    )

@@ -111,6 +111,9 @@ CONTRACTS = {
     # incremental dedup: keyed hash join + hash-keyed window; never an
     # all-pairs shape
     "dedup_incremental_batch": (["Window"], ["NestedLoop"]),
+    # PQ training: like kmeans, assignment rides literal centroids —
+    # join-free map-side pass, one (m, k) aggregate
+    "pq_codebook_train": ([], ["Join"]),
 }
 
 

@@ -79,3 +79,25 @@ def test_csv_source_with_corrupt_record_accounting(spark, tmp_path):
     assert bad.count() == 1
     # quoted comma survives CSV parsing
     assert ok.filter(F.col("message") == "oom, killed").count() == 1
+
+
+def test_orc_roundtrip_preserves_events(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format Spark ships natively — a
+    corpus drop in ORC must read back identically (schema + values) to
+    the parquet source of truth."""
+    from k8s_log_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    a = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("event_id", "user_id", "event_type")).alias("h"),
+    ).collect()[0]
+    b = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("event_id", "user_id", "event_type")).alias("h"),
+    ).collect()[0]
+    assert (a["n"], a["h"]) == (b["n"], b["h"]) and a["n"] > 0
