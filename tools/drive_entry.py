@@ -59,7 +59,13 @@ def _multiset(pdf: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     only = set(sys.argv[1:])
-    spark = get_spark(app_name="verify-drive", master="local[8]", shuffle_partitions=8)
+    # DRIVE_CPUS lets a robustness pass re-run the whole sweep under a
+    # different parallelism — catches partition-order-dependent float
+    # aggregation that a single fixed layout would hide.
+    cpus = int(os.environ.get("DRIVE_CPUS", "8"))
+    spark = get_spark(
+        app_name="verify-drive", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
 
     df = E.entry(spark)
     rows = df.collect()
