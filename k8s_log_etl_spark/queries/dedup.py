@@ -754,3 +754,54 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_score"), 6).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification of near-dup candidates (fuzzy dedup)
+# ---------------------------------------------------------------------------
+
+EDIT_MIN_COMMON = 10   # candidate gate: >= this many shared trigrams
+EDIT_MAX_DIST = 20     # verified near-dup: Levenshtein <= this
+
+_EDIT_SQL = f"""
+WITH {_SHINGLES_CTE},
+capped AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {POSTING_CAP}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN capped USING (s)),
+common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= {EDIT_MIN_COMMON})
+SELECT da AS doc_a, db AS doc_b,
+       levenshtein(x.text, y.text) AS edit_dist
+FROM common
+JOIN documents x ON da = x.doc_id
+JOIN documents y ON db = y.doc_id
+WHERE levenshtein(x.text, y.text) <= {EDIT_MAX_DIST}
+"""
+
+
+@register("dedup_edit_distance", oracle=_EDIT_SQL, tags=("dedup",))
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup verification: exact Levenshtein distance over the
+    inverted-index CANDIDATE pairs only (≥ EDIT_MIN_COMMON shared
+    trigrams via posting_pairs), confirming near-dups at ≤
+    EDIT_MAX_DIST edits. The O(len²)-per-pair distance never touches
+    the full corpus cross product — the candidate gate bounds it to the
+    pairs the cheap index already flagged, which is the only way an
+    edit-distance verify survives 100 TB. Distances are exact integers
+    (unit-cost Levenshtein, identical in Spark and DuckDB)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    _, pairs = posting_pairs(_shingles(spark, sf_dir))
+    cand = pairs.filter(F.col("c") >= EDIT_MIN_COMMON)
+    x = d.select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
+    y = d.select(F.col("doc_id").alias("db"), F.col("text").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        cand.join(x, "da")
+        .join(y, "db")
+        .filter(dist <= EDIT_MAX_DIST)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+    )

@@ -114,6 +114,9 @@ CONTRACTS = {
     # PQ training: like kmeans, assignment rides literal centroids —
     # join-free map-side pass, one (m, k) aggregate
     "pq_codebook_train": ([], ["Join"]),
+    # edit-distance verify runs ONLY over inverted-index candidates
+    # (checkpointed grouped postings), never an all-pairs product
+    "dedup_edit_distance": (["Scan ExistingRDD"], ["NestedLoop"]),
 }
 
 
