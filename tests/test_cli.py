@@ -291,12 +291,14 @@ def test_cli_curate_sf01_partition_pruning(spark, tmp_path, monkeypatch):
     assert 0 < n_one < n_all
 
 
-def test_cli_sql_mode(capsys):
+def test_cli_sql_mode(spark, capsys, monkeypatch):
     """--sql runs ANSI SQL over the registered tables and prints JSONL."""
     import json
 
     from k8s_log_etl_spark import cli
 
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
     rc = cli.main(
         [
             "--sql",
