@@ -904,3 +904,58 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("dup_corpus") == 0) & (F.col("dup_batch") == 0), 1).otherwise(0)
         ).alias("n_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (integer-exact priorities)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_N = 100
+
+_WEIGHTED_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang, len({_WORDS_SQL}) AS w FROM documents
+  WHERE len({_WORDS_SQL}) > 0
+)
+SELECT doc_id, lang, CAST(w AS BIGINT) AS n_tokens,
+       {X.md5_long_sql("CAST(doc_id AS VARCHAR)")} // w AS priority
+FROM sized
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_N}
+"""
+
+
+@register("sample_weighted_topn", oracle=_WEIGHTED_SQL, tags=("llmprep",))
+def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sampling WITHOUT replacement: every doc gets the
+    deterministic priority md5(doc_id) div n_tokens — integer division,
+    so heavier documents sink toward the front of the order in
+    proportion to their weight — and the sample is the global lowest-N,
+    fully tie-broken by doc_id. The weighted companion to the
+    Bernoulli/stratified samplers: one pass, no state, reproducible
+    under re-partitioning, global top-N via TakeOrderedAndProject
+    (per-partition heaps, no global sort). Priorities stay in exact
+    integer arithmetic end to end, so the selection frontier is
+    bit-identical across engines — the float u^(1/w) form of A-ES would
+    make the cut nondeterministic at the ulp."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    sized = d.select("doc_id", "lang", F.size(_words()).alias("w")).filter(
+        F.col("w") > 0
+    )
+    h = X.md5_long(F.col("doc_id").cast("string"))
+    return (
+        sized.select(
+            "doc_id",
+            "lang",
+            F.col("w").cast("bigint").alias("n_tokens"),
+            h.alias("h"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("h div n_tokens").alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(WEIGHTED_N)
+    )

@@ -117,6 +117,9 @@ CONTRACTS = {
     # edit-distance verify runs ONLY over inverted-index candidates
     # (checkpointed grouped postings), never an all-pairs product
     "dedup_edit_distance": (["Scan ExistingRDD"], ["NestedLoop"]),
+    # weighted top-N sample: integer priorities, per-partition heaps —
+    # no global sort, no join, no window
+    "sample_weighted_topn": (["TakeOrderedAndProject"], ["Join", "Window"]),
 }
 
 
