@@ -1154,3 +1154,39 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(rev.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+CMS_EPS = 0.001   # over-count bound: eps * stream size
+CMS_CONF = 0.99
+
+
+@register("agg_countmin_events", tags=("agg", "approx"))
+def agg_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries — the third mergeable sketch
+    beside HLL++ and the percentile digest (agg_approx_events): one
+    pass builds a CMS over the event_type stream, then each type's
+    estimated frequency is read from the sketch. CMS never
+    under-counts and over-counts by at most eps·N with prob. conf —
+    bounded against exact counts in tests/test_approx.py (no DuckDB
+    oracle; sketch internals are engine-specific, driver records the
+    rows-only check). At 100 TB the sketch is a few KB per partition,
+    merged associatively — the shape of every streaming top-k/heavy-
+    hitter pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.agg(
+        F.expr(
+            f"count_min_sketch(event_type, {CMS_EPS}d, {CMS_CONF}d, 42)"
+        ).alias("cms")
+    )
+    types = ev.select("event_type").distinct()
+    # No SQL-side point-query function for CMS; read the (tiny) sketch
+    # on the driver via the Java API — one sketch, |event_types| probes.
+    sk_bytes = bytes(sketch.collect()[0]["cms"])
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    rows = [
+        (r["event_type"], int(cms.estimateCount(r["event_type"])))
+        for r in types.collect()
+    ]
+    return spark.createDataFrame(rows, "event_type string, est_count long")

@@ -33,3 +33,23 @@ def test_approx_within_bounds(spark, sf_dir):
         assert ex["lo"] <= p50 <= ex["hi"]
         assert p50 == pytest.approx(ex["p50"], rel=0.05, abs=1.0)
         assert p50 <= p95 <= p99 <= ex["hi"]
+
+
+def test_countmin_bounds(spark, sf_dir):
+    """CMS never under-counts; over-counts by at most eps*N (w.h.p.)."""
+    from k8s_log_etl_spark.queries.relational import CMS_EPS, agg_countmin_events
+
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in agg_countmin_events(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    exact = {
+        r["event_type"]: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    assert set(est) == set(exact)
+    for etype, e in est.items():
+        assert e >= exact[etype]
+        assert e <= exact[etype] + CMS_EPS * n + 1
