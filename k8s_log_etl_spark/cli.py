@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(--sf-dir) and print JSONL rows to stdout")
     p.add_argument("--sf-dir", default=None,
                    help="table directory for --sql mode (parquet per table)")
+    p.add_argument("--state-path", default=None,
+                   help="curate mode: parquet dir of previously-kept canonical "
+                        "hashes; new drops are deduped against it and the "
+                        "state is extended with this run's survivors")
     p.add_argument("--curate", action="store_true",
                    help="corpus-curation mode: clean a documents parquet "
                         "(quality gate -> exact dedup -> near-dup removal) "
@@ -210,12 +214,40 @@ def run_stream(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
 def run_curate(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSession) -> None:
     """Corpus-curation mode: the §2c cleaning chain over a documents
     parquet (columns doc_id/lang/text/...), survivors written as
-    parquet, per-language budget report to stderr (and --report-path)."""
+    parquet, per-language budget report to stderr (and --report-path).
+
+    Incremental mode (--state-path): the production delta loop. The
+    state table holds the canonical md5 of every document ever kept;
+    new drops are anti-joined against it BEFORE the expensive
+    clean/near-dup stages (keyed on the 32-byte digest — constant
+    shuffle width regardless of document size), and the state is
+    extended with this run's survivors. Re-running the same drop is a
+    no-op; at 100 TB only the delta pays cleaning cost."""
+    import os as _os
+
     from k8s_log_etl_spark.queries.text import corpus_survivors
 
     if not cfg.output_path:
         raise SystemExit("--output-path required in --curate mode")
     docs = spark.read.parquet(cfg.input_path)
+
+    n_seen_dropped = 0
+    if args.state_path:
+        canon = F.concat_ws(
+            " ",
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+            ),
+        )
+        docs = docs.withColumn("_h", F.md5(canon))
+        if _os.path.isdir(args.state_path) and _os.listdir(args.state_path):
+            seen = spark.read.parquet(args.state_path).select("h").distinct()
+            before = docs.count()
+            docs = docs.join(
+                seen.withColumnRenamed("h", "_h"), "_h", "left_anti"
+            ).cache()
+            n_seen_dropped = before - docs.count()
+
     survivors = corpus_survivors(docs).cache()
     # Partitioned by lang: downstream per-language reads (sampling,
     # packing, mixing) prune to their partition instead of scanning the
@@ -223,6 +255,16 @@ def run_curate(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
     survivors.drop("n_tokens").write.mode("overwrite").partitionBy("lang").parquet(
         cfg.output_path
     )
+    if args.state_path:
+        # Extend the state with this run's kept hashes (append-only,
+        # tiny rows: one digest per survivor).
+        (
+            docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
+            .select(F.col("_h").alias("h"))
+            .distinct()
+            .write.mode("append")
+            .parquet(args.state_path)
+        )
     stats = (
         survivors.groupBy("lang")
         .agg(
@@ -234,6 +276,7 @@ def run_curate(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
     )
     survivors.unpersist()
     report = {
+        "seen_dropped": n_seen_dropped,
         "kept_docs": sum(r["n_docs"] for r in stats),
         "by_lang": {r["lang"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]} for r in stats},
     }

@@ -314,3 +314,35 @@ def test_cli_sql_mode(spark, capsys, monkeypatch):
         {"n_name": "NATION_1"},
         {"n_name": "NATION_2"},
     ]
+
+
+def test_cli_curate_incremental_state(spark, tmp_path, monkeypatch):
+    """--state-path makes curation incremental: re-curating the same
+    drop anti-joins every previously-kept canonical hash away up front,
+    so the rerun's 'seen_dropped' equals the first run's kept count and
+    nothing kept twice shares a hash with the state."""
+    import json
+
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    state = str(tmp_path / "state")
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    rep1, rep2 = str(tmp_path / "r1.json"), str(tmp_path / "r2.json")
+
+    rc = cli.main(
+        ["--curate", "--input", src, "--output-path", out1,
+         "--state-path", state, "--report-path", rep1]
+    )
+    assert rc == 0
+    r1 = json.load(open(rep1))
+    assert r1["seen_dropped"] == 0 and r1["kept_docs"] > 0
+
+    rc = cli.main(
+        ["--curate", "--input", src, "--output-path", out2,
+         "--state-path", state, "--report-path", rep2]
+    )
+    assert rc == 0
+    r2 = json.load(open(rep2))
+    assert r2["seen_dropped"] == r1["kept_docs"]
+    assert r2["kept_docs"] < r1["kept_docs"]
