@@ -101,6 +101,14 @@ _CHECKED_FIRST = [
     # oracle run keeps covering them every time)
     "multimodal_decode_stats",
 ]
+# ROUND-4 ROTATION NOTE: queries registered after the 50-slot window
+# filled this round have no driver row yet and should take slots next
+# round: text_boilerplate_phrases, events_markov_transitions,
+# bpe_pair_stats, dedup_incremental_batch, dedup_edit_distance,
+# sample_weighted_topn, pq_codebook_train (+ later additions; all are
+# green in tools/drive_entry.py and tests/test_oracle_parity.py).
+# agg_countmin_events is sketch-only (no oracle, bounded in
+# tests/test_approx.py) — do NOT give it a checked slot.
 
 
 def load_all() -> dict[str, QuerySpec]:

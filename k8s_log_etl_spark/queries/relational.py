@@ -1190,3 +1190,89 @@ def agg_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in types.collect()
     ]
     return spark.createDataFrame(rows, "event_type string, est_count long")
+
+
+# ---------------------------------------------------------------------------
+# order-priority check (TPC-H Q4 shape: EXISTS semi-join + tally)
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4_SQL, tags=("join", "agg"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: orders from one quarter having at
+    least one line item shipped after the order date, tallied by
+    priority. The EXISTS becomes a LeftSemi join keyed on orderkey with
+    the l_shipdate > o_orderdate residual riding the join — the quarter
+    predicate prunes the orders scan first, so the semi join probes only
+    one quarter's keys. One shuffle + a tiny priority tally."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# late-shipment share (TPC-H Q12 shape: join + two conditional tallies)
+# ---------------------------------------------------------------------------
+
+LATE_DAYS = 90
+
+_Q12_SQL = f"""
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_items,
+       count(*) AS total_items,
+       round(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS late_share
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("q12_late_shipments", oracle=_Q12_SQL, tags=("join", "agg"))
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-SLA report: per order priority, the
+    share of line items shipped more than LATE_DAYS after their order
+    date. Fact-fact equi-join on orderkey (AQE handles skew), both
+    tallies in one conditional-aggregation pass — exact timestamp
+    interval arithmetic, integer counts, division at the boundary."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"),
+        1,
+    ).otherwise(0)
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("late_items"),
+            F.count(F.lit(1)).alias("total_items"),
+            F.round(F.sum(late) / F.count(F.lit(1)), 6).alias("late_share"),
+        )
+    )

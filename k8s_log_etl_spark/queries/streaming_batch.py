@@ -499,3 +499,47 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rate-based bot detection (events per user-minute over threshold)
+# ---------------------------------------------------------------------------
+
+BOT_RATE_PER_MIN = 2
+
+_BOT_SQL = f"""
+WITH per_min AS (
+  SELECT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS hot_minutes,
+       CAST(max(n) AS BIGINT) AS peak_per_min,
+       CAST(sum(n) AS BIGINT) AS events_in_hot_minutes
+FROM per_min WHERE n >= {BOT_RATE_PER_MIN}
+GROUP BY user_id
+"""
+
+
+@register("events_bot_rate_flags", oracle=_BOT_SQL, tags=("events",))
+def events_bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot/abuse flagging — the complement of the
+    distributional z-score screen: users with minutes at or above
+    BOT_RATE_PER_MIN events, with their hot-minute count and peak rate.
+    Two hash-aggregates, both keyed on high-cardinality (user, minute)
+    then user — map-side partials absorb the raw stream, no windows,
+    no joins; the per-minute tally is exactly the keyed pre-aggregation
+    a streaming twin would maintain under a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = (
+        ev.select("user_id", F.date_trunc("minute", "ts").alias("minute"))
+        .groupBy("user_id", "minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= BOT_RATE_PER_MIN)
+    )
+    return per_min.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("hot_minutes"),
+        F.max("n").alias("peak_per_min"),
+        F.sum("n").alias("events_in_hot_minutes"),
+    )

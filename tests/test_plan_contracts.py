@@ -120,6 +120,10 @@ CONTRACTS = {
     # weighted top-N sample: integer priorities, per-partition heaps —
     # no global sort, no join, no window
     "sample_weighted_topn": (["TakeOrderedAndProject"], ["Join", "Window"]),
+    # Q4 EXISTS: a LeftSemi with the date residual riding the join
+    "q4_order_priority": (["LeftSemi"], ["NestedLoop"]),
+    # bot rate: two keyed hash-aggs, nothing else
+    "events_bot_rate_flags": ([], ["Join", "Window"]),
 }
 
 
