@@ -1276,3 +1276,68 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(late) / F.count(F.lit(1)), 6).alias("late_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact grouped percentiles
+# ---------------------------------------------------------------------------
+
+_PCTL_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("orders_price_percentiles", oracle=_PCTL_SQL, tags=("agg",))
+def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of order value per priority — Spark's
+    percentile() and DuckDB's quantile_cont share the same linear-
+    interpolation definition, so the values hash-match exactly (the
+    same equivalence rfm_segments' cut-points rely on). Exact grouped
+    percentiles sort within each group; at 100 TB swap in
+    percentile_approx per group (mergeable sketch) exactly as
+    agg_approx_events does globally."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking-function matrix completion (dense_rank / percent_rank)
+# ---------------------------------------------------------------------------
+
+_DENSE_SQL = """
+SELECT s_nationkey, s_suppkey,
+       dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+         AS balance_rank,
+       round(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey), 6)
+         AS balance_pct_rank
+FROM supplier
+"""
+
+
+@register("supplier_rank_dense", oracle=_DENSE_SQL, tags=("window",))
+def supplier_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + percent_rank per nation — completes the ranking-
+    function matrix beside row_number (topk), lag (gap), and ntile
+    (superseded by cut-points in rfm). Window partitioned by the
+    nation key; fully tie-broken ordering makes both ranks
+    engine-exact."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.dense_rank().over(w).alias("balance_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+    )

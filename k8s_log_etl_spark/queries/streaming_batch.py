@@ -543,3 +543,61 @@ def events_bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("peak_per_min"),
         F.sum("n").alias("events_in_hot_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+grouped AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS streak_days,
+         CAST(min(day) AS TIMESTAMP) AS streak_start
+  FROM grouped GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(max(streak_days) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks,
+       min(streak_start) AS first_streak_start
+FROM streaks GROUP BY user_id
+"""
+
+
+@register("events_activity_streaks", oracle=_STREAK_SQL, tags=("events",))
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user via the classic
+    gaps-and-islands construction: distinct (user, day), then
+    day - row_number() is constant within a consecutive run, so one
+    grouped count per (user, island) yields streak lengths. The
+    engagement metric behind DAU retention dashboards. Scale: the
+    window partitions on the high-cardinality user key (local sorts of
+    per-user day lists), everything else is keyed hash-aggregates —
+    the same discipline as events_markov_transitions."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").cast("timestamp").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("streak_start").alias("first_streak_start"),
+    )
