@@ -959,3 +959,112 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("priority"), F.asc("doc_id"))
         .limit(WEIGHTED_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# capstone 2: training-mix pipeline (decontam → balance → split)
+# ---------------------------------------------------------------------------
+
+_MIX_PIPE_SQL = f"""
+WITH words AS (SELECT doc_id, source, lang, {_WORDS_SQL} AS w FROM documents),
+bench AS (
+  SELECT DISTINCT {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id < {BENCH_DOCS}
+),
+corpus_grams AS (
+  SELECT DISTINCT doc_id, {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id >= {BENCH_DOCS}
+),
+hits AS (SELECT DISTINCT c.doc_id FROM corpus_grams c JOIN bench b ON c.g = b.g),
+clean AS (
+  SELECT w.doc_id, w.source, w.lang, len(w.w) AS n_tokens
+  FROM words w LEFT JOIN hits h ON w.doc_id = h.doc_id
+  WHERE w.doc_id >= {BENCH_DOCS} AND h.doc_id IS NULL
+),
+by_source AS (SELECT source, count(*) AS n_docs FROM clean GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM by_source),
+rates AS (
+  SELECT source,
+         least((1.0 / n_sources) / (n_docs * 1.0 / total), 1.0) AS keep_rate
+  FROM by_source, tot
+),
+sampled AS (
+  SELECT c.* FROM clean c JOIN rates r ON c.source = r.source
+  WHERE {X.md5_long_sql("CAST(c.doc_id AS VARCHAR)")} % 1000000
+        < CAST(r.keep_rate * 1000000 AS BIGINT)
+),
+assigned AS (
+  SELECT source,
+         CASE WHEN {X.md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN {X.md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         n_tokens
+  FROM sampled
+)
+SELECT split, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned GROUP BY split, source
+"""
+
+
+@register("training_mix_pipeline", oracle=_MIX_PIPE_SQL, tags=("llmprep", "text"))
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone 2 — the data-MIX chain that follows cleaning
+    (corpus_clean_pipeline is capstone 1): benchmark decontamination →
+    domain-balancing keep-rates → deterministic train/val/test split →
+    per-(split, source) doc/token budgets. One Catalyst lineage reusing
+    the building blocks above: the benchmark gram set is tiny and
+    broadcast into a semi-join, the rates frame is |sources| rows
+    broadcast, and both the sampling and split decisions are pure
+    map-side hash predicates — after the decontam semi-join the whole
+    pipeline is shuffle-free until the final tiny aggregate, exactly
+    the 100 TB shape."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    grams = F.transform(
+        ngram_indices(w, CONTAM_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
+    )
+    exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    bench_grams = exploded.filter(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
+    contaminated = (
+        exploded.filter(F.col("doc_id") >= BENCH_DOCS)
+        .join(F.broadcast(bench_grams), "g", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        d.filter(F.col("doc_id") >= BENCH_DOCS)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", F.size(w).alias("n_tokens"))
+    )
+    by_source = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = by_source.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rates = by_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            (F.lit(1.0) / F.col("n_sources")) / (F.col("n_docs") / F.col("total")),
+            F.lit(1.0),
+        ).alias("keep_rate"),
+    )
+    h = X.md5_long(F.col("doc_id").cast("string"))
+    sampled = clean.join(F.broadcast(rates), "source").filter(
+        h % 1_000_000 < (F.col("keep_rate") * 1_000_000).cast("bigint")
+    )
+    bucket = h % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        sampled.select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -1341,3 +1341,108 @@ def supplier_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("balance_rank"),
         F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth (lag over an aggregated frame)
+# ---------------------------------------------------------------------------
+
+_YOY_SQL = """
+WITH yearly AS (
+  SELECT n_name, year(o_orderdate) AS order_year,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, order_year, revenue,
+       round(CASE WHEN lag(revenue) OVER w IS NULL OR lag(revenue) OVER w = 0
+                  THEN 0.0
+                  ELSE (revenue - lag(revenue) OVER w) / lag(revenue) OVER w END, 6)
+         AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY n_name ORDER BY order_year)
+"""
+
+
+@register("nation_revenue_yoy", oracle=_YOY_SQL, tags=("window", "agg"))
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation: the lag
+    window runs over the ALREADY-AGGREGATED (nation, year) frame —
+    |nations|·|years| rows — not raw orders, so the window cost is
+    trivial at any scale; the heavy lifting is one broadcast-dim join +
+    hash-aggregate. DECIMAL sums make lag inputs engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    growth = F.when(
+        prev.isNull() | (prev == 0), F.lit(0.0)
+    ).otherwise((F.col("revenue") - prev) / prev)
+    return yearly.select(
+        "n_name", "order_year", "revenue", F.round(growth, 6).alias("yoy_growth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust outliers via median absolute deviation
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT p_type, quantile_cont(p_retailprice, 0.5) AS med
+  FROM part GROUP BY p_type
+),
+dev AS (
+  SELECT p.p_type, p.p_partkey, p.p_retailprice, m.med,
+         abs(p.p_retailprice - m.med) AS adev
+  FROM part p JOIN med m ON p.p_type = m.p_type
+),
+mad AS (
+  SELECT p_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY p_type
+)
+SELECT d.p_type,
+       count(*) AS n_parts,
+       CAST(sum(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.p_type = m.p_type
+GROUP BY d.p_type
+"""
+
+
+@register("part_price_outliers_mad", oracle=_MAD_SQL, tags=("agg",))
+def part_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median absolute deviation per part type
+    (immune to the very outliers a mean/stddev z-score absorbs —
+    the robust sibling of events_anomaly_zscore). Two exact-percentile
+    aggregates over tiny key spaces, both stat frames broadcast back,
+    flagging is map-side. Spark percentile() ≡ DuckDB quantile_cont
+    keeps medians engine-exact."""
+    p = load_table(spark, sf_dir, "part")
+    med = p.groupBy("p_type").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("med")
+    )
+    dev = p.join(F.broadcast(med), "p_type").withColumn(
+        "adev", F.abs(F.col("p_retailprice") - F.col("med"))
+    )
+    mad = dev.groupBy("p_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

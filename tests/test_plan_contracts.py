@@ -124,6 +124,14 @@ CONTRACTS = {
     "q4_order_priority": (["LeftSemi"], ["NestedLoop"]),
     # bot rate: two keyed hash-aggs, nothing else
     "events_bot_rate_flags": ([], ["Join", "Window"]),
+    # YoY: the lag window runs over the aggregated (nation, year)
+    # frame, never raw orders; dims broadcast
+    "nation_revenue_yoy": (["Window", "BroadcastHashJoin"], ["NestedLoop"]),
+    # MAD: both stat frames broadcast back, flagging map-side
+    "part_price_outliers_mad": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # mix capstone: bench grams broadcast semi-join; sampling + split
+    # are map-side hash predicates
+    "training_mix_pipeline": (["BroadcastHashJoin"], []),
 }
 
 
