@@ -1008,7 +1008,7 @@ FROM assigned GROUP BY split, source
 """
 
 
-@register("training_mix_pipeline", oracle=_MIX_PIPE_SQL, tags=("llmprep", "text"))
+@register("training_mix_pipeline", oracle=_MIX_PIPE_SQL, tags=("llmprep", "text"), bench=True)
 def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone 2 — the data-MIX chain that follows cleaning
     (corpus_clean_pipeline is capstone 1): benchmark decontamination →
