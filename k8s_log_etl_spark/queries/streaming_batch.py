@@ -601,3 +601,53 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.min("streak_start").alias("first_streak_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# top 3-step behavior paths (double-lag sequence mining)
+# ---------------------------------------------------------------------------
+
+PATHS_TOP = 10
+
+_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path, count(*) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {PATHS_TOP}
+"""
+
+
+@register("events_top_paths", oracle=_PATHS_SQL, tags=("events",))
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavior paths — sequence mining one order above the
+    transition matrix (events_markov_transitions): two lags over the
+    per-user event stream form each sliding 3-gram of event types, one
+    hash-aggregate counts them, TakeOrderedAndProject keeps the top
+    paths. Both lags share ONE window (single per-user local sort);
+    path cardinality is |event_types|³ — the aggregate output stays
+    tiny at any stream volume."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    path = F.concat_ws(" > ", F.col("p2"), F.col("p1"), F.col("event_type"))
+    return (
+        seq.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATHS_TOP)
+    )
