@@ -1446,3 +1446,391 @@ def part_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# top-revenue supplier via aggregate-max scalar (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev r ON s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL, tags=("join", "agg", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    keep the supplier(s) achieving the global maximum (the reference's
+    pipeline has no aggregate-derived scalar anywhere — SURVEY.md §2b).
+    One hash-agg on l_suppkey (partial map-side), then the 1-row max is
+    broadcast back as a cross-join literal and the equality filter runs
+    map-side over the |suppliers|-row agg frame — no second shuffle, no
+    total sort. DECIMAL revenue keeps the max frontier engine-exact
+    (a double max could tie differently across engines)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# small-quantity revenue with a correlated per-group average (TPC-H Q17)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+WITH avgq AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey
+JOIN avgq a ON a.l_partkey = l.l_partkey
+WHERE p_brand = 'Brand#12'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * a.cnt * 5 < a.sum_qty
+"""
+
+
+@register("q17_small_qty_revenue", oracle=_Q17_SQL, tags=("join", "agg", "subquery"))
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average filter: revenue from orders
+    below 20%% of the part's average order quantity. The correlated
+    scalar subquery decorrelates to one hash-agg per partkey joined back
+    to lineitem on the same key — at 100 TB both sides shuffle on
+    l_partkey once and AQE handles hot parts. The 20%%-of-average
+    threshold is compared in exact integer/decimal cross-multiplied form
+    (qty*cnt*5 < sum_qty) instead of a double average, so the inclusion
+    frontier can't flip on an engine's ulp (ADVICE.md round-2 pattern).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    avgq = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avgq, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(_dec("l_quantity") * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# large-volume orders via grouped-HAVING IN subquery (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       CAST(b.sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big b ON o_orderkey = b.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_orders", oracle=_Q18_SQL, tags=("join", "agg", "topk"))
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total line
+    quantity exceeds 300, with buyer, ranked by order value. The IN
+    (GROUP BY ... HAVING) subquery decorrelates to a hash-agg on
+    l_orderkey whose surviving frontier is tiny (<1%% of orders), so it
+    is broadcast into the orders scan — the big fact table never
+    shuffles — and the orders⋈customer leg reuses the already-tiny
+    qualified slice as the broadcast side. Global top-100 is
+    TakeOrderedAndProject (per-partition heads), tie-broken by
+    o_orderkey; quantities summed in DECIMAL so the >300 frontier and
+    the sort are engine-exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    qualified = o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        c.join(F.broadcast(qualified), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _dec("o_totalprice").cast("double").alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sole-late supplier on multi-supplier orders (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("q21_sole_late_supplier", oracle=_Q21_SQL, tags=("join", "subquery", "topk"))
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped blame assignment: suppliers whose late line items
+    (shipped >90 days after the order date, finished orders only) were
+    the ONLY late deliveries on orders involving at least two suppliers.
+    The EXISTS / NOT-EXISTS pair over the same fact table decorrelates
+    to two per-orderkey aggregates — distinct-supplier count >= 2 over
+    all lines (the EXISTS) and distinct-late-supplier count == 1 over
+    late lines (the NOT EXISTS) — both hash-aggs sharing the orderkey
+    shuffle that the late⋈orders join already pays, so no correlated
+    re-scan per row, which is what would melt at 100 TB. Oracle keeps
+    the literal EXISTS/NOT EXISTS form to pin the rewrite's
+    equivalence. Top-10 tie-broken by supplier name."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    late = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    multi = (
+        l.groupBy(F.col("l_orderkey").alias("m_orderkey"))
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("m_orderkey")
+    )
+    sole = (
+        late.groupBy(F.col("l_orderkey").alias("s_orderkey"))
+        .agg(F.count_distinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("s_orderkey")
+    )
+    return (
+        late.join(multi, F.col("l_orderkey") == F.col("m_orderkey"), "left_semi")
+        .join(sole, F.col("l_orderkey") == F.col("s_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dormant high-balance customers (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+_Q22_CODES = ("01", "12", "23", "34", "45", "56", "67")
+
+_Q22_SQL = f"""
+WITH coded AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         right(c_name, 2) AS cntrycode
+  FROM customer
+  WHERE right(c_name, 2) IN {_Q22_CODES!r}
+),
+avgbal AS (
+  SELECT sum(bal) AS sum_bal, count(*) AS cnt
+  FROM coded WHERE bal > 0
+)
+SELECT cntrycode, count(*) AS numcust,
+       CAST(sum(bal) AS DOUBLE) AS totacctbal
+FROM coded, avgbal
+WHERE bal * cnt > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY cntrycode
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_SQL, tags=("join", "subquery"))
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped sales opportunity: customers in selected country
+    codes (last two digits of the customer name — the schema has no
+    phone column) with above-average positive balances and no orders in
+    the final 14 months (every customer in the test data has SOME order,
+    so literal Q22 "no orders ever" is vacuously empty — dormancy since
+    a cutoff keeps the anti-join shape AND a non-trivial result). Three
+    classic shapes in one query: a substring-derived group key, a
+    global-scalar threshold (1-row sum/count frame broadcast via cross
+    join, compared exactly as bal*cnt > sum to avoid double-avg ulps),
+    and NOT EXISTS as a left-anti join against the date-pruned orders
+    slice — at 100 TB the anti join shuffles both sides on custkey once,
+    each side pre-filtered (code set / date pushdown) first."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
+    coded = c.filter(
+        F.expr("right(c_name, 2)").isin(*_Q22_CODES)
+    ).select(
+        "c_custkey",
+        _dec("c_acctbal").alias("bal"),
+        F.expr("right(c_name, 2)").alias("cntrycode"),
+    )
+    avgbal = coded.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sum_bal"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        coded.join(F.broadcast(avgbal))
+        .filter(F.col("bal") * F.col("cnt") > F.col("sum_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# national market share within a region (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+WITH sales AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM sales
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_SQL, tags=("join", "agg"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: one nation's fraction of regional
+    revenue for one part type, per order year — the share-of-total
+    pattern as a single grouped conditional aggregation (no second pass
+    over the data for the denominator). Plan shape at 100 TB: the
+    selective part filter broadcasts into lineitem so the fact table is
+    pruned before its only shuffle (orderkey, against the date-pruned
+    orders slice); supplier, both nation legs, region, and the
+    region-restricted customer side are broadcast dims. Numerator and
+    denominator are exact DECIMAL sums, divided once per output row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust_in_region = (
+        c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("volume", volume)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )

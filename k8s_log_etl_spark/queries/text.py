@@ -594,3 +594,119 @@ def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("phrase"))
         .limit(BOILER_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule census
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_LEN = 3.5
+GOPHER_MAX_MEAN_LEN = 8.0
+GOPHER_MAX_SHORT_FRAC = 0.25
+GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len({_WORDS_SQL}) AS n_words,
+         list_aggregate(list_transform({_WORDS_SQL}, x -> len(x)), 'sum')
+           AS word_chars,
+         len(list_filter({_WORDS_SQL}, x -> len(x) <= 2)) AS n_short,
+         len(list_filter({_WORDS_SQL},
+             x -> list_contains({list(STOPWORDS)!r}, lower(x)))) AS n_stop
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
+           AS v_words,
+         (n_words = 0 OR word_chars * 1.0 / n_words < {GOPHER_MIN_MEAN_LEN}
+          OR word_chars * 1.0 / n_words > {GOPHER_MAX_MEAN_LEN}) AS v_meanlen,
+         (n_words > 0 AND n_short * 1.0 / n_words > {GOPHER_MAX_SHORT_FRAC})
+           AS v_short,
+         (n_stop < {GOPHER_MIN_STOPWORDS}) AS v_stop
+  FROM per_doc
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN v_words   THEN 1 ELSE 0 END) AS BIGINT) AS viol_word_count,
+       CAST(sum(CASE WHEN v_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS viol_mean_len,
+       CAST(sum(CASE WHEN v_short   THEN 1 ELSE 0 END) AS BIGINT) AS viol_short_frac,
+       CAST(sum(CASE WHEN v_stop    THEN 1 ELSE 0 END) AS BIGINT) AS viol_stopwords,
+       CAST(sum(CASE WHEN NOT (v_words OR v_meanlen OR v_short OR v_stop)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(sum(CASE WHEN NOT (v_words OR v_meanlen OR v_short OR v_stop)
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS pass_rate
+FROM flags
+GROUP BY source
+"""
+
+
+@register("text_gopher_rules", oracle=_GOPHER_SQL, tags=("text", "llmprep"))
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule census (Rae et al. 2021, "Scaling
+    Language Models" appendix A1.1 — public paper): per-document rule
+    flags (word-count range, mean word length range, short-word
+    fraction cap, minimum stop-word evidence) aggregated into per-source
+    violation counts and an all-rules pass rate. This is the rule-based
+    quality gate of a training-data pipeline, distinct from
+    text_quality_score's per-source *averages*: rules flag documents
+    individually, so the pass rate is what a downstream keep/drop filter
+    would act on. All four flags are array higher-order functions over
+    one words array — single narrow pass, no explode, no Python; the
+    only shuffle is the tiny per-source aggregate. Ratio comparisons
+    are int/int double divisions, which IEEE-round identically in both
+    engines (same pattern as text_quality_score)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    n = F.size(w)
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_short = F.size(F.filter(w, lambda x: F.length(x) <= 2))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    mean_len = word_chars / n
+    v_words = (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+    v_meanlen = (
+        (n == 0)
+        | (mean_len < GOPHER_MIN_MEAN_LEN)
+        | (mean_len > GOPHER_MAX_MEAN_LEN)
+    )
+    v_short = (n > 0) & (n_short / n > GOPHER_MAX_SHORT_FRAC)
+    v_stop = n_stop < GOPHER_MIN_STOPWORDS
+    flags = d.select(
+        "source",
+        v_words.alias("v_words"),
+        v_meanlen.alias("v_meanlen"),
+        v_short.alias("v_short"),
+        v_stop.alias("v_stop"),
+    )
+
+    def tally(col: str) -> F.Column:
+        return F.sum(F.when(F.col(col), 1).otherwise(0))
+
+    n_pass = F.sum(
+        F.when(
+            ~(
+                F.col("v_words")
+                | F.col("v_meanlen")
+                | F.col("v_short")
+                | F.col("v_stop")
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        tally("v_words").alias("viol_word_count"),
+        tally("v_meanlen").alias("viol_mean_len"),
+        tally("v_short").alias("viol_short_frac"),
+        tally("v_stop").alias("viol_stopwords"),
+        n_pass.alias("n_pass"),
+        F.round(n_pass / F.count(F.lit(1)), 6).alias("pass_rate"),
+    )
