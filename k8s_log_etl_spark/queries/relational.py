@@ -1834,3 +1834,121 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# whole-partition window aggregate: each order vs the customer's others
+# ---------------------------------------------------------------------------
+
+_PEER_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey) AS cust_sum,
+         count(*) OVER (PARTITION BY o_custkey) AS cust_n
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(price AS DOUBLE) AS price,
+       cust_n,
+       round(CAST(price * (cust_n - 1) AS DOUBLE)
+             / CAST(cust_sum - price AS DOUBLE), 6) AS peer_ratio
+FROM w
+WHERE cust_n > 1 AND price * (cust_n - 1) > 2 * (cust_sum - price)
+"""
+
+
+@register("orders_vs_peer_avg", oracle=_PEER_SQL, tags=("window", "agg"))
+def orders_vs_peer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out peer comparison: orders worth more than twice the
+    average of the SAME customer's other orders. The whole-partition
+    window frame (PARTITION BY custkey, no ORDER BY — every row sees the
+    full partition aggregate) is the one window shape the suite didn't
+    yet pin: no sort is required, so Spark plans a WindowExec whose
+    frame is unbounded-to-unbounded over a hash-partitioned exchange —
+    state per partition is one sum+count, and partitions are
+    per-customer small at any scale. The leave-one-out average is
+    compared cross-multiplied in DECIMAL (price*(n-1) > 2*(sum-price)),
+    so the frontier is engine-exact; the reported ratio is the only
+    double."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    price = _dec("o_totalprice")
+    df = o.select(
+        "o_orderkey",
+        "o_custkey",
+        price.alias("price"),
+        F.sum(price).over(w).alias("cust_sum"),
+        F.count(F.lit(1)).over(w).alias("cust_n"),
+    )
+    return df.filter(
+        (F.col("cust_n") > 1)
+        & (F.col("price") * (F.col("cust_n") - 1) > 2 * (F.col("cust_sum") - F.col("price")))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("price").cast("double").alias("price"),
+        "cust_n",
+        F.round(
+            (F.col("price") * (F.col("cust_n") - 1)).cast("double")
+            / (F.col("cust_sum") - F.col("price")).cast("double"),
+            6,
+        ).alias("peer_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multiset set operations (INTERSECT ALL / EXCEPT ALL on bags)
+# ---------------------------------------------------------------------------
+
+_SETOPS_ALL_SQL = """
+WITH h1 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'),
+h2 AS (SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate <  TIMESTAMP '1998-01-01')
+SELECT 'intersect_all' AS op, o_custkey, count(*) AS n
+FROM (SELECT o_custkey FROM h1 INTERSECT ALL SELECT o_custkey FROM h2)
+GROUP BY o_custkey
+UNION ALL
+SELECT 'except_all' AS op, o_custkey, count(*) AS n
+FROM (SELECT o_custkey FROM h1 EXCEPT ALL SELECT o_custkey FROM h2)
+GROUP BY o_custkey
+"""
+
+
+@register("set_ops_multiset_orders", oracle=_SETOPS_ALL_SQL, tags=("setop",))
+def set_ops_multiset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — INTERSECT ALL (per-customer order
+    count matched across two years: min of multiplicities) and EXCEPT
+    ALL (multiplicity difference) over NON-distinct custkey streams.
+    set_ops_customers covers the distinct-set variants; these are the
+    multiset forms, which Spark plans as a count-aggregate + generate
+    (no distinct collapse) — per-key state is two counts, scale-safe.
+    Output is re-aggregated per custkey so the result is scalar-stable
+    regardless of row multiplicity."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def slice_year(y0: str, y1: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select("o_custkey")
+
+    h1 = slice_year("1996-01-01", "1997-01-01")
+    h2 = slice_year("1997-01-01", "1998-01-01")
+    inter = (
+        h1.intersectAll(h2)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    exc = (
+        h1.exceptAll(h2)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    return inter.unionAll(exc)
