@@ -563,3 +563,112 @@ def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("d") * DIST_QUANT).cast("bigint")) / DIST_QUANT, 6
         ).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric-distance search over int8 scalar-quantized codes (SQ8 ADC)
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255
+
+
+def _rec_sql() -> str:
+    """DuckDB: dequantized corpus vector from per-dim (min, scale)."""
+    return (
+        "list_transform(list_zip(e.embedding, s.mn_arr, s.sc_arr), "
+        "p -> CASE WHEN p[3] = 0 THEN CAST(p[2] AS DOUBLE) "
+        "ELSE p[2] + round((CAST(p[1] AS DOUBLE) - p[2]) / p[3]) * p[3] END)"
+    )
+
+
+_ADC_SQL = f"""
+WITH elems AS (
+  SELECT i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+  WHERE vec_id >= {N_QUERIES}
+),
+dimstats AS (
+  SELECT dim, min(x) AS mn, (max(x) - min(x)) / {SQ_LEVELS}.0 AS scale
+  FROM elems GROUP BY dim
+),
+stats AS (
+  SELECT array_agg(mn ORDER BY dim) AS mn_arr,
+         array_agg(scale ORDER BY dim) AS sc_arr
+  FROM dimstats
+),
+rec AS (
+  SELECT e.vec_id, {_rec_sql()} AS r
+  FROM embeddings e, stats s
+  WHERE e.vec_id >= {N_QUERIES}
+)
+SELECT query_id, vec_id, adc_sim, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round({X.cosine_sql('q.embedding', 'c.r')}, 6) AS adc_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {X.cosine_sql('q.embedding', 'c.r')} DESC, c.vec_id
+         ) AS rnk
+  FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN rec c
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("knn_sq8_adc", oracle=_ADC_SQL, tags=("similarity",))
+def knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance search over int8 scalar-quantized codes
+    (FAISS SQ8-style): per-dimension (min, scale) trained on the corpus
+    (one posexplode + 64-group aggregate, broadcast back as two literal
+    arrays), corpus vectors dequantized on the fly, full-precision
+    queries scored against the dequantized codes — the asymmetric side
+    of the embedding_quantize_int8 pair (that query measures
+    reconstruction error; this one measures what search over the codes
+    actually returns). At 100 TB the codes are what a real index
+    stores (4x memory cut at 64 dims float32→int8); scoring stays a
+    linear scan like knn_brute_cosine — the LSH/IVF variants remain the
+    sub-quadratic path, and SQ8 composes with them (quantize within
+    cells). Dequantization and the cosine are sequential double folds,
+    bit-identical to the oracle (functions.xengine)."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    elems = corpus.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    dimstats = elems.groupBy("dim").agg(
+        F.min("x").alias("mn"),
+        ((F.max("x") - F.min("x")) / F.lit(float(SQ_LEVELS))).alias("scale"),
+    )
+    stats = dimstats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "scale"))),
+            lambda s: s["scale"],
+        ).alias("sc_arr"),
+    )
+
+    def dequant(x: F.Column, i: F.Column) -> F.Column:
+        mn = F.element_at("mn_arr", i + 1)
+        sc = F.element_at("sc_arr", i + 1)
+        return F.when(sc == 0, mn).otherwise(
+            mn + F.round((x.cast("double") - mn) / sc, 0) * sc
+        )
+
+    rec = corpus.join(F.broadcast(stats)).select(
+        "vec_id", F.transform("embedding", dequant).alias("r")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    adc = X.cosine(F.col("q_emb"), F.col("r"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_raw"), F.asc("vec_id"))
+    return (
+        rec.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", adc.alias("adc_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "vec_id", F.round(F.col("adc_raw"), 6).alias("adc_sim"), "rnk"
+        )
+    )
