@@ -105,8 +105,15 @@ _CHECKED_FIRST = [
 # filled this round have no driver row yet and should take slots next
 # round: text_boilerplate_phrases, events_markov_transitions,
 # bpe_pair_stats, dedup_incremental_batch, dedup_edit_distance,
-# sample_weighted_topn, pq_codebook_train (+ later additions; all are
-# green in tools/drive_entry.py and tests/test_oracle_parity.py).
+# sample_weighted_topn, pq_codebook_train, q4_order_priority,
+# q12_late_shipments, events_bot_rate_flags, orders_price_percentiles,
+# supplier_rank_dense, events_activity_streaks, nation_revenue_yoy,
+# part_price_outliers_mad, training_mix_pipeline, events_top_paths,
+# q8_market_share, q15_top_supplier, q17_small_qty_revenue,
+# q18_large_volume_orders, q21_sole_late_supplier,
+# q22_dormant_customers, text_gopher_rules, orders_vs_peer_avg,
+# set_ops_multiset_orders, knn_sq8_adc (all green in
+# tools/drive_entry.py and tests/test_oracle_parity.py).
 # agg_countmin_events is sketch-only (no oracle, bounded in
 # tests/test_approx.py) — do NOT give it a checked slot.
 

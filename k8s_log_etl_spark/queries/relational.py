@@ -1644,40 +1644,48 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shipped >90 days after the order date, finished orders only) were
     the ONLY late deliveries on orders involving at least two suppliers.
     The EXISTS / NOT-EXISTS pair over the same fact table decorrelates
-    to two per-orderkey aggregates — distinct-supplier count >= 2 over
-    all lines (the EXISTS) and distinct-late-supplier count == 1 over
-    late lines (the NOT EXISTS) — both hash-aggs sharing the orderkey
-    shuffle that the late⋈orders join already pays, so no correlated
-    re-scan per row, which is what would melt at 100 TB. Oracle keeps
-    the literal EXISTS/NOT EXISTS form to pin the rewrite's
-    equivalence. Top-10 tie-broken by supplier name."""
+    into ONE per-orderkey aggregate over the already-joined lines:
+    distinct-supplier count (the EXISTS becomes >= 2), distinct-LATE-
+    supplier count (the NOT EXISTS becomes == 1), the sole late
+    supplier's id (max over a single-element set — exact because the
+    qualifying filter pins that set to size 1), and the late-line tally
+    the final answer needs. No join-back, no correlated re-scan: the
+    fact table is read once, pays one orderkey shuffle (the join), and
+    the per-order frame collapses to one row — at 100 TB that is one
+    shuffle + one agg where the naive decorrelation re-reads lineitem
+    three times. Oracle keeps the literal EXISTS/NOT EXISTS form to pin
+    the rewrite's equivalence. Top-10 tie-broken by supplier name."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    late = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    multi = (
-        l.groupBy(F.col("l_orderkey").alias("m_orderkey"))
-        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") >= 2)
-        .select("m_orderkey")
+    lf = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
     )
-    sole = (
-        late.groupBy(F.col("l_orderkey").alias("s_orderkey"))
-        .agg(F.count_distinct("l_suppkey").alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("s_orderkey")
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    per_order = lf.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("late_supp"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
+    )
+    qualified = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
-        late.join(multi, F.col("l_orderkey") == F.col("m_orderkey"), "left_semi")
-        .join(sole, F.col("l_orderkey") == F.col("s_orderkey"), "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualified.groupBy("late_supp")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )

@@ -1,0 +1,107 @@
+"""Continuous aggregate maintenance (hypertable-style rollup).
+
+The 100 TB pattern for serving time-bucketed aggregates over an
+append-only event table WITHOUT rescanning history: a streaming query
+maintains a materialized hourly rollup (exactly-once into hour-keyed
+parquet partitions), and the read path unions the materialized hours
+with an on-the-fly aggregate of the raw tail — TimescaleDB's
+continuous-aggregate / real-time-aggregation architecture re-expressed
+as Structured Streaming + partitioned parquet.
+
+Exactly-once mechanics: the windowed aggregation runs in APPEND output
+mode, so a finalized window (watermark passed) is emitted exactly once
+across the life of the checkpoint; `foreachBatch` lands each batch with
+DYNAMIC partition overwrite keyed on the window hour, which makes a
+replayed batch (failure between sink write and checkpoint commit)
+idempotent — it overwrites the same hour partitions with the same rows.
+Late events inside the watermark update their window BEFORE it is
+emitted; events later than the watermark are dropped by the engine
+(bounded state, the standard trade).
+
+No Delta/Hudi/Iceberg in this environment — hour-partitioned parquet +
+dynamic overwrite gives the same idempotent-upsert contract for this
+append-only, whole-partition-replacement workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+HOUR_KEY_FMT = "yyyy-MM-dd-HH"  # lexicographic order == time order
+DEFAULT_WATERMARK = "2 hours"
+
+
+def hourly_rollup(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Hourly (window, event_type) counts and DECIMAL value sums.
+    Mode-agnostic: the same expressions aggregate a batch frame or a
+    stream (the watermark clause only applies when streaming)."""
+    src = df.withWatermark("ts", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    watermark: str = DEFAULT_WATERMARK,
+) -> StreamingQuery:
+    """Start the continuous-aggregate maintenance query: finalized
+    hourly windows land in `rollup_dir` partitioned by hour key, one
+    hour-partition per window, idempotently (dynamic overwrite)."""
+    agg = hourly_rollup(stream_df, watermark).withColumn(
+        "hour_key", F.date_format("hour_start", HOUR_KEY_FMT)
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_key")
+            .parquet(rollup_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rollup_with_tail(
+    spark: SparkSession, rollup_dir: str, raw_df: DataFrame, cutoff_ts: str
+) -> DataFrame:
+    """Real-time-aggregation read path: materialized hours strictly
+    before `cutoff_ts` (an hour boundary, 'yyyy-MM-dd HH:MM:SS') are
+    served from the rollup — the filter is on the PARTITION key, whose
+    lexicographic order matches time order, so only the needed hour
+    directories are read (PartitionFilters, no data-file scan of the
+    rest) — and the raw tail at/after the cutoff is aggregated on the
+    fly. Union of the two is the exact full-history aggregate at a
+    fraction of the scan."""
+    cutoff_key = F.date_format(F.lit(cutoff_ts).cast("timestamp"), HOUR_KEY_FMT)
+    cold = (
+        spark.read.parquet(rollup_dir)
+        .filter(F.col("hour_key") < cutoff_key)
+        .drop("hour_key")
+    )
+    hot = hourly_rollup(
+        raw_df.filter(F.col("ts") >= F.lit(cutoff_ts).cast("timestamp"))
+    )
+    return cold.unionByName(hot)

@@ -1,0 +1,117 @@
+"""Continuous-aggregate rollup (streaming/rollup.py): maintenance
+equivalence vs the batch aggregate, incremental hour-partition writes
+that leave old partitions untouched, and the rollup+tail read path
+serving the exact full-history aggregate with partition pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.streaming import rollup as RU
+
+EVENTS_SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def _write(in_dir: str, name: str, rows) -> None:
+    with open(os.path.join(in_dir, name), "w") as f:
+        for ts, et, v in rows:
+            f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+
+
+def _run_maintenance(spark, in_dir: str, rollup_dir: str, ckpt: str) -> None:
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = RU.maintain_rollup(spark, stream, rollup_dir, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _canon(df):
+    return sorted(
+        (r["hour_start"], r["event_type"], r["n_events"], float(r["sum_value"]))
+        for r in df.collect()
+    )
+
+
+def test_rollup_maintenance_incremental_and_read_path(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(in_dir, "a.jsonl", [
+        ("2024-01-01T10:05:00Z", "click", 1.5),
+        ("2024-01-01T10:20:00Z", "view", 2.0),
+        ("2024-01-01T10:40:00Z", "click", 0.5),
+    ])
+    _write(in_dir, "b.jsonl", [
+        ("2024-01-01T11:10:00Z", "click", 3.0),
+        ("2024-01-01T10:55:00Z", "view", 1.0),  # late but inside watermark
+    ])
+    _write(in_dir, "c.jsonl", [("2024-01-01T14:00:00Z", "click", 9.0)])
+
+    _run_maintenance(spark, in_dir, rollup_dir, ckpt)
+
+    raw = spark.read.schema(EVENTS_SCHEMA).json(in_dir)
+    # watermark after run 1 is 14:00 - 2h = 12:00 → hours 10 and 11 are
+    # finalized and materialized; hour 14 is still pending in state.
+    got = spark.read.parquet(rollup_dir)
+    want = RU.hourly_rollup(
+        raw.filter(F.col("ts") < F.lit("2024-01-01 12:00:00").cast("timestamp"))
+    )
+    assert _canon(got.drop("hour_key")) == _canon(want)
+    hour_dirs = sorted(
+        p for p in os.listdir(rollup_dir) if p.startswith("hour_key=")
+    )
+    assert hour_dirs == ["hour_key=2024-01-01-10", "hour_key=2024-01-01-11"]
+
+    # Incremental run: new hours arrive; previously-materialized hour
+    # partitions must not be rewritten (dynamic overwrite only touches
+    # the new hours).
+    h10 = os.path.join(rollup_dir, "hour_key=2024-01-01-10")
+    before = {p: os.path.getmtime(os.path.join(h10, p)) for p in os.listdir(h10)}
+    _write(in_dir, "d.jsonl", [
+        ("2024-01-01T12:30:00Z", "view", 4.0),
+        ("2024-01-01T12:45:00Z", "click", 1.0),
+    ])
+    _write(in_dir, "e.jsonl", [("2024-01-01T16:00:00Z", "view", 7.0)])
+    _run_maintenance(spark, in_dir, rollup_dir, ckpt)
+
+    raw = spark.read.schema(EVENTS_SCHEMA).json(in_dir)
+    # watermark now 14:00 → hour 12 joined the materialized set; hours
+    # 14 and 16 are still pending.
+    got = spark.read.parquet(rollup_dir)
+    want = RU.hourly_rollup(
+        raw.filter(F.col("ts") < F.lit("2024-01-01 14:00:00").cast("timestamp"))
+    )
+    assert _canon(got.drop("hour_key")) == _canon(want)
+    after = {p: os.path.getmtime(os.path.join(h10, p)) for p in os.listdir(h10)}
+    assert after == before, "old hour partition was rewritten"
+
+    # Read path: materialized hours below the cutoff + raw tail at/after
+    # it must equal the full-history batch aggregate exactly.
+    serve = RU.rollup_with_tail(spark, rollup_dir, raw, "2024-01-01 13:00:00")
+    full = RU.hourly_rollup(raw)
+    assert _canon(serve) == _canon(full)
+
+    # The cold side must prune on the partition key (only hour
+    # directories below the cutoff are listed in the scan).
+    cold_plan = (
+        spark.read.parquet(rollup_dir)
+        .filter(
+            F.col("hour_key")
+            < F.date_format(
+                F.lit("2024-01-01 13:00:00").cast("timestamp"), RU.HOUR_KEY_FMT
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in cold_plan and "hour_key" in cold_plan

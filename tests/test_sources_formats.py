@@ -101,3 +101,23 @@ def test_orc_roundtrip_preserves_events(spark, sf_dir, tmp_path):
         F.sum(F.hash("event_id", "user_id", "event_type")).alias("h"),
     ).collect()[0]
     assert (a["n"], a["h"]) == (b["n"], b["h"]) and a["n"] > 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A long-lived corpus gains columns across drops; mergeSchema
+    reading yields the union schema with NULLs where old files lack the
+    column — the standard 100 TB schema-evolution posture (per-file
+    footers carry their own schema; no rewrite of history)."""
+    p = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).write.parquet(p + "/drop=1")
+    spark.createDataFrame(
+        [(2, "beta", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(p + "/drop=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {"doc_id", "text", "lang", "drop"} <= set(df.columns)
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in df.collect()}
+    assert rows[1] == ("alpha", None)
+    assert rows[2] == ("beta", "en")
