@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(quality gate -> exact dedup -> near-dup removal) "
                         "and write the surviving docs as parquet")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    p.add_argument("--explain", default=None, metavar="QUERY",
+                   help="print the optimized physical plan of a registered "
+                        "query (by name) or, with --sql, of that statement; "
+                        "no execution")
     p.add_argument("--master", default=None, help="Spark master override")
     return p
 
@@ -304,6 +308,33 @@ def run_sql(args: argparse.Namespace, spark: SparkSession) -> None:
         print(row)
 
 
+def run_explain(args: argparse.Namespace, spark: SparkSession) -> None:
+    """Operability front door for the plan-first philosophy: print the
+    formatted physical plan (the same `.explain("formatted")` audit the
+    repo's PLANS.md tables are built from) for a registered query by
+    name, or for a --sql statement, without executing it. Lets a user
+    check pushdown / broadcast / shuffle shape before paying for a run.
+    """
+    from k8s_log_etl_spark.plans.registry import load_all
+    from k8s_log_etl_spark.tables import DEFAULT_SF_DIR, register_views
+
+    sf_dir = args.sf_dir or DEFAULT_SF_DIR
+    if args.explain == "sql":
+        if not args.sql:
+            raise SystemExit("--explain sql requires --sql <statement>")
+        register_views(spark, sf_dir)
+        df = spark.sql(args.sql)
+    else:
+        specs = load_all()
+        if args.explain not in specs:
+            raise SystemExit(
+                f"unknown query {args.explain!r}; registered: "
+                + ", ".join(sorted(specs))
+            )
+        df = specs[args.explain].fn(spark, sf_dir)
+    df.explain(mode="formatted")
+
+
 def main(argv: list[str] | None = None) -> int:
     from k8s_log_etl_spark.logging_setup import setup_logging
 
@@ -312,6 +343,9 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging(cfg.log_level, cfg.log_format)
     spark = get_spark(app_name="k8s-log-etl-spark", master=args.master)
     try:
+        if args.explain:
+            run_explain(args, spark)
+            return 0
         if args.sql:
             run_sql(args, spark)
             return 0

@@ -346,3 +346,42 @@ def test_cli_curate_incremental_state(spark, tmp_path, monkeypatch):
     r2 = json.load(open(rep2))
     assert r2["seen_dropped"] == r1["kept_docs"]
     assert r2["kept_docs"] < r1["kept_docs"]
+
+
+def test_cli_explain_mode(spark, capsys, monkeypatch):
+    """--explain prints the formatted physical plan of a registered
+    query (pushdown visible, nothing executed) and rejects unknown
+    names with the available list."""
+    from k8s_log_etl_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        ["--explain", "q1_pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== Physical Plan ==" in out
+    assert "PushedFilters" in out
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown query"):
+        cli.main(["--explain", "nope", "--sf-dir", "/root/testdata/sf0.001"])
+
+
+def test_cli_explain_sql(spark, capsys, monkeypatch):
+    """--explain sql --sql <stmt> plans the statement without running it."""
+    from k8s_log_etl_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        [
+            "--explain", "sql",
+            "--sql", "SELECT count(*) AS n FROM nation",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    assert "== Physical Plan ==" in capsys.readouterr().out
