@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(quality gate -> exact dedup -> near-dup removal) "
                         "and write the surviving docs as parquet")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    p.add_argument("--rollup", action="store_true",
+                   help="continuous-aggregate mode: maintain the hourly "
+                        "events rollup from --input (a dir of JSON events "
+                        "with ts/event_type/value) into --output-path; "
+                        "idempotent and incremental across invocations")
+    p.add_argument("--rollup-serve", default=None, metavar="CUTOFF_TS",
+                   help="with --rollup: after maintenance, print the merged "
+                        "rollup+tail aggregate (materialized hours before "
+                        "CUTOFF_TS 'yyyy-MM-dd HH:MM:SS', raw tail after) "
+                        "as JSONL to stdout")
     p.add_argument("--explain", default=None, metavar="QUERY",
                    help="print the optimized physical plan of a registered "
                         "query (by name) or, with --sql, of that statement; "
@@ -293,6 +303,32 @@ def run_curate(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSessio
         print(f"curate: {r['lang']}: kept {r['n_docs']} docs, {r['total_tokens']} tokens", file=sys.stderr)
 
 
+EVENTS_STREAM_SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def run_rollup(args: argparse.Namespace, spark: SparkSession) -> None:
+    """Continuous-aggregate mode: one incremental maintenance pass of
+    the hourly rollup (availableNow trigger — process what's there,
+    finalize what the watermark allows, exit), then optionally serve
+    the merged rollup+tail view. Re-invoking with the same checkpoint
+    continues exactly where the last run stopped."""
+    from k8s_log_etl_spark.streaming import rollup as RU
+
+    if not args.input or not args.output_path:
+        raise SystemExit("--rollup requires --input and --output-path")
+    ckpt = args.checkpoint or (args.output_path.rstrip("/") + "_checkpoint")
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(args.input)
+    q = RU.maintain_rollup(spark, stream, args.output_path, ckpt)
+    q.awaitTermination()
+    if args.rollup_serve:
+        raw = spark.read.schema(EVENTS_STREAM_SCHEMA).json(args.input)
+        served = RU.rollup_with_tail(
+            spark, args.output_path, raw, args.rollup_serve
+        ).orderBy("hour_start", "event_type")
+        for row in served.toJSON().toLocalIterator():
+            print(row)
+
+
 def run_sql(args: argparse.Namespace, spark: SparkSession) -> None:
     """SQL front door: register the star-schema tables from --sf-dir as
     temp views and execute one ANSI SQL statement, streaming the result
@@ -345,6 +381,9 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.explain:
             run_explain(args, spark)
+            return 0
+        if args.rollup:
+            run_rollup(args, spark)
             return 0
         if args.sql:
             run_sql(args, spark)

@@ -385,3 +385,40 @@ def test_cli_explain_sql(spark, capsys, monkeypatch):
     )
     assert rc == 0
     assert "== Physical Plan ==" in capsys.readouterr().out
+
+
+def test_cli_rollup_mode(spark, tmp_path, capsys, monkeypatch):
+    """--rollup maintains the hourly rollup incrementally and
+    --rollup-serve prints the merged rollup+tail view."""
+    import json
+
+    from k8s_log_etl_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:05:00Z", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T11:10:00Z", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01T14:00:00Z", "event_type": "view", "value": 9.0},
+    ]
+    (in_dir / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    out = str(tmp_path / "rollup")
+    rc = cli.main(
+        [
+            "--rollup",
+            "--input", str(in_dir),
+            "--output-path", out,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--rollup-serve", "2024-01-01 12:00:00",
+        ]
+    )
+    assert rc == 0
+    served = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # hours 10 and 11 from the materialized rollup, hour 14 from the tail
+    assert [(r["hour_start"], r["event_type"], r["n_events"]) for r in served] == [
+        ("2024-01-01T10:00:00.000Z", "click", 1),
+        ("2024-01-01T11:00:00.000Z", "click", 1),
+        ("2024-01-01T14:00:00.000Z", "view", 1),
+    ]
