@@ -1960,3 +1960,85 @@ def set_ops_multiset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "o_custkey", "n")
     )
     return inter.unionAll(exc)
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-purchase mining (association pairs with lift)
+# ---------------------------------------------------------------------------
+
+BASKET_TOP = 20
+
+_BASKET_SQL = f"""
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+cnt AS (SELECT pa, pb, count(*) AS n_co FROM pairs GROUP BY pa, pb),
+pc AS (SELECT l_partkey, count(*) AS n_ord FROM po GROUP BY l_partkey),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM po)
+SELECT pa, pb, n_co,
+       round(n_co * 1.0 * t.n / (ca.n_ord * cb.n_ord), 6) AS lift
+FROM cnt
+JOIN pc ca ON pa = ca.l_partkey
+JOIN pc cb ON pb = cb.l_partkey, tot t
+ORDER BY n_co DESC, pa, pb
+LIMIT {BASKET_TOP}
+"""
+
+
+@register("parts_copurchased", oracle=_BASKET_SQL, tags=("agg", "topk"))
+def parts_copurchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: part pairs most often bought in the same
+    order, with lift (observed co-rate over the independence rate). The
+    pair generation is NOT a self-join: per-order sorted part arrays
+    expand their pairs MAP-SIDE (explode of a per-row pair list) — the
+    same grouped-expansion discipline as dedup.posting_pairs, bounded
+    by the per-order line cap (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs/order), so
+    at 100 TB it is one orderkey shuffle + one pair-count aggregate
+    where the naive self-join re-shuffles the posting stream twice.
+    The oracle keeps the literal self-join to pin the equivalence.
+    Lift divides exact integer counts — deterministic; top-20 frontier
+    tie-broken by (pa, pb)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    po = l.select("l_orderkey", "l_partkey").distinct()
+    per_order = po.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    pair_list = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    cnt = (
+        per_order.select(F.explode(pair_list).alias("p"))
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    pc = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    tot = po.agg(F.count_distinct("l_orderkey").alias("n"))
+    ca = pc.select(F.col("l_partkey").alias("ka"), F.col("n_ord").alias("na"))
+    cb = pc.select(F.col("l_partkey").alias("kb"), F.col("n_ord").alias("nb"))
+    return (
+        cnt.join(F.broadcast(ca), F.col("pa") == F.col("ka"))
+        .join(F.broadcast(cb), F.col("pb") == F.col("kb"))
+        .join(F.broadcast(tot))
+        .select(
+            "pa",
+            "pb",
+            "n_co",
+            F.round(
+                F.col("n_co") * F.lit(1.0) * F.col("n") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_co"), F.asc("pa"), F.asc("pb"))
+        .limit(BASKET_TOP)
+    )

@@ -651,3 +651,66 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(PATHS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion latency: first view -> first subsequent purchase
+# ---------------------------------------------------------------------------
+
+_CONVERT_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS conv_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT v.user_id, p.conv_us - epoch_us(v.first_view) AS us
+  FROM v JOIN p ON v.user_id = p.user_id
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(us, 0.5) / 1e6, 6) AS p50_s,
+       round(quantile_cont(us, 0.9) / 1e6, 6) AS p90_s,
+       round(max(us) / 1e6, 6) AS max_s
+FROM lat
+"""
+
+
+@register("events_time_to_convert", oracle=_CONVERT_SQL, tags=("events", "temporal"))
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency funnel metric: per user, the gap between the
+    FIRST view and the first purchase at or after it, summarized as
+    exact percentiles. Two keyed min-aggregates (each absorbs its event
+    slice map-side) joined on user_id — no per-user sequence scan, no
+    window sort over raw events; at 100 TB both aggregates shuffle once
+    on user_id and the latency frame is one row per converter. All
+    interval math on exact integer microseconds (unix_micros ≡ DuckDB
+    epoch_us — the ADVICE round-2 boundary-exactness pattern);
+    percentile() ≡ quantile_cont keeps the summary engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            (F.min(F.unix_micros("ts")) - F.unix_micros(F.min("first_view"))).alias(
+                "us"
+            )
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(us, 0.5)") / 1e6, 6).alias("p50_s"),
+        F.round(F.expr("percentile(us, 0.9)") / 1e6, 6).alias("p90_s"),
+        F.round(F.max("us") / 1e6, 6).alias("max_s"),
+    )

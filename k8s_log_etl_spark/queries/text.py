@@ -710,3 +710,78 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pass.alias("n_pass"),
         F.round(n_pass / F.count(F.lit(1)), 6).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: log-log least-squares slope of the token rank/frequency
+# ---------------------------------------------------------------------------
+
+ZIPF_RANKS = 100
+ZIPF_QUANT = 1_000_000  # ln() values quantized to integer micro-nats
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT lang, lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+freq AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY lang, term),
+ranked AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS rnk
+  FROM freq
+),
+pts AS (
+  SELECT lang,
+         CAST(round(ln(rnk) * {ZIPF_QUANT}) AS BIGINT) AS xq,
+         CAST(round(ln(c) * {ZIPF_QUANT}) AS BIGINT) AS yq
+  FROM ranked WHERE rnk <= {ZIPF_RANKS}
+)
+SELECT lang, count(*) AS n_points,
+       round((count(*) * sum(xq * yq) - sum(xq) * sum(yq)) * 1.0
+             / (count(*) * sum(xq * xq) - sum(xq) * sum(xq)), 6) AS zipf_slope
+FROM pts
+GROUP BY lang
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_SQL, tags=("text",))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: least-squares slope of ln(frequency)
+    vs ln(rank) over the top-100 terms — a natural-language sanity
+    statistic for a corpus (English prose fits ~ -1; word salad or
+    boilerplate-heavy text flattens toward 0). One token hash-aggregate,
+    a per-lang top-100 rank window (WindowGroupLimit prunes map-side,
+    ties broken by term), then the closed-form slope from five exact
+    integer sums: both ln() values are quantized to integer micro-nats
+    BEFORE aggregation (the text_perplexity_proxy pattern), so the
+    sums are order-independent and engine-exact; the single final
+    division is the only double."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select("lang", F.explode(_words()).alias("raw")).select(
+        "lang", F.lower(F.col("raw")).alias("term")
+    )
+    freq = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("term"))
+    pts = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_RANKS)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rnk").cast("double")) * ZIPF_QUANT)
+            .cast("bigint")
+            .alias("xq"),
+            F.round(F.log(F.col("c").cast("double")) * ZIPF_QUANT)
+            .cast("bigint")
+            .alias("yq"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sxy = F.sum(F.col("xq") * F.col("yq"))
+    sx = F.sum("xq")
+    sy = F.sum("yq")
+    sxx = F.sum(F.col("xq") * F.col("xq"))
+    return pts.groupBy("lang").agg(
+        n.alias("n_points"),
+        F.round((n * sxy - sx * sy) * F.lit(1.0) / (n * sxx - sx * sx), 6).alias(
+            "zipf_slope"
+        ),
+    )
