@@ -105,3 +105,82 @@ def rollup_with_tail(
         raw_df.filter(F.col("ts") >= F.lit(cutoff_ts).cast("timestamp"))
     )
     return cold.unionByName(hot)
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch rollup: per-hour HLL sketches for range distinct counts
+# ---------------------------------------------------------------------------
+
+
+def hourly_user_sketches(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Per-hour Apache DataSketches HLL sketches of the user_id set
+    (plus the exact row count). The sketch column is a mergeable binary:
+    materializing ONE sketch per hour lets any later query answer
+    "distinct users over [t0, t1)" by unioning the covered hours'
+    sketches — no rescan of raw events, and unlike a stored COUNT
+    DISTINCT per hour, the union de-duplicates users appearing in
+    several hours. This is the standard at-scale shape for distinct
+    counting over rolling/ad-hoc ranges (mergeable sketches are why
+    HLL, not exact sets: exact per-hour sets don't merge in bounded
+    space)."""
+    src = df.withWatermark("ts", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("user_sketch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "user_sketch", "n_events")
+    )
+
+
+def maintain_user_sketches(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    watermark: str = DEFAULT_WATERMARK,
+) -> StreamingQuery:
+    """Continuous maintenance of the per-hour sketch table — same
+    exactly-once contract as maintain_rollup (append-mode finalized
+    windows + idempotent dynamic hour-partition overwrite)."""
+    agg = hourly_user_sketches(stream_df, watermark).withColumn(
+        "hour_key", F.date_format("hour_start", HOUR_KEY_FMT)
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_key")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def distinct_users_range(
+    spark: SparkSession, sketch_dir: str, start_ts: str, end_ts: str
+) -> DataFrame:
+    """Distinct-user estimate over [start_ts, end_ts) from the
+    materialized sketches alone: partition-pruned read of the covered
+    hours, one hll_union_agg, one estimate — cost proportional to the
+    number of HOURS in the range, not the number of EVENTS."""
+    k0 = F.date_format(F.lit(start_ts).cast("timestamp"), HOUR_KEY_FMT)
+    k1 = F.date_format(F.lit(end_ts).cast("timestamp"), HOUR_KEY_FMT)
+    return (
+        spark.read.parquet(sketch_dir)
+        .filter((F.col("hour_key") >= k0) & (F.col("hour_key") < k1))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "distinct_users_est"
+            ),
+            F.sum("n_events").alias("n_events"),
+        )
+    )

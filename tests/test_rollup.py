@@ -115,3 +115,51 @@ def test_rollup_maintenance_incremental_and_read_path(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in cold_plan and "hour_key" in cold_plan
+
+
+def test_user_sketch_rollup_range_estimate(spark, tmp_path):
+    """Per-hour HLL sketches answer range distinct-user questions from
+    the materialized table alone: the union over [10:00, 12:00) must
+    de-duplicate users spanning both hours (stored per-hour COUNT
+    DISTINCTs could not) and land within HLL error of the exact
+    answer."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    sketch_dir = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt_sk")
+
+    # users 0..39 active in hour 10; users 20..59 in hour 11 (overlap
+    # 20..39) -> exact distinct over both hours = 60, sum of per-hour
+    # counts = 80.
+    rows_h10 = [(f"2024-01-01T10:{i % 60:02d}:00Z", "click", float(u))
+                for i, u in enumerate(range(40))]
+    rows_h11 = [(f"2024-01-01T11:{i % 60:02d}:00Z", "view", float(u))
+                for i, u in enumerate(range(20, 60))]
+    flush = [("2024-01-01T14:00:00Z", "click", 999.0)]
+    _write(in_dir, "a.jsonl", rows_h10 + rows_h11)
+    _write(in_dir, "b.jsonl", flush)
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .withColumn("user_id", F.col("value").cast("long"))
+    )
+    q = RU.maintain_user_sketches(spark, stream, sketch_dir, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    est = RU.distinct_users_range(
+        spark, sketch_dir, "2024-01-01 10:00:00", "2024-01-01 12:00:00"
+    ).collect()[0]
+    assert est["n_events"] == 80
+    # HLL (lgK=12 default) is near-exact at this cardinality; allow 2%.
+    assert abs(est["distinct_users_est"] - 60) <= max(2, 0.02 * 60)
+
+    # Range covering only hour 10 prunes to one partition and estimates
+    # that hour's 40 users.
+    est10 = RU.distinct_users_range(
+        spark, sketch_dir, "2024-01-01 10:00:00", "2024-01-01 11:00:00"
+    ).collect()[0]
+    assert abs(est10["distinct_users_est"] - 40) <= max(2, 0.02 * 40)
