@@ -303,12 +303,11 @@ def _sqdist_sql(vec: str, cvec: str) -> str:
     )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd's iterations: init centroids = the first K vectors
-    by vec_id; each round assigns every vector to its nearest centroid
-    (ties to the lowest k) and recomputes per-dimension means rounded to
-    6 dp (the rounding makes the next round's inputs bit-identical
-    across engines)."""
+def _kmeans_sql_parts() -> list[str]:
+    """The unrolled-Lloyd's CTE chain, shared by the training oracle
+    (_kmeans_sql) and the IVF-PQ search oracle (_ivfpq_sql): final
+    trained centroids = c{KMEANS_ITERS-1}, final assignment =
+    a{KMEANS_ITERS}."""
     parts = [
         f"""c0 AS (
   SELECT vec_id AS k, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -339,14 +338,78 @@ def _kmeans_sql() -> str:
   ) GROUP BY k
 )""")
             prev = cent
+    return parts
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd's iterations: init centroids = the first K vectors
+    by vec_id; each round assigns every vector to its nearest centroid
+    (ties to the lowest k) and recomputes per-dimension means rounded to
+    6 dp (the rounding makes the next round's inputs bit-identical
+    across engines)."""
     final = f"a{KMEANS_ITERS}"
     return f"""
-WITH {', '.join(parts)}
+WITH {', '.join(_kmeans_sql_parts())}
 SELECT k AS cluster, count(*) AS n_vecs,
        round(sum(CAST(round(d * {DIST_QUANT}) AS BIGINT)) * 1.0 / {DIST_QUANT}, 6)
          AS inertia
 FROM {final} GROUP BY k
 """
+
+
+def _sqdist_fold(vec: F.Column, cvec: list[float]) -> F.Column:
+    """Sequential-fold squared distance to a literal centroid (same
+    left-to-right order as _sqdist_sql)."""
+    arr = F.array(*[F.lit(v) for v in cvec])
+    return F.aggregate(
+        F.zip_with(
+            vec, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_train(e: DataFrame) -> tuple[dict[int, list[float]], DataFrame]:
+    """Shared deterministic Lloyd's loop (see kmeans_ivf_train's
+    docstring for the determinism + scale contract). Returns the
+    centroids AFTER the last update (the trained coarse quantizer, ≡
+    the oracle's c{KMEANS_ITERS-1} CTE) and the final assignment frame
+    (vec_id, embedding, k, d) (≡ a{KMEANS_ITERS})."""
+    init = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init
+    }
+
+    assigned = None
+    for it in range(1, KMEANS_ITERS + 1):
+        dists = F.array(
+            *[_sqdist_fold(F.col("embedding"), centroids[k]) for k in range(KMEANS_K)]
+        )
+        # argmin with ties to the lowest k: array_position finds the
+        # FIRST element equal to the minimum (exact double equality —
+        # both candidates are the same computed value).
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
+            F.array_min(dists).alias("d"),
+        )
+        if it < KMEANS_ITERS:
+            rows = (
+                assigned.select("k", F.posexplode("embedding").alias("dim", "x"))
+                .groupBy("k", "dim")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+                .collect()
+            )
+            centroids = {k: [0.0] * len(centroids[0]) for k in range(KMEANS_K)}
+            for r in rows:
+                centroids[int(r["k"])][int(r["dim"])] = float(r["cv"])
+    return centroids, assigned
 
 
 @register("kmeans_ivf_train", oracle=_kmeans_sql(), tags=("similarity",))
@@ -371,50 +434,7 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate of K·dim output rows. Iterations: fixed
     KMEANS_ITERS (production would add a movement-epsilon stop)."""
     e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    init = (
-        e.filter(F.col("vec_id") < KMEANS_K)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init
-    }
-
-    def sqdist(cvec: list[float]) -> F.Column:
-        arr = F.array(*[F.lit(v) for v in cvec])
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                arr,
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    assigned = None
-    for it in range(1, KMEANS_ITERS + 1):
-        dists = F.array(*[sqdist(centroids[k]) for k in range(KMEANS_K)])
-        # argmin with ties to the lowest k: array_position finds the
-        # FIRST element equal to the minimum (exact double equality —
-        # both candidates are the same computed value).
-        assigned = e.select(
-            "vec_id",
-            "embedding",
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
-            F.array_min(dists).alias("d"),
-        )
-        if it < KMEANS_ITERS:
-            rows = (
-                assigned.select("k", F.posexplode("embedding").alias("dim", "x"))
-                .groupBy("k", "dim")
-                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
-                .collect()
-            )
-            centroids = {k: [0.0] * len(centroids[0]) for k in range(KMEANS_K)}
-            for r in rows:
-                centroids[int(r["k"])][int(r["dim"])] = float(r["cv"])
-
+    _, assigned = _kmeans_train(e)
     return assigned.groupBy(F.col("k").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(
@@ -433,12 +453,12 @@ PQ_K = 4                  # codewords per subspace
 PQ_ITERS = 2
 
 
-def _pq_sql() -> str:
-    """Unrolled Lloyd's per subspace (same determinism contract as
-    _kmeans_sql: fixed init, ties to lowest codeword, 6-dp centroid
-    rounding between rounds, integer-quantized inertia)."""
+def _pq_sql_parts() -> list[str]:
+    """The per-subspace unrolled-Lloyd's CTE chains, shared by the
+    training oracle (_pq_sql) and the IVF-PQ search oracle: trained
+    codebook for subspace m = c{m}_{PQ_ITERS-1}, final encoding =
+    a{m}_{PQ_ITERS}; s{m} holds every vector's m-th subvector."""
     parts = []
-    finals = []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
         sub = f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
@@ -471,13 +491,77 @@ def _pq_sql() -> str:
   ) GROUP BY k
 )""")
                 prev = cent
-        finals.append(
-            f"""SELECT {m} AS subspace, k AS codeword, count(*) AS n_vecs,
+    return parts
+
+
+def _pq_sql() -> str:
+    """Unrolled Lloyd's per subspace (same determinism contract as
+    _kmeans_sql: fixed init, ties to lowest codeword, 6-dp centroid
+    rounding between rounds, integer-quantized inertia)."""
+    finals = [
+        f"""SELECT {m} AS subspace, k AS codeword, count(*) AS n_vecs,
        round(sum(CAST(round(d * {DIST_QUANT}) AS BIGINT)) * 1.0 / {DIST_QUANT}, 6)
          AS inertia
 FROM a{m}_{PQ_ITERS} GROUP BY k"""
+        for m in range(PQ_M)
+    ]
+    return "WITH " + ",\n".join(_pq_sql_parts()) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _pq_subvec(m: int) -> F.Column:
+    return F.slice(
+        F.transform("embedding", lambda x: x.cast("double")),
+        m * PQ_SUBDIM + 1,
+        PQ_SUBDIM,
+    )
+
+
+def _pq_train(
+    e: DataFrame,
+) -> tuple[dict[int, dict[int, list[float]]], DataFrame]:
+    """Shared per-subspace Lloyd's loop (see pq_codebook_train's
+    docstring). Returns the codebooks AFTER the last update (≡ the
+    oracle's c{m}_{PQ_ITERS-1} CTEs) and the final encoding frame
+    (vec_id, m, k, d, sv) (≡ the a{m}_{PQ_ITERS} CTEs)."""
+    init = e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+    cents = {
+        m: {
+            int(r["vec_id"]): [
+                float(x) for x in r["embedding"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            ]
+            for r in init
+        }
+        for m in range(PQ_M)
+    }
+
+    assigned = None
+    for it in range(1, PQ_ITERS + 1):
+        cols = []
+        for m in range(PQ_M):
+            sv = _pq_subvec(m)
+            dists = F.array(*[_sqdist_fold(sv, cents[m][k]) for k in range(PQ_K)])
+            cols.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
+                    F.array_min(dists).alias("d"),
+                    sv.alias("sv"),
+                )
+            )
+        assigned = e.select("vec_id", F.explode(F.array(*cols)).alias("a")).select(
+            "vec_id", "a.m", "a.k", "a.d", "a.sv"
         )
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+        if it < PQ_ITERS:
+            rows = (
+                assigned.select("m", "k", F.posexplode("sv").alias("dim", "x"))
+                .groupBy("m", "k", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("cv"))
+                .collect()
+            )
+            cents = {m: {k: [0.0] * PQ_SUBDIM for k in range(PQ_K)} for m in range(PQ_M)}
+            for r in rows:
+                cents[int(r["m"])][int(r["k"])][int(r["dim"])] = float(r["cv"])
+    return cents, assigned
 
 
 @register("pq_codebook_train", oracle=_pq_sql(), tags=("similarity",))
@@ -500,61 +584,7 @@ def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid rounding between rounds, sequential-fold distances,
     integer-quantized inertia."""
     e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-
-    def subvec(m: int) -> F.Column:
-        return F.slice(
-            F.transform("embedding", lambda x: x.cast("double")),
-            m * PQ_SUBDIM + 1,
-            PQ_SUBDIM,
-        )
-
-    init = e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
-    cents = {
-        m: {
-            int(r["vec_id"]): [
-                float(x) for x in r["embedding"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-            ]
-            for r in init
-        }
-        for m in range(PQ_M)
-    }
-
-    def sqdist(sv: F.Column, cvec: list[float]) -> F.Column:
-        arr = F.array(*[F.lit(v) for v in cvec])
-        return F.aggregate(
-            F.zip_with(sv, arr, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    assigned = None
-    for it in range(1, PQ_ITERS + 1):
-        cols = []
-        for m in range(PQ_M):
-            sv = subvec(m)
-            dists = F.array(*[sqdist(sv, cents[m][k]) for k in range(PQ_K)])
-            cols.append(
-                F.struct(
-                    F.lit(m).alias("m"),
-                    (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
-                    F.array_min(dists).alias("d"),
-                    sv.alias("sv"),
-                )
-            )
-        assigned = e.select("vec_id", F.explode(F.array(*cols)).alias("a")).select(
-            "vec_id", "a.m", "a.k", "a.d", "a.sv"
-        )
-        if it < PQ_ITERS:
-            rows = (
-                assigned.select("m", "k", F.posexplode("sv").alias("dim", "x"))
-                .groupBy("m", "k", "dim")
-                .agg(F.round(F.avg("x"), 6).alias("cv"))
-                .collect()
-            )
-            cents = {m: {k: [0.0] * PQ_SUBDIM for k in range(PQ_K)} for m in range(PQ_M)}
-            for r in rows:
-                cents[int(r["m"])][int(r["k"])][int(r["dim"])] = float(r["cv"])
-
+    _, assigned = _pq_train(e)
     return assigned.groupBy(
         F.col("m").alias("subspace"), F.col("k").alias("codeword")
     ).agg(
@@ -670,5 +700,154 @@ def knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select(
             "query_id", "vec_id", F.round(F.col("adc_raw"), 6).alias("adc_sim"), "rnk"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ADC search: trained coarse cells + PQ codes + distance tables
+# ---------------------------------------------------------------------------
+
+NPROBE = 2
+
+
+def _ivfpq_sql() -> str:
+    """Full IVF-PQ search, oracle-exact end to end: reuses the two
+    trainers' CTE chains verbatim (so the trained structures are the
+    hash-verified ones), then probes the NPROBE nearest coarse cells
+    per query and ranks the probed cells' vectors by ADC distance —
+    per-subspace (query, codeword) distance tables summed in fixed
+    subspace order."""
+    kc = f"c{KMEANS_ITERS - 1}"           # trained coarse centroids
+    ka = f"a{KMEANS_ITERS}"               # final coarse assignment
+    parts = _kmeans_sql_parts() + _pq_sql_parts()
+    parts.append(f"""qv AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+)""")
+    parts.append(f"""probe AS (
+  SELECT query_id, k AS cell FROM (
+    SELECT q.query_id, c.k,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sqdist_sql('q.qe', 'c.cvec')}, c.k
+           ) AS rn
+    FROM qv q CROSS JOIN {kc} c
+  ) WHERE rn <= {NPROBE}
+)""")
+    parts.append(
+        f"cells AS (SELECT vec_id, k AS cell FROM {ka} WHERE vec_id >= {N_QUERIES})"
+    )
+    for m in range(PQ_M):
+        cb = f"c{m}_{PQ_ITERS - 1}"
+        parts.append(f"""qd{m} AS (
+  SELECT s.vec_id AS query_id, c.k, {_sqdist_sql('s.sv', 'c.cvec')} AS d
+  FROM s{m} s CROSS JOIN {cb} c WHERE s.vec_id < {N_QUERIES}
+)""")
+        parts.append(
+            f"code{m} AS (SELECT vec_id, k FROM a{m}_{PQ_ITERS} "
+            f"WHERE vec_id >= {N_QUERIES})"
+        )
+    code_joins = "\n".join(
+        f"  JOIN code{m} ON code{m}.vec_id = cand.vec_id\n"
+        f"  JOIN qd{m} ON qd{m}.query_id = cand.query_id AND qd{m}.k = code{m}.k"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(f"qd{m}.d" for m in range(PQ_M))
+    parts.append(f"""cand AS (
+  SELECT p.query_id, ce.vec_id FROM probe p JOIN cells ce ON ce.cell = p.cell
+)""")
+    parts.append(f"""scored AS (
+  SELECT cand.query_id, cand.vec_id, {adc} AS adc
+  FROM cand
+{code_joins}
+)""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rnk FROM (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("knn_ivfpq_adc", oracle=_ivfpq_sql(), tags=("similarity",))
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN architecture end to end, oracle-verified: an
+    IVF-PQ index built from the two trained quantizers (kmeans_ivf_train
+    coarse cells + pq_codebook_train codebooks, shared training code so
+    the structures are exactly the hash-verified ones) searched with
+    asymmetric distance computation — each query precomputes a PQ_K-
+    entry distance table per subspace (the classic ADC lookup), probes
+    its NPROBE nearest coarse cells, and ranks only those cells'
+    vectors by summed table lookups.
+
+    Scale shape — exactly how FAISS-style IVF-PQ distributes: training
+    syncs K·dim doubles per round (the Lloyd's sync point); the index
+    (cell id + PQ_M codeword bytes per vector) is built in one
+    map-side pass off broadcast literal centroids; at search time the
+    tiny query frame — carrying its precomputed distance tables as
+    literal-built array columns — is BROADCAST into the corpus, which
+    stays partition-parallel, is pruned to the probed cells before any
+    scoring, and never materializes full-precision distances (4 array
+    lookups + 3 adds per candidate). Distance tables and the fixed
+    subspace-order sum are sequential double folds — bit-identical to
+    the oracle. Recall vs the exact scan is bounded in
+    tests/test_approx.py."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    coarse_cents, coarse_assigned = _kmeans_train(e)
+    pq_cents, pq_assigned = _pq_train(e)
+
+    cells = coarse_assigned.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("k").alias("cell")
+    )
+    codes = (
+        pq_assigned.filter(F.col("vec_id") >= N_QUERIES)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == m, F.col("k"))).alias(f"k{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    index = cells.join(codes, "vec_id")
+
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _sqdist_fold(emb_d, coarse_cents[k]).alias("d"),
+                F.lit(k).alias("cell"),
+            )
+            for k in sorted(coarse_cents)
+        ]
+    )
+    qd_arrays = [
+        F.array(
+            *[_sqdist_fold(_pq_subvec(m), pq_cents[m][k]) for k in range(PQ_K)]
+        ).alias(f"qd{m}")
+        for m in range(PQ_M)
+    ]
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        *qd_arrays,
+        F.explode(F.slice(F.array_sort(probe_structs), 1, NPROBE)).alias("p"),
+    ).select("query_id", *[f"qd{m}" for m in range(PQ_M)], F.col("p.cell").alias("qcell"))
+
+    adc = sum(
+        F.element_at(F.col(f"qd{m}"), F.col(f"k{m}").cast("int") + 1)
+        for m in range(PQ_M)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        index.join(F.broadcast(probes), F.col("cell") == F.col("qcell"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "vec_id", F.round(F.col("adc"), 6).alias("adc_dist"), "rnk"
         )
     )
