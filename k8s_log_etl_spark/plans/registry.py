@@ -113,7 +113,8 @@ _CHECKED_FIRST = [
 # q18_large_volume_orders, q21_sole_late_supplier,
 # q22_dormant_customers, text_gopher_rules, orders_vs_peer_avg,
 # set_ops_multiset_orders, knn_sq8_adc, parts_copurchased,
-# events_time_to_convert, text_zipf_slope, knn_ivfpq_adc (all green in
+# events_time_to_convert, text_zipf_slope, knn_ivfpq_adc,
+# orders_window_analytics (all green in
 # tools/drive_entry.py and tests/test_oracle_parity.py).
 # agg_countmin_events is sketch-only (no oracle, bounded in
 # tests/test_approx.py) — do NOT give it a checked slot.

@@ -2042,3 +2042,64 @@ def parts_copurchased(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_co"), F.asc("pa"), F.asc("pb"))
         .limit(BASKET_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# analytic window-function matrix completion
+# ---------------------------------------------------------------------------
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER w AS DOUBLE) AS first_price,
+       CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2)
+            OVER w AS DOUBLE) AS second_price,
+       CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER w AS DOUBLE) AS next_price,
+       round(cume_dist() OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+       ), 6) AS price_cume
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("orders_window_analytics", oracle=_WINDOW_ANALYTICS_SQL, tags=("window",))
+def orders_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the analytic-function matrix (alongside row_number /
+    rank / dense_rank / percent_rank / lag elsewhere): first_value and
+    nth_value over an explicit running ROWS frame, lead, and cume_dist
+    — each customer's order history annotated with their first and
+    second order value, the next order's value, and the cumulative
+    price-rank fraction. Both windows share the custkey partitioning
+    (one exchange, two sorts); per-partition state is bounded by
+    orders-per-customer, so at 100 TB this is one shuffle on a
+    high-cardinality key. Every ordering fully tie-broken (orderdate /
+    price, then orderkey) and money in DECIMAL so frame contents — and
+    therefore first/nth/lead picks — are engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    price = _dec("o_totalprice")
+    w_hist = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        price.asc(), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first(price).over(w_hist).cast("double").alias("first_price"),
+        F.nth_value(price, 2).over(w_hist).cast("double").alias("second_price"),
+        F.lead(price).over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.asc("o_orderdate"), F.asc("o_orderkey")
+            )
+        ).cast("double").alias("next_price"),
+        F.round(F.cume_dist().over(w_rank), 6).alias("price_cume"),
+    )
