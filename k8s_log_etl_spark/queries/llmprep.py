@@ -1068,3 +1068,159 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prescreen for decontamination (4th mergeable sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16            # 64 Ki bits
+BLOOM_K = 3                     # hash probes per element
+BLOOM_WORDS = BLOOM_BITS // 32  # 32-bit payloads in BIGINT words (no sign traps)
+
+
+def _bloom_pos_sql(i: int, g: str = "g") -> str:
+    """Probe i's bit index for gram `g` (seeded md5, engine-exact)."""
+    seeded = f"concat('{i}|', {g})"
+    return f"({X.md5_long_sql(seeded)} % {BLOOM_BITS})"
+
+
+def _bloom_pos_spark(i: int, g: F.Column) -> F.Column:
+    return X.md5_long(F.concat(F.lit(f"{i}|"), g)) % BLOOM_BITS
+
+
+def _bloom_probe_sql(i: int) -> str:
+    pos = _bloom_pos_sql(i, "c.g")
+    mask = f"(CAST(1 AS BIGINT) << CAST({pos} % 32 AS INTEGER))"
+    return f"((bl[CAST({pos} // 32 AS INTEGER) + 1] & {mask}) = {mask})"
+
+
+_BLOOM_SQL = f"""
+WITH words AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+bench AS (
+  SELECT DISTINCT {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id < {BENCH_DOCS}
+),
+bpos AS (
+  SELECT unnest([{", ".join(_bloom_pos_sql(i) for i in range(BLOOM_K))}]) AS idx
+  FROM bench
+),
+wagg AS (
+  SELECT idx // 32 AS wi,
+         bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY wi
+),
+spine AS (SELECT unnest(range({BLOOM_WORDS})) AS wi),
+bloom AS (
+  SELECT list(coalesce(wa.bits, 0) ORDER BY s.wi) AS bl
+  FROM spine s LEFT JOIN wagg wa ON s.wi = wa.wi
+),
+corpus AS (
+  SELECT DISTINCT source, {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id >= {BENCH_DOCS}
+),
+probed AS (
+  SELECT c.source,
+         ({" AND ".join(_bloom_probe_sql(i) for i in range(BLOOM_K))}) AS bloom_hit,
+         (b.g IS NOT NULL) AS true_hit
+  FROM corpus c CROSS JOIN bloom LEFT JOIN bench b ON c.g = b.g
+)
+SELECT source,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+       CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS true_hits,
+       round(sum(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END) * 1.0
+             / greatest(count(*) - sum(CASE WHEN true_hit THEN 1 ELSE 0 END), 1), 6)
+         AS fp_rate
+FROM probed
+GROUP BY source
+"""
+
+
+@register("decontam_bloom_prescreen", oracle=_BLOOM_SQL, tags=("llmprep", "approx"))
+def decontam_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prescreen for benchmark decontamination — the 4th
+    mergeable sketch beside HLL++, the percentile digest, and count-min,
+    built from first principles in pure column expressions (Spark's
+    internal bloom_filter_agg is not exposed as a public SQL function):
+    BLOOM_K seeded-md5 bit positions per benchmark gram, OR-folded into
+    BLOOM_WORDS 32-bit payload words (bit_or is associative and
+    commutative, so the sketch merges across partitions and across
+    incremental builds), assembled into ONE array row broadcast into the
+    corpus scan. Each corpus gram then tests membership with three array
+    lookups — no join — which is the 100 TB prescreen shape: the exact
+    (shuffling) semi-join of decontam_filter_corpus only ever sees the
+    grams the bloom could not rule out. Output per source: gram counts,
+    bloom hits, exact hits, and the measured false-positive rate
+    (bounded against the (1-e^(-kn/m))^k estimate in
+    tests/test_approx.py). The whole construction is deterministic md5 +
+    integer bit math, so the ENTIRE sketch — not just its use —
+    hash-matches the DuckDB oracle; zero false negatives by
+    construction (asserted in the same test)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    grams = F.transform(
+        ngram_indices(w, CONTAM_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
+    )
+    exploded = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    bench = exploded.filter(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
+    bpos = bench.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(i, F.col("g")) for i in range(BLOOM_K)])
+        ).alias("idx")
+    )
+    wagg = bpos.groupBy(F.expr("idx div 32").alias("wi")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT)))"
+        ).alias("bits")
+    )
+    spine = spark.range(BLOOM_WORDS).select(F.col("id").alias("wi"))
+    bloom = (
+        spine.join(wagg, "wi", "left")
+        .select("wi", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wi", "bits"))),
+                lambda s: s["bits"],
+            ).alias("bl")
+        )
+    )
+    corpus = (
+        exploded.filter(F.col("doc_id") >= BENCH_DOCS)
+        .select("source", "g")
+        .distinct()
+    )
+    bench_mark = bench.select(F.col("g").alias("bg"), F.lit(True).alias("true_hit"))
+
+    probed = corpus.join(F.broadcast(bloom)).join(
+        F.broadcast(bench_mark), F.col("g") == F.col("bg"), "left"
+    )
+    for i in range(BLOOM_K):
+        probed = probed.withColumn(f"p{i}", _bloom_pos_spark(i, F.col("g")))
+    hit = F.lit(True)
+    for i in range(BLOOM_K):
+        word = F.element_at(F.col("bl"), F.expr(f"CAST(p{i} div 32 AS INT)") + 1)
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 32 AS INT))")
+        hit = hit & (word.bitwiseAND(mask) == mask)
+
+    flags = probed.select(
+        "source",
+        hit.alias("bloom_hit"),
+        F.coalesce("true_hit", F.lit(False)).alias("true_hit"),
+    )
+    n_true = F.sum(F.when(F.col("true_hit"), 1).otherwise(0))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("bloom_hits"),
+        n_true.alias("true_hits"),
+        F.round(
+            F.sum(F.when(F.col("bloom_hit") & ~F.col("true_hit"), 1).otherwise(0))
+            / F.greatest(F.count(F.lit(1)) - n_true, F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -97,3 +97,21 @@ def test_ivfpq_adc_structure_and_recall_floor(spark, sf_dir):
     exact = {(r.query_id, r.vec_id) for r in knn_brute_cosine(spark, sf_dir).collect()}
     got = {(r.query_id, r.vec_id) for r in rows}
     assert len(exact & got) / len(exact) >= 0.02
+
+
+def test_bloom_prescreen_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """Bloom membership can over-approximate but never miss: every
+    exact benchmark-gram hit must also be a bloom hit, and the measured
+    false-positive rate stays within a generous multiple of the
+    (1 - e^(-kn/m))^k estimate (n ~ 1k bench grams, m = 64Ki, k = 3
+    -> theory ~1e-4; assert <= 1%)."""
+    from k8s_log_etl_spark.queries.llmprep import decontam_bloom_prescreen
+
+    rows = decontam_bloom_prescreen(spark, sf_dir).collect()
+    assert rows
+    tot = sum(r.n_grams for r in rows)
+    true_hits = sum(r.true_hits for r in rows)
+    fp = sum(r.bloom_hits - r.true_hits for r in rows)
+    for r in rows:
+        assert r.bloom_hits >= r.true_hits, f"false negative in {r.source}"
+    assert fp / max(tot - true_hits, 1) <= 0.01
