@@ -714,3 +714,43 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(us, 0.9)") / 1e6, 6).alias("p90_s"),
         F.round(F.max("us") / 1e6, 6).alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weekly seasonality profile (hour-of-day x day-of-week)
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_SQL = """
+SELECT CAST(extract(dow FROM ts) AS INTEGER) AS dow,
+       CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,2))) * 1.0 / count(*), 6) AS avg_value
+FROM events
+GROUP BY dow, hour
+"""
+
+
+@register("events_weekly_seasonality", oracle=_SEASONALITY_SQL, tags=("events", "temporal"))
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heat-map input: event volume and average value
+    per (day-of-week, hour-of-day) cell — at most 168 output rows from
+    any input size, one map-side-combined aggregate. Cross-engine trap
+    handled explicitly: Spark's dayofweek() is 1-based Sunday=1 while
+    DuckDB's extract(dow) is 0-based Sunday=0, so the Spark side shifts
+    by one instead of letting the two numbering conventions silently
+    misalign; averages divide an exact DECIMAL sum by the count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+        )
+    )
