@@ -141,3 +141,91 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal curation capstone: decode gate -> payload dedup -> budget
+# ---------------------------------------------------------------------------
+
+MM_MIN_DIM = 32      # decode-gate: both fake dimensions must be >= this
+MM_SOURCE_CAP = 10   # per-source keep budget
+
+_MM_W_SQL = "CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER)"
+_MM_H_SQL = "CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER)"
+_MM_PRIO_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_MM_CURATE_SQL = f"""
+WITH decoded AS (
+  SELECT doc_id, source, md5(text) AS phex,
+         {_MM_W_SQL} AS width, {_MM_H_SQL} AS height
+  FROM documents
+),
+gated AS (
+  SELECT * FROM decoded
+  WHERE width >= {MM_MIN_DIM} AND height >= {MM_MIN_DIM}
+),
+deduped AS (
+  SELECT g.* FROM gated g
+  JOIN (SELECT phex, min(doc_id) AS keep_id FROM gated GROUP BY phex) k
+    ON g.doc_id = k.keep_id
+),
+budgeted AS (
+  SELECT * FROM (
+    SELECT d.*,
+           row_number() OVER (
+             PARTITION BY source ORDER BY {_MM_PRIO_SQL}, doc_id
+           ) AS rn
+    FROM deduped d
+  ) WHERE rn <= {MM_SOURCE_CAP}
+)
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels,
+       min(doc_id) AS first_doc
+FROM budgeted
+GROUP BY source
+"""
+
+
+@register("multimodal_curation_pipeline", oracle=_MM_CURATE_SQL, tags=("multimodal", "llmprep"))
+def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation capstone — the image-corpus analogue of
+    corpus_clean_pipeline: decode metadata (the REAL Arrow mapInPandas
+    plumbing around the clearly-marked fake decoder), gate on minimum
+    dimensions, exact-dedup on the payload digest (keep lowest doc_id),
+    then apply a deterministic per-source keep budget (md5-priority
+    WindowGroupLimit — the same seeded-sampling discipline as
+    sample_stratified_topk). Plan at 100 TB: decode is one
+    partition-parallel Python pass (the unavoidable media step — all
+    later stages are JVM-side), the gate prunes before any shuffle, the
+    dedup is a hash-agg on the 16-byte digest, and the budget window
+    partitions on source with map-side group limits. The oracle
+    recomputes the fake decoder's arithmetic from the md5 hex, so the
+    whole chain — decode, gate, dedup frontier, budget frontier — is
+    hash-verified."""
+    from pyspark.sql import Window
+
+    from k8s_log_etl_spark.functions import xengine as X
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    decoded = MM.decode_metadata(MM.attach_payload(d)).select(
+        "doc_id", F.hex(F.col("payload")).alias("phex_raw"), "width", "height"
+    ).withColumn("phex", F.lower(F.col("phex_raw")))
+    gated = decoded.filter(
+        (F.col("width") >= MM_MIN_DIM) & (F.col("height") >= MM_MIN_DIM)
+    )
+    keep = gated.groupBy("phex").agg(F.min("doc_id").alias("keep_id"))
+    deduped = (
+        gated.join(keep, gated["doc_id"] == keep["keep_id"], "left_semi")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    prio = X.md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(prio.asc(), F.asc("doc_id"))
+    budgeted = deduped.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= MM_SOURCE_CAP
+    )
+    return budgeted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_pixels"),
+        F.min("doc_id").alias("first_doc"),
+    )
