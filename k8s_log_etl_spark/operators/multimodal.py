@@ -137,3 +137,45 @@ def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
             yield pdf_out
 
     return df.select("doc_id", "payload").mapInPandas(fn, FRAME_SCHEMA)
+
+
+FEATURE_DIMS = 8
+FEATURE_QUANT = 1_000_000  # per-image feature norm quantized to micro-units
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("norm_q", LongType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """STUB feature extractor — NOT a real vision model. Maps the first
+    FEATURE_DIMS payload bytes to [0,1] floats (a stand-in for an
+    image-embedding forward pass) and emits the L2 norm of that vector,
+    quantized to integer micro-units so any downstream aggregate is
+    exact and order-free. The Arrow mapInPandas plumbing — batch
+    columnar in, fixed typed schema out — is the real part; swap the
+    body for a real encoder (CLIP/ResNet forward) outside this
+    environment. The arithmetic is a sequential Python float fold,
+    bit-identical to the DuckDB oracle's list_reduce."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            norms = []
+            for payload in pdf["payload"]:
+                acc = 0.0
+                for i in range(FEATURE_DIMS):
+                    x = payload[i] / 255.0
+                    acc = acc + x * x
+                norms.append(int(round(math.sqrt(acc) * FEATURE_QUANT)))
+            out = pd.DataFrame({"doc_id": pdf["doc_id"], "norm_q": norms})
+            out["norm_q"] = out["norm_q"].astype("int64")
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)

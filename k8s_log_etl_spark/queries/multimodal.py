@@ -229,3 +229,62 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_pixels"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (the embed step of a multimodal pipeline)
+# ---------------------------------------------------------------------------
+
+_FEAT_TERMS = " + ".join(
+    f"(CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS INTEGER) / 255.0)"
+    f" * (CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS INTEGER) / 255.0)"
+    for i in range(MM.FEATURE_DIMS)
+)
+
+_FEATURES_SQL = f"""
+WITH norms AS (
+  SELECT doc_id, source,
+         CAST(round(sqrt({_FEAT_TERMS}) * {MM.FEATURE_QUANT}) AS BIGINT) AS norm_q
+  FROM documents
+)
+SELECT source, count(*) AS n_images,
+       round(sum(norm_q) * 1.0 / count(*) / {MM.FEATURE_QUANT}, 6) AS mean_feat_norm,
+       round(min(norm_q) * 1.0 / {MM.FEATURE_QUANT}, 6) AS min_feat_norm,
+       round(max(norm_q) * 1.0 / {MM.FEATURE_QUANT}, 6) AS max_feat_norm
+FROM norms GROUP BY source
+"""
+
+
+@register("multimodal_feature_extract", oracle=_FEATURES_SQL, tags=("multimodal",))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the mapInPandas feature-extract stub (the embed step a
+    real pipeline runs a vision encoder for): per-image fake feature
+    vector from payload bytes → L2 norm quantized to integer
+    micro-units INSIDE the UDF, so the per-source aggregates are exact
+    integer sums — order-free across partitions, immune to float
+    accumulation order (the text_perplexity_proxy discipline applied to
+    a Python-side producer). The oracle recomputes the byte→feature
+    arithmetic from the md5 hex with the same sequential fold. At
+    100 TB this is the canonical embed stage: one partition-parallel
+    Arrow pass, everything after it JVM-side."""
+    d = MM.attach_payload(
+        ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    )
+    feats = MM.extract_features(d)
+    src = d.select("doc_id", "source")
+    return (
+        feats.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(
+                F.sum("norm_q") / F.count(F.lit(1)) / MM.FEATURE_QUANT, 6
+            ).alias("mean_feat_norm"),
+            F.round(F.min("norm_q") / float(MM.FEATURE_QUANT), 6).alias(
+                "min_feat_norm"
+            ),
+            F.round(F.max("norm_q") / float(MM.FEATURE_QUANT), 6).alias(
+                "max_feat_norm"
+            ),
+        )
+    )
