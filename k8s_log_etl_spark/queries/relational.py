@@ -2103,3 +2103,88 @@ def orders_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("next_price"),
         F.round(F.cume_dist().over(w_rank), 6).alias("price_cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics matrix (grouping, counting, and null-safe equality)
+# ---------------------------------------------------------------------------
+
+_NULL_AGG_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         nullif(o_orderpriority, '3-MEDIUM') AS p,
+         nullif(o_custkey % 5, 0) AS b
+  FROM orders
+)
+SELECT p,
+       count(*) AS n_rows,
+       count(b) AS n_b_nonnull,
+       count(DISTINCT b) AS nd_b,
+       CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b_null
+FROM t
+GROUP BY p
+"""
+
+
+@register("agg_null_semantics", oracle=_NULL_AGG_SQL, tags=("agg",))
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics matrix for aggregation — the corner every engine
+    pair disagrees on somewhere: grouping BY a nullable key (the NULL
+    group is a real group in both engines), count(*) vs count(col)
+    (the latter skips NULLs), count(DISTINCT col) (NULL never counted),
+    and an explicit IS NULL tally. Nullable columns are derived with
+    nullif since the synthetic tables ship NULL-free. One map-side
+    partial aggregate; nothing here shuffles more than the group
+    count."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("p"),
+        F.nullif(F.col("o_custkey") % 5, F.lit(0)).alias("b"),
+    )
+    return t.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("b").alias("n_b_nonnull"),
+        F.count_distinct("b").alias("nd_b"),
+        F.sum(F.when(F.col("b").isNull(), 1).otherwise(0)).alias("n_b_null"),
+    )
+
+
+_NULL_JOIN_SQL = """
+WITH a AS (
+  SELECT doc_id, nullif(lang, 'en') AS k FROM documents WHERE doc_id < 50
+),
+b AS (
+  SELECT doc_id, nullif(lang, 'en') AS k FROM documents
+  WHERE doc_id >= 50 AND doc_id < 200
+)
+SELECT 'null_safe' AS op, count(*) AS n_matched
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+UNION ALL
+SELECT 'plain' AS op, count(*) AS n_matched
+FROM a JOIN b ON a.k = b.k
+"""
+
+
+@register("join_null_safe", oracle=_NULL_JOIN_SQL, tags=("join",))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM) vs plain
+    equality on a nullable key: the null-safe form matches NULL to NULL
+    (so the NULL partitions join each other), the plain form drops every
+    NULL row from both sides — the difference IS the query's output.
+    Spark plans <=> as an ordinary hash join (null-safe keys hash like
+    values); nothing degenerates to a nested loop (plan-contract
+    CartesianProduct ban applies here like everywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.nullif(F.col("lang"), F.lit("en"))
+    a = d.filter(F.col("doc_id") < 50).select(k.alias("ka"))
+    b = d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 200)).select(
+        k.alias("kb")
+    )
+    safe = a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).agg(
+        F.count(F.lit(1)).alias("n_matched")
+    ).select(F.lit("null_safe").alias("op"), "n_matched")
+    plain = a.join(b, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).alias("n_matched")
+    ).select(F.lit("plain").alias("op"), "n_matched")
+    return safe.unionAll(plain)
