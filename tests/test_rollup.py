@@ -163,3 +163,40 @@ def test_user_sketch_rollup_range_estimate(spark, tmp_path):
         spark, sketch_dir, "2024-01-01 10:00:00", "2024-01-01 11:00:00"
     ).collect()[0]
     assert abs(est10["distinct_users_est"] - 40) <= max(2, 0.02 * 40)
+
+
+def test_compaction_reduces_files_preserves_content(spark, tmp_path):
+    """Small-files compaction: many appended fragments per hour
+    partition collapse to one file each, content and partition layout
+    identical; untargeted partitions untouched."""
+    from k8s_log_etl_spark.operators import compaction as C
+
+    base = str(tmp_path / "tbl")
+    # simulate an incremental writer: 6 tiny appends into hour A, one
+    # into hour B
+    for i in range(6):
+        (
+            spark.createDataFrame([(i, "A")], "v long, hour_key string")
+            .write.mode("append").partitionBy("hour_key").parquet(base)
+        )
+    (
+        spark.createDataFrame([(99, "B")], "v long, hour_key string")
+        .write.mode("append").partitionBy("hour_key").parquet(base)
+    )
+    before = sorted(r["v"] for r in spark.read.parquet(base).collect())
+
+    a_dir = os.path.join(base, "hour_key=A")
+    n_before = sum(1 for f in os.listdir(a_dir) if f.endswith(".parquet"))
+    assert n_before == 6
+
+    todo = C.plan_compaction(spark, base, "hour_key", max_files_per_partition=1)
+    assert todo == ["hour_key=A"]  # B already at target
+    b_files = set(os.listdir(os.path.join(base, "hour_key=B")))
+    assert C.compact_partitions(spark, base, "hour_key", todo) == 1
+
+    n_after = sum(1 for f in os.listdir(a_dir) if f.endswith(".parquet"))
+    assert n_after == 1
+    assert set(os.listdir(os.path.join(base, "hour_key=B"))) == b_files
+    after = sorted(r["v"] for r in spark.read.parquet(base).collect())
+    assert after == before
+    assert C.plan_compaction(spark, base, "hour_key") == []
