@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "rollup+tail aggregate (materialized hours before "
                         "CUTOFF_TS 'yyyy-MM-dd HH:MM:SS', raw tail after) "
                         "as JSONL to stdout")
+    p.add_argument("--compact", default=None, metavar="PATH",
+                   help="compact small parquet files per partition dir "
+                        "under PATH (use with --partition-col; atomic "
+                        "per-partition swap)")
+    p.add_argument("--partition-col", default="hour_key",
+                   help="partition column name for --compact "
+                        "(default hour_key, the rollup layout)")
     p.add_argument("--explain", default=None, metavar="QUERY",
                    help="print the optimized physical plan of a registered "
                         "query (by name) or, with --sql, of that statement; "
@@ -384,6 +391,13 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.rollup:
             run_rollup(args, spark)
+            return 0
+        if args.compact:
+            from k8s_log_etl_spark.operators import compaction as C
+
+            todo = C.plan_compaction(spark, args.compact, args.partition_col)
+            n = C.compact_partitions(spark, args.compact, args.partition_col, todo)
+            print(f"compacted {n} partition(s) under {args.compact}", file=sys.stderr)
             return 0
         if args.sql:
             run_sql(args, spark)

@@ -422,3 +422,24 @@ def test_cli_rollup_mode(spark, tmp_path, capsys, monkeypatch):
         ("2024-01-01T11:00:00.000Z", "click", 1),
         ("2024-01-01T14:00:00.000Z", "view", 1),
     ]
+
+
+def test_cli_compact_mode(spark, tmp_path, capsys, monkeypatch):
+    """--compact collapses fragmented partitions in place."""
+    import os
+
+    from k8s_log_etl_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **_kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    base = str(tmp_path / "tbl")
+    for i in range(4):
+        (
+            spark.createDataFrame([(i, "H")], "v long, hour_key string")
+            .write.mode("append").partitionBy("hour_key").parquet(base)
+        )
+    rc = cli.main(["--compact", base, "--partition-col", "hour_key"])
+    assert rc == 0
+    pdir = os.path.join(base, "hour_key=H")
+    assert sum(1 for f in os.listdir(pdir) if f.endswith(".parquet")) == 1
+    assert sorted(r["v"] for r in spark.read.parquet(base).collect()) == [0, 1, 2, 3]
