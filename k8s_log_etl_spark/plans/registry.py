@@ -116,8 +116,8 @@ _CHECKED_FIRST = [
 # events_time_to_convert, text_zipf_slope, knn_ivfpq_adc,
 # orders_window_analytics, decontam_bloom_prescreen,
 # events_weekly_seasonality, multimodal_curation_pipeline,
-# multimodal_feature_extract, agg_null_semantics, join_null_safe
-# (all green in
+# multimodal_feature_extract, agg_null_semantics, join_null_safe,
+# dq_constraint_checks (all green in
 # tools/drive_entry.py and tests/test_oracle_parity.py).
 # agg_countmin_events is sketch-only (no oracle, bounded in
 # tests/test_approx.py) — do NOT give it a checked slot.

@@ -2188,3 +2188,92 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matched")
     ).select(F.lit("plain").alias("op"), "n_matched")
     return safe.unionAll(plain)
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint checks (the DQ gate of a pipeline)
+# ---------------------------------------------------------------------------
+
+_DQ_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS rule,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orders_nonpositive_price',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_totalprice <= 0
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'events_ts_out_of_range',
+       CAST(count(*) AS BIGINT)
+FROM events WHERE ts < TIMESTAMP '1990-01-01' OR ts > TIMESTAMP '2035-01-01'
+UNION ALL
+SELECT 'documents_nchars_mismatch',
+       CAST(count(*) AS BIGINT)
+FROM documents WHERE n_chars <> length(text)
+"""
+
+
+@register("dq_constraint_checks", oracle=_DQ_SQL, tags=("agg", "join"))
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: one row per constraint with its
+    violation count — referential integrity as LEFT-ANTI joins (the
+    scalable FK check: both sides shuffle on the key once; no
+    row-at-a-time lookups), domain ranges and a derived-column
+    consistency check as map-side predicates. A real pipeline runs this
+    between landing and promotion and fails the batch on any non-zero
+    row; at 100 TB every rule here is one scan + at most one keyed
+    shuffle, and rules over the same table share the scan via plan
+    reuse. (The synthetic tables are expected to be clean — the SHAPE
+    of the checks is the operator; the n_chars rule is a genuine
+    derived-column invariant of the fixture generator.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"),
+        ),
+        one(
+            "orders_orphan_custkey",
+            o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
+        ),
+        one("orders_nonpositive_price", o.filter(F.col("o_totalprice") <= 0)),
+        one(
+            "lineitem_discount_range",
+            l.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one(
+            "events_ts_out_of_range",
+            ev.filter(
+                (F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("ts") > F.lit("2035-01-01").cast("timestamp"))
+            ),
+        ),
+        one(
+            "documents_nchars_mismatch",
+            d.filter(F.col("n_chars") != F.length("text")),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out
