@@ -132,6 +132,54 @@ CONTRACTS = {
     # mix capstone: bench grams broadcast semi-join; sampling + split
     # are map-side hash predicates
     "training_mix_pipeline": (["BroadcastHashJoin"], []),
+    # --- round-3c additions ---
+    # q15: Catalyst turns the equality-against-broadcast-max filter
+    # into a BroadcastHashJoin keyed on the revenue itself — the 1-row
+    # max side broadcasts, nothing nested-loops
+    "q15_top_supplier": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # q17: correlated avg decorrelates to a keyed join — no re-scan loop
+    "q17_small_qty_revenue": ([], ["NestedLoop"]),
+    # q18: top-100 via per-partition heaps; facts never nested-loop
+    "q18_large_volume_orders": (["TakeOrderedAndProject"], ["NestedLoop"]),
+    # q21: EXISTS/NOT-EXISTS collapsed into one aggregate — no loop,
+    # top-10 via TakeOrderedAndProject (single-scan pin is a dedicated
+    # test below)
+    "q21_sole_late_supplier": (["TakeOrderedAndProject"], ["NestedLoop"]),
+    # q22: global-scalar threshold is a 1-row broadcast; NOT EXISTS is
+    # a LeftAnti
+    "q22_dormant_customers": (["BroadcastNestedLoopJoin", "LeftAnti"], []),
+    # whole-partition frame: one window, no join anywhere
+    "orders_vs_peer_avg": (["Window"], ["Join"]),
+    "orders_window_analytics": (["Window"], ["Join"]),
+    # bag set-ops stay keyed
+    "set_ops_multiset_orders": ([], ["NestedLoop"]),
+    # gopher rules: array HOFs + one tally — no join, no window
+    "text_gopher_rules": ([], ["Join", "Window"]),
+    # SQ8 ADC: per-query top-k prunes map-side
+    "knn_sq8_adc": (["WindowGroupLimit"], []),
+    # IVF-PQ: probes broadcast into the index as a keyed hash join;
+    # never a loop join anywhere in train+search
+    "knn_ivfpq_adc": (["BroadcastHashJoin", "WindowGroupLimit"], ["NestedLoop"]),
+    # market basket: pairs expand map-side (Generate), top-20 heaps
+    "parts_copurchased": (["TakeOrderedAndProject", "Generate"], []),
+    # conversion latency: two keyed min-aggs, no per-user window scan
+    "events_time_to_convert": ([], ["NestedLoop", "Window"]),
+    # zipf: per-lang top-100 prunes map-side
+    "text_zipf_slope": (["WindowGroupLimit"], ["NestedLoop"]),
+    # bloom: the sketch is a 1-row broadcast array; membership is
+    # lookups, not a join
+    "decontam_bloom_prescreen": (["BroadcastNestedLoopJoin"], []),
+    # seasonality: one map-side-combined aggregate
+    "events_weekly_seasonality": ([], ["Join", "Window"]),
+    # multimodal capstone: budget prunes per-source map-side
+    "multimodal_curation_pipeline": (["WindowGroupLimit"], ["NestedLoop"]),
+    # feature extract: one Arrow pass + keyed join + tally
+    "multimodal_feature_extract": ([], ["NestedLoop", "Window"]),
+    # null semantics: pure aggregation / keyed hash joins
+    "agg_null_semantics": ([], ["Join", "Window"]),
+    "join_null_safe": ([], ["NestedLoop"]),
+    # DQ gate: FK checks are LeftAnti, never row-at-a-time lookups
+    "dq_constraint_checks": (["LeftAnti"], ["NestedLoop"]),
 }
 
 
@@ -157,4 +205,14 @@ def test_pack_chunks_window_is_range_partitioned(spark):
     )
     assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), (
         f"found a lang-only doc-ordered window (single partition per lang):\n{plan[:2000]}"
+    )
+
+
+def test_q21_single_lineitem_scan(spark):
+    """q21's rewrite collapses the EXISTS / NOT-EXISTS pair into one
+    per-orderkey aggregate — lineitem must be scanned exactly once (the
+    naive decorrelation read it three times)."""
+    plan = _plan(spark, "q21_sole_late_supplier")
+    assert plan.count("lineitem.parquet") == 1, (
+        f"lineitem scanned {plan.count('lineitem.parquet')}x:\n{plan[:2000]}"
     )
