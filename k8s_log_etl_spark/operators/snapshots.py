@@ -1,0 +1,101 @@
+"""Snapshot comparison and slowly-changing-dimension history.
+
+Two warehouse staples a 100 TB pipeline runs between table versions:
+
+* `snapshot_diff` — CDC-style diff of two snapshots of the same table:
+  which keys were added, removed, or changed. One full-outer join on
+  the key plus a row-fingerprint comparison — both sides shuffle on the
+  key exactly once; the fingerprint (xxhash64 over the non-key columns)
+  collapses arbitrary row width into one 64-bit compare, so the join
+  carries keys + hashes, not whole rows.
+
+* `scd2_apply` — type-2 slowly-changing-dimension merge: fold a new
+  snapshot into a (valid_from, valid_to) history. Current rows whose
+  attributes changed are closed out at the batch timestamp; changed and
+  brand-new keys open new current rows; vanished keys close without a
+  successor. Expressed as joins + unions (no MERGE INTO — no table
+  format here); every step is keyed on the natural key, so the whole
+  fold is two hash joins and a union at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_TO = "9999-12-31 00:00:00"
+
+
+def _fingerprint(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    attrs = [c for c in df.columns if c not in key_cols]
+    return df.withColumn(
+        "_fp", F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attrs])
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Rows of (key..., change_type) with change_type in
+    {'added', 'removed', 'changed'}; unchanged keys are omitted."""
+    o = _fingerprint(old, key_cols).select(
+        *key_cols, F.col("_fp").alias("_fp_old")
+    )
+    n = _fingerprint(new, key_cols).select(
+        *key_cols, F.col("_fp").alias("_fp_new")
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
+def scd2_init(snapshot: DataFrame, ts: str) -> DataFrame:
+    """Open a fresh history from the first snapshot."""
+    return snapshot.withColumn(
+        "valid_from", F.lit(ts).cast("timestamp")
+    ).withColumn("valid_to", F.lit(OPEN_TO).cast("timestamp"))
+
+
+def scd2_apply(
+    history: DataFrame, snapshot: DataFrame, key_cols: list[str], ts: str
+) -> DataFrame:
+    """Fold `snapshot` (the table's state at `ts`) into the SCD2
+    history: closed rows pass through; current rows close at `ts` when
+    their key changed or vanished; changed and new keys open fresh
+    current rows."""
+    ts_col = F.lit(ts).cast("timestamp")
+    closed = history.filter(F.col("valid_to") != F.lit(OPEN_TO).cast("timestamp"))
+    current = history.filter(F.col("valid_to") == F.lit(OPEN_TO).cast("timestamp"))
+
+    diff = snapshot_diff(
+        current.drop("valid_from", "valid_to"), snapshot, key_cols
+    )
+    changed_or_removed = diff.filter(
+        F.col("change_type").isin("changed", "removed")
+    ).select(*key_cols)
+    changed_or_added = diff.filter(
+        F.col("change_type").isin("changed", "added")
+    ).select(*key_cols)
+
+    still_current = current.join(changed_or_removed, key_cols, "left_anti")
+    closing = current.join(changed_or_removed, key_cols, "left_semi").withColumn(
+        "valid_to", ts_col
+    )
+    opening = snapshot.join(changed_or_added, key_cols, "left_semi").select(
+        *snapshot.columns,
+        ts_col.alias("valid_from"),
+        F.lit(OPEN_TO).cast("timestamp").alias("valid_to"),
+    )
+    return (
+        closed.unionByName(still_current)
+        .unionByName(closing)
+        .unionByName(opening)
+    )
