@@ -1224,3 +1224,59 @@ def decontam_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus version diff (CDC between dataset drops)
+# ---------------------------------------------------------------------------
+
+DIFF_OLD_MAX = 400    # old drop: doc_id < 400
+DIFF_NEW_MIN = 50     # new drop: doc_id >= 50 (overlap 50..399)
+DIFF_MUTATE_MOD = 7   # every 7th doc's lang is re-tagged in the new drop
+
+_SNAP_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id < {DIFF_OLD_MAX}
+),
+new AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % {DIFF_MUTATE_MOD} = 0 THEN upper(lang) ELSE lang END AS lang,
+         source
+  FROM documents WHERE doc_id >= {DIFF_NEW_MIN}
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text <> n.text OR o.lang <> n.lang OR o.source <> n.source
+              THEN 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.text <> n.text OR o.lang <> n.lang OR o.source <> n.source)
+"""
+
+
+@register("corpus_snapshot_diff", oracle=_SNAP_DIFF_SQL, tags=("llmprep",))
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two dataset drops through operators.snapshots
+    .snapshot_diff: the old drop, a shifted new drop, and a
+    deterministic re-tag mutation yield all three change classes. The
+    operator joins keys + 64-bit row fingerprints (xxhash64 over the
+    attribute columns), never whole rows — one keyed full-outer join at
+    any scale; the oracle compares the attribute columns directly, so a
+    fingerprint collision (P ~ 2^-64 per overlapping key) would surface
+    as a hash mismatch — the collision-freeness is itself under test."""
+    from k8s_log_etl_spark.operators.snapshots import snapshot_diff
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    old = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
+        "doc_id", "text", "lang", "source"
+    )
+    new = d.filter(F.col("doc_id") >= DIFF_NEW_MIN).select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % DIFF_MUTATE_MOD == 0, F.upper(F.col("lang"))
+        ).otherwise(F.col("lang")).alias("lang"),
+        "source",
+    )
+    return snapshot_diff(old, new, ["doc_id"])
