@@ -117,7 +117,8 @@ _CHECKED_FIRST = [
 # orders_window_analytics, decontam_bloom_prescreen,
 # events_weekly_seasonality, multimodal_curation_pipeline,
 # multimodal_feature_extract, agg_null_semantics, join_null_safe,
-# dq_constraint_checks, corpus_snapshot_diff (all green in
+# dq_constraint_checks, corpus_snapshot_diff, orders_page_offset,
+# orders_price_range_frame (all green in
 # tools/drive_entry.py and tests/test_oracle_parity.py).
 # agg_countmin_events is sketch-only (no oracle, bounded in
 # tests/test_approx.py) — do NOT give it a checked slot.

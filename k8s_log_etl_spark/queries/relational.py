@@ -2277,3 +2277,82 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionAll(chk)
     return out
+
+
+# ---------------------------------------------------------------------------
+# pagination (LIMIT + OFFSET) and value-based numeric RANGE frames
+# ---------------------------------------------------------------------------
+
+PAGE_SIZE = 20
+
+_PAGE_SQL = f"""
+SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders
+ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+LIMIT {PAGE_SIZE} OFFSET {PAGE_SIZE}
+"""
+
+
+@register("orders_page_offset", oracle=_PAGE_SQL, tags=("sort", "topk"))
+def orders_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: the SECOND page of the price-ranked order list
+    (LIMIT with OFFSET — the one sort/limit shape the suite didn't yet
+    pin). Spark plans offset+limit together as a single
+    TakeOrderedAndProject-style frontier of OFFSET+LIMIT rows (tiny),
+    never a global sort; at scale pagination deeper than a few pages
+    should switch to keyset pagination (WHERE price < last_seen), which
+    is what the fully tie-broken ordering here makes possible. DECIMAL
+    ordering keeps both page boundaries engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    price = _dec("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            price.alias("price_d"),
+        )
+        .orderBy(F.desc("price_d"), F.asc("o_orderkey"))
+        .offset(PAGE_SIZE)
+        .limit(PAGE_SIZE)
+        .select(
+            "o_orderkey", "o_custkey", F.col("price_d").cast("double").alias("price")
+        )
+    )
+
+
+PRICE_BAND = 100
+
+_PRICE_RANGE_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+         RANGE BETWEEN {PRICE_BAND} PRECEDING AND {PRICE_BAND} FOLLOWING
+       ) AS BIGINT) AS n_similar_price
+FROM orders
+WHERE o_custkey < 200
+"""
+
+
+@register("orders_price_range_frame", oracle=_PRICE_RANGE_SQL, tags=("window",))
+def orders_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based numeric RANGE frame (the non-temporal sibling of
+    events_rolling_1h's time RANGE): for each order, how many of the
+    same customer's orders are priced within ±PRICE_BAND of it. The
+    frame is defined by the ORDER-BY VALUE, not row positions, so ties
+    need no tie-break — every row with the same price sees the same
+    frame — and DECIMAL ordering makes the band edges engine-exact.
+    One shuffle on custkey; per-partition state is a sliding window
+    over the customer's sorted prices."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    price = _dec("o_totalprice")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(price)
+        .rangeBetween(-PRICE_BAND, PRICE_BAND)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
