@@ -180,6 +180,13 @@ CONTRACTS = {
     "join_null_safe": ([], ["NestedLoop"]),
     # DQ gate: FK checks are LeftAnti, never row-at-a-time lookups
     "dq_constraint_checks": (["LeftAnti"], ["NestedLoop"]),
+    # CDC diff: keyed full-outer over fingerprints, no loop join
+    "corpus_snapshot_diff": (["FullOuter"], ["NestedLoop"]),
+    # pagination: a bounded limit frontier, never a full global Sort
+    # materialization (TakeOrderedAndProject carries offset+limit)
+    "orders_page_offset": (["TakeOrderedAndProject"], []),
+    # numeric RANGE frame: one window, no self-join
+    "orders_price_range_frame": (["Window"], ["Join"]),
 }
 
 
