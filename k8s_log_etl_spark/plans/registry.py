@@ -101,9 +101,12 @@ _CHECKED_FIRST = [
     # oracle run keeps covering them every time)
     "multimodal_decode_stats",
 ]
-# ROUND-4 ROTATION NOTE: queries registered after the 50-slot window
-# filled this round have no driver row yet and should take slots next
-# round: text_boilerplate_phrases, events_markov_transitions,
+# ROUND-4 ROTATION NOTE: 43 queries registered after the 50-slot
+# window filled this round have no driver row yet (union of r1+r2 rows
+# + this round's 50 covers the rest) and should take slots next round,
+# prioritized below in registration order — with 50 slots, cover all
+# 43 plus a small regression core, and queue the remainder for r5:
+# text_boilerplate_phrases, events_markov_transitions,
 # bpe_pair_stats, dedup_incremental_batch, dedup_edit_distance,
 # sample_weighted_topn, pq_codebook_train, q4_order_priority,
 # q12_late_shipments, events_bot_rate_flags, orders_price_percentiles,
