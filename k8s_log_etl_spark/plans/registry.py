@@ -101,11 +101,11 @@ _CHECKED_FIRST = [
     # oracle run keeps covering them every time)
     "multimodal_decode_stats",
 ]
-# ROUND-4 ROTATION NOTE: 43 queries registered after the 50-slot
+# ROUND-4 ROTATION NOTE: 44 queries registered after the 50-slot
 # window filled this round have no driver row yet (union of r1+r2 rows
 # + this round's 50 covers the rest) and should take slots next round,
 # prioritized below in registration order — with 50 slots, cover all
-# 43 plus a small regression core, and queue the remainder for r5:
+# 44 plus a small regression core, and queue the remainder for r5:
 # text_boilerplate_phrases, events_markov_transitions,
 # bpe_pair_stats, dedup_incremental_batch, dedup_edit_distance,
 # sample_weighted_topn, pq_codebook_train, q4_order_priority,
@@ -121,7 +121,7 @@ _CHECKED_FIRST = [
 # events_weekly_seasonality, multimodal_curation_pipeline,
 # multimodal_feature_extract, agg_null_semantics, join_null_safe,
 # dq_constraint_checks, corpus_snapshot_diff, orders_page_offset,
-# orders_price_range_frame (all green in
+# orders_price_range_frame, nation_top_customer_roster (all green in
 # tools/drive_entry.py and tests/test_oracle_parity.py).
 # agg_countmin_events is sketch-only (no oracle, bounded in
 # tests/test_approx.py) — do NOT give it a checked slot.

@@ -2356,3 +2356,58 @@ def orders_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.count(F.lit(1)).over(w).alias("n_similar_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation (roster strings per group)
+# ---------------------------------------------------------------------------
+
+ROSTER_K = 3
+
+_ROSTER_SQL = f"""
+WITH ranked AS (
+  SELECT n_name, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         row_number() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_name
+         ) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, count(*) AS n_listed,
+       string_agg(c_name, ',' ORDER BY bal DESC, c_name) AS roster
+FROM ranked WHERE rn <= {ROSTER_K}
+GROUP BY n_name
+"""
+
+
+@register("nation_top_customer_roster", oracle=_ROSTER_SQL, tags=("agg", "window"))
+def nation_top_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — the report-rendering aggregate the
+    suite didn't yet pin: each nation's top-ROSTER_K customers by
+    balance, joined into ONE ordered comma string (DuckDB string_agg
+    with ORDER BY ≡ Spark sort_array(collect_list(struct)) + transform
+    + concat_ws — Spark has no ordered string_agg, so the deterministic
+    ordering rides a sortable struct key: negated DECIMAL balance then
+    name, both exact). WindowGroupLimit prunes to K rows per nation
+    before any aggregation; the roster list per group is bounded by K,
+    so collect_list state is O(K) — the always-bounded form of the
+    otherwise dangerous collect aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    bal = _dec("c_acctbal")
+    w = Window.partitionBy("c_nationkey").orderBy(bal.desc(), F.asc("c_name"))
+    ranked = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ROSTER_K)
+    )
+    key = F.struct((-bal).alias("negbal"), F.col("c_name").alias("name"))
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_listed"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(key)), lambda s: s["name"]
+            ),
+        ).alias("roster"),
+    )
