@@ -45,3 +45,15 @@ def test_every_family_lands_in_checked_window():
     window = set(list(load_all())[:DRIVER_CAP])
     out = {fam: rep for fam, rep in FAMILY_REPRESENTATIVES.items() if rep not in window}
     assert not out, f"capability families outside the driver's checked window: {out}"
+
+
+def test_every_query_documented():
+    """Every registered query must explain itself: a substantive
+    docstring is the contract that lets the plan-audit tables and the
+    operator inventory be checked against intent (a bare function is
+    unreviewable surface)."""
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    for name, spec in load_all().items():
+        doc = (spec.fn.__doc__ or "").strip()
+        assert len(doc) >= 40, f"{name} lacks a substantive docstring"
