@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +43,53 @@ def plan_compaction(
     return out
 
 
+def recover_compaction(path: str) -> int:
+    """Repair any swap interrupted by a crash before running a new pass.
+
+    The swap protocol below uses deterministic sidecar names
+    (``_compact_tmp_<partition>`` / ``_compact_old_<partition>``), so an
+    interrupted state is always one of three recognizable shapes:
+
+    - tmp present, live partition present (crash before the swap began):
+      the tmp write may be incomplete — discard it; the live dir was
+      never touched.
+    - old present, live partition missing (crash mid-swap): if the tmp
+      dir exists and carries Spark's ``_SUCCESS`` marker the rewrite is
+      known-complete — finish the swap forward; otherwise roll back by
+      restoring the old dir.
+    - old present, live partition present (crash after the swap, before
+      cleanup): the new files are live — just delete the old dir.
+
+    Returns the number of repairs performed. Idempotent and safe to call
+    unconditionally."""
+    repairs = 0
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("_compact_old_"):
+            continue
+        part = entry[len("_compact_old_"):]
+        old = os.path.join(path, entry)
+        pdir = os.path.join(path, part)
+        tmp = os.path.join(path, f"_compact_tmp_{part}")
+        if os.path.exists(pdir):
+            shutil.rmtree(old)  # swap completed; cleanup didn't run
+        elif os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, pdir)  # rewrite complete: roll forward
+            shutil.rmtree(old)
+        else:
+            os.rename(old, pdir)  # roll back to the original files
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+        repairs += 1
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("_compact_tmp_"):
+            continue
+        part = entry[len("_compact_tmp_"):]
+        if os.path.exists(os.path.join(path, part)):
+            shutil.rmtree(os.path.join(path, entry))  # stale pre-swap tmp
+            repairs += 1
+    return repairs
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -56,24 +102,30 @@ def compact_partitions(
     Returns the number of partitions rewritten. Each partition is
     processed independently (on a cluster these are independent jobs —
     trivially parallelizable; a failure mid-pass leaves every other
-    partition untouched and the failed one still readable from its old
-    files)."""
+    partition untouched). A crash inside the two-rename swap window
+    leaves the partition path briefly missing, but the deterministic
+    sidecar names make the state fully recoverable: the next pass calls
+    :func:`recover_compaction` first, which rolls the swap forward when
+    the rewrite is proven complete (tmp ``_SUCCESS`` marker) and rolls
+    it back to the original files otherwise — no data is ever stranded."""
+    recover_compaction(path)
     done = 0
     for entry in partitions:
         pdir = os.path.join(path, entry)
-        tmp = os.path.join(path, f"_compact_tmp_{uuid.uuid4().hex[:8]}")
+        tmp = os.path.join(path, f"_compact_tmp_{entry}")
+        old = os.path.join(path, f"_compact_old_{entry}")
         (
             spark.read.parquet(pdir)
             .repartition(target_files)
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        old = os.path.join(path, f"_compact_old_{uuid.uuid4().hex[:8]}")
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old)
-        # Spark leaves a _SUCCESS marker; harmless, but drop it so the
-        # partition dir contains only data files like the writer's own
+        # Spark leaves a _SUCCESS marker; it served as the rewrite-
+        # complete proof during the swap — drop it now so the partition
+        # dir contains only data files like the writer's own
         # dynamic-overwrite output.
         marker = os.path.join(pdir, "_SUCCESS")
         if os.path.exists(marker):

@@ -173,7 +173,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                 for i in range(FEATURE_DIMS):
                     x = payload[i] / 255.0
                     acc = acc + x * x
-                norms.append(int(round(math.sqrt(acc) * FEATURE_QUANT)))
+                # floor(x + 0.5): explicit half-away-from-zero for the
+                # non-negative norm — Python round() is half-to-even and
+                # would diverge from the DuckDB oracle's round() on an
+                # exact .5 product.
+                norms.append(int(math.floor(math.sqrt(acc) * FEATURE_QUANT + 0.5)))
             out = pd.DataFrame({"doc_id": pdf["doc_id"], "norm_q": norms})
             out["norm_q"] = out["norm_q"].astype("int64")
             yield out

@@ -27,10 +27,17 @@ OPEN_TO = "9999-12-31 00:00:00"
 
 
 def _fingerprint(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    # Each attribute contributes an explicit is-null flag alongside its
+    # string form, so NULL and any literal value (including one that
+    # stringifies to a would-be sentinel like '\x00') hash differently;
+    # the fixed two-args-per-column layout keeps column boundaries
+    # unambiguous even though xxhash64 folds NULL args as identity.
     attrs = [c for c in df.columns if c not in key_cols]
-    return df.withColumn(
-        "_fp", F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attrs])
-    )
+    parts: list = []
+    for c in attrs:
+        parts.append(F.col(c).isNull().cast("int"))
+        parts.append(F.col(c).cast("string"))
+    return df.withColumn("_fp", F.xxhash64(*parts))
 
 
 def snapshot_diff(

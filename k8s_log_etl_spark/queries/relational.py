@@ -167,10 +167,12 @@ LIMIT 10
 
 @register("q3_top_unshipped", oracle=_Q3_SQL, tags=("join",), bench=True)
 def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped join+agg+top-k: customer (filtered, broadcast) ⋈
+    """TPC-H Q3-shaped join+agg+top-k: customer (segment-filtered) ⋈
     orders ⋈ lineitem, grouped revenue, deterministic top 10 (DECIMAL
     revenue ties broken by orderkey). TakeOrderedAndProject avoids a
-    global sort."""
+    global sort. The customer side is a constant fraction of a
+    scale-proportional table, so it carries no forced broadcast hint —
+    AQE broadcasts it only when the runtime size fits."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -180,7 +182,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
         .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
@@ -206,8 +208,11 @@ GROUP BY n.n_name
 
 @register("q5_regional_revenue", oracle=_Q5_SQL, tags=("join",), bench=True)
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped 6-way join: small dims (region/nation/supplier/
-    customer) broadcast onto the fact-fact lineitem⋈orders shuffle join."""
+    """TPC-H Q5-shaped 6-way join onto the fact-fact lineitem⋈orders
+    shuffle join: nation/region (fixed 25/5 rows) are force-broadcast;
+    customer and supplier are scale-proportional so they carry no
+    forced hint — AQE picks broadcast at small SF and a keyed shuffle
+    join when they outgrow the threshold."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -219,9 +224,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -999,8 +1004,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("s_nk") != F.col("c_nk"))
@@ -1036,7 +1041,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     items in one quarter, ranked by returned revenue, top 20. Both
     selective predicates (quarter, returnflag) are pushed to the scans
     BEFORE the fact-fact join, so the orderkey shuffle carries only the
-    returned slice; customer and nation are broadcast; the global top-20
+    returned slice; nation is broadcast (customer, scale-proportional,
+    is left to AQE); the global top-20
     is TakeOrderedAndProject (per-partition heads, no total sort).
     DECIMAL revenue makes the ordering — and therefore the LIMIT
     frontier — identical across engines; ties broken by c_custkey."""
@@ -1050,7 +1056,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(revenue.cast("double").alias("revenue"))
@@ -1083,7 +1089,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promo share: percentage of one month's revenue
     coming from PROMO-type parts — conditional aggregation (CASE inside
-    sum) over a broadcast part join, one scalar out. The month predicate
+    sum) over a part join (scale-proportional part side left to AQE),
+    one scalar out. The month predicate
     prunes the scan; both sums ride the same single aggregate pass.
     DECIMAL sums, division at the output boundary."""
     l = load_table(spark, sf_dir, "lineitem").filter(
@@ -1095,7 +1102,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,2)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double"), 6
@@ -1127,7 +1134,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference only one side (brand/size → part scan, quantity bounds →
     lineitem scan) and pushes them below the join as coarse filters,
     keeping the residual OR above — the textbook CNF-extraction case.
-    Part is broadcast; one scalar aggregate out."""
+    Part (scale-proportional) is left to AQE; one scalar aggregate
+    out."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     q = F.col("l_quantity")
@@ -1150,7 +1158,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(rev.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -1377,7 +1385,7 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     yearly = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
@@ -1492,7 +1500,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(top))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1540,7 +1548,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(avgq, F.col("a_partkey") == F.col("l_partkey"))
         .filter(_dec("l_quantity") * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
         .agg(
@@ -1577,10 +1585,12 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped large-volume customers: orders whose total line
     quantity exceeds 300, with buyer, ranked by order value. The IN
     (GROUP BY ... HAVING) subquery decorrelates to a hash-agg on
-    l_orderkey whose surviving frontier is tiny (<1%% of orders), so it
-    is broadcast into the orders scan — the big fact table never
-    shuffles — and the orders⋈customer leg reuses the already-tiny
-    qualified slice as the broadcast side. Global top-100 is
+    l_orderkey whose surviving frontier is tiny (<1%% of orders) but
+    still scale-proportional, so neither it nor the qualified
+    orders slice carries a forced broadcast hint: AQE sees the
+    post-filter runtime sizes and picks broadcast when they fit,
+    shuffle join when they don't — a forced hint here would OOM the
+    driver at large SF (round-3 ADVICE finding). Global top-100 is
     TakeOrderedAndProject (per-partition heads), tie-broken by
     o_orderkey; quantities summed in DECIMAL so the >300 frontier and
     the sort are engine-exact."""
@@ -1592,9 +1602,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
-    qualified = o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+    qualified = o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
     return (
-        c.join(F.broadcast(qualified), F.col("c_custkey") == F.col("o_custkey"))
+        c.join(qualified, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -1683,7 +1693,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qualified.groupBy("late_supp")
         .agg(F.sum("n_late_lines").alias("numwait"))
-        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .join(s, F.col("late_supp") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -1798,9 +1808,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the data for the denominator). Plan shape at 100 TB: the
     selective part filter broadcasts into lineitem so the fact table is
     pruned before its only shuffle (orderkey, against the date-pruned
-    orders slice); supplier, both nation legs, region, and the
-    region-restricted customer side are broadcast dims. Numerator and
-    denominator are exact DECIMAL sums, divided once per output row."""
+    orders slice); supplier, both nation legs, and region are broadcast
+    dims. The region-restricted customer side is scale-proportional
+    (a constant fraction of all customers), so it carries NO forced
+    hint — AQE broadcasts it only when the runtime size fits,
+    otherwise it joins on the custkey shuffle (round-3 ADVICE
+    finding). Numerator and denominator are exact DECIMAL sums,
+    divided once per output row."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = load_table(spark, sf_dir, "supplier")
@@ -1824,11 +1838,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("volume", volume)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -2027,8 +2041,8 @@ def parts_copurchased(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = pc.select(F.col("l_partkey").alias("ka"), F.col("n_ord").alias("na"))
     cb = pc.select(F.col("l_partkey").alias("kb"), F.col("n_ord").alias("nb"))
     return (
-        cnt.join(F.broadcast(ca), F.col("pa") == F.col("ka"))
-        .join(F.broadcast(cb), F.col("pb") == F.col("kb"))
+        cnt.join(ca, F.col("pa") == F.col("ka"))
+        .join(cb, F.col("pb") == F.col("kb"))
         .join(F.broadcast(tot))
         .select(
             "pa",

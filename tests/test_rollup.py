@@ -200,3 +200,49 @@ def test_compaction_reduces_files_preserves_content(spark, tmp_path):
     after = sorted(r["v"] for r in spark.read.parquet(base).collect())
     assert after == before
     assert C.plan_compaction(spark, base, "hour_key") == []
+
+
+def test_compaction_recovers_from_crash_states(spark, tmp_path):
+    """Round-3 ADVICE: a crash between the two swap renames left the
+    partition path missing with no recovery scan. recover_compaction
+    must repair every interruption shape: roll FORWARD when the tmp
+    rewrite is proven complete (_SUCCESS), roll BACK otherwise, and
+    clean up post-swap leftovers — never losing rows."""
+    import shutil
+
+    from k8s_log_etl_spark.operators import compaction as C
+
+    base = str(tmp_path / "tbl")
+    for i in range(3):
+        (
+            spark.createDataFrame([(i, "A")], "v long, hour_key string")
+            .write.mode("append").partitionBy("hour_key").parquet(base)
+        )
+    pdir = os.path.join(base, "hour_key=A")
+    tmp = os.path.join(base, "_compact_tmp_hour_key=A")
+    old = os.path.join(base, "_compact_old_hour_key=A")
+
+    # Shape 1: crash mid-swap with a COMPLETE tmp rewrite -> roll forward.
+    spark.read.parquet(pdir).repartition(1).write.mode("overwrite").parquet(tmp)
+    os.rename(pdir, old)  # the crash window: live partition path missing
+    assert C.recover_compaction(base) >= 1
+    assert os.path.exists(pdir) and not os.path.exists(old) and not os.path.exists(tmp)
+    assert sorted(r["v"] for r in spark.read.parquet(base).collect()) == [0, 1, 2]
+
+    # Shape 2: crash mid-swap with an INCOMPLETE tmp (no _SUCCESS) -> roll back.
+    spark.read.parquet(pdir).repartition(1).write.mode("overwrite").parquet(tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    os.rename(pdir, old)
+    assert C.recover_compaction(base) >= 1
+    assert os.path.exists(pdir) and not os.path.exists(old) and not os.path.exists(tmp)
+    assert sorted(r["v"] for r in spark.read.parquet(base).collect()) == [0, 1, 2]
+
+    # Shape 3: crash after the swap, before old-dir cleanup -> drop old.
+    shutil.copytree(pdir, old)
+    # Shape 4 (simultaneously): stale pre-swap tmp next to a live dir.
+    spark.read.parquet(pdir).repartition(1).write.mode("overwrite").parquet(tmp)
+    # compact_partitions runs recovery implicitly before a new pass
+    assert C.compact_partitions(spark, base, "hour_key", ["hour_key=A"]) == 1
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+    assert sorted(r["v"] for r in spark.read.parquet(base).collect()) == [0, 1, 2]
+    assert sum(1 for f in os.listdir(pdir) if f.endswith(".parquet")) == 1

@@ -30,6 +30,22 @@ def test_snapshot_diff_null_attr_not_confused_with_empty(spark):
     assert got == [(1, "changed")]
 
 
+def test_snapshot_diff_null_attr_not_confused_with_nul_byte(spark):
+    """Round-3 ADVICE: a sentinel-string fingerprint made NULL and a
+    literal '\\x00' value hash identically, silently classifying a
+    NULL<->'\\x00' change as unchanged. The explicit per-column is-null
+    flag must see it as 'changed'."""
+    old = _df(spark, [(1, None, "rome")])
+    new = _df(spark, [(1, "\x00", "rome")])
+    got = [tuple(r) for r in S.snapshot_diff(old, new, ["id"]).collect()]
+    assert got == [(1, "changed")]
+    # and the reverse direction, plus a genuinely unchanged NULL
+    old2 = _df(spark, [(1, "\x00", "rome"), (2, None, "oslo")])
+    new2 = _df(spark, [(1, None, "rome"), (2, None, "oslo")])
+    got2 = [tuple(r) for r in S.snapshot_diff(old2, new2, ["id"]).collect()]
+    assert got2 == [(1, "changed")]
+
+
 def test_scd2_two_folds_and_point_in_time(spark):
     t0, t1, t2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"
     hist = S.scd2_init(
