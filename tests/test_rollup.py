@@ -165,6 +165,92 @@ def test_user_sketch_rollup_range_estimate(spark, tmp_path):
     assert abs(est10["distinct_users_est"] - 40) <= max(2, 0.02 * 40)
 
 
+def test_rollup_sf01_incremental_partitions_untouched_and_pruned(spark, tmp_path):
+    """Round-3 verdict item 5: exercise the rollup maintenance at sf0.1
+    (real data volume, ~tens of hour partitions) and pin the two
+    invariants that make the continuous aggregate safe to serve from:
+    (a) an incremental batch leaves every previously-materialized hour
+    partition BYTE-identical (dynamic partition overwrite only rewrites
+    the finalized new hours), and (b) the serving read prunes on
+    hour_key — the pruned scan's input files must all belong to hours
+    below the cutoff."""
+    import hashlib
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        pytest.skip("sf0.1 testdata not present")
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("ts", "event_type", "value")
+    )
+    b1 = ev.filter(F.col("ts") < "2024-01-03").collect()
+    b2 = ev.filter((F.col("ts") >= "2024-01-03") & (F.col("ts") < "2024-01-05")).collect()
+    assert len(b1) > 1000 and len(b2) > 1000
+    stage_dir = str(tmp_path / "stage")
+    os.makedirs(stage_dir)
+    for name, rows in (("a.jsonl", b1), ("b.jsonl", b2)):
+        # staged OUTSIDE in_dir: the file source reads every file in its
+        # path regardless of extension, so a '.pending' suffix inside
+        # in_dir would already be consumed by the first run
+        with open(os.path.join(stage_dir, name), "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {"ts": r["ts"].isoformat(), "event_type": r["event_type"],
+                         "value": r["value"]}
+                    ) + "\n"
+                )
+
+    def _file_hashes(base):
+        out = {}
+        for entry in os.listdir(base):
+            if not entry.startswith("hour_key="):
+                continue
+            for fn in os.listdir(os.path.join(base, entry)):
+                p = os.path.join(base, entry, fn)
+                out[f"{entry}/{fn}"] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    # run 1: only batch 1 visible
+    os.rename(os.path.join(stage_dir, "a.jsonl"), os.path.join(in_dir, "a.jsonl"))
+    _run_maintenance(spark, in_dir, rollup_dir, ckpt)
+    before = _file_hashes(rollup_dir)
+    assert len({k.split("/")[0] for k in before}) >= 24  # >= a day of hours
+
+    # run 2: incremental batch arrives
+    os.rename(os.path.join(stage_dir, "b.jsonl"), os.path.join(in_dir, "b.jsonl"))
+    _run_maintenance(spark, in_dir, rollup_dir, ckpt)
+    after = _file_hashes(rollup_dir)
+
+    # (a) every run-1 partition file is still there, byte-identical
+    untouched = {k: v for k, v in after.items() if k in before}
+    assert untouched == before, "previously-materialized hour partitions were rewritten"
+    assert len(after) > len(before)  # the new hours did materialize
+
+    # (b) serving read prunes on the partition key: the scan node must
+    # carry the cutoff as a PartitionFilter (directory-level pruning —
+    # sub-cutoff hours never open a data file), not as a post-scan
+    # filter. (inputFiles() reports the unpruned relation, so the
+    # executed plan's scan metadata is the observable contract.)
+    cutoff = "2024-01-02-00"
+    pruned = spark.read.parquet(rollup_dir).filter(F.col("hour_key") < cutoff)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "hour_key" in pf[0] and cutoff in pf[0], pf[0]
+    # and the pruned result genuinely excludes at-or-above-cutoff hours
+    assert pruned.filter(F.col("hour_key") >= cutoff).count() == 0
+    assert pruned.count() > 0
+
+
 def test_compaction_reduces_files_preserves_content(spark, tmp_path):
     """Small-files compaction: many appended fragments per hour
     partition collapse to one file each, content and partition layout
