@@ -153,6 +153,59 @@ def stop_gracefully(query: StreamingQuery, timeout_sec: float = 30.0) -> bool:
     return query.awaitTermination(timeout_sec)
 
 
+def streaming_dau_wau(df: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of the batch `events_dau_wau` lineage (round-3
+    verdict stretch item): daily actives AND exact 7-day rolling
+    actives maintained incrementally under a watermark.
+
+    Shape: the same pair-dedup + bounded forward scatter as the batch
+    query, recast for Structured Streaming —
+
+    * a `dau` branch keeps each event at its own time;
+    * a `wau` branch scatters each event map-side (stateless) to the
+      ≤7 daily cover windows it contributes to, moving event time only
+      FORWARD (day .. day+6), so a scattered row can never be late
+      relative to its source event;
+    * each branch carries its OWN withWatermark: under Spark's default
+      `min` multipleWatermarkPolicy the global watermark stays
+      max(raw ts) - delay, so the scatter's inflated times cannot
+      prematurely finalize (and thus drop) raw-time windows;
+    * two CHAINED stateful aggregations (the machinery
+      windowed_distinct_services proved out): (day-window, kind, user)
+      dedup, then per-(window, kind) count of surviving users.
+
+    State is bounded: ≤8 day-windows per user alive at once, all
+    evicted by the watermark. Batch runs the identical lineage
+    (equivalence-tested against events_dau_wau in
+    tests/test_streaming.py). Output: (day, kind, n_users) with kind
+    in {'dau', 'wau'} — finalized day-windows only when streaming."""
+    day = F.date_trunc("day", F.col("ts"))
+    dau_b = df.select(
+        F.lit("dau").alias("kind"), "user_id", F.col("ts").alias("t")
+    )
+    wau_b = df.select(
+        F.lit("wau").alias("kind"),
+        "user_id",
+        F.explode(
+            F.sequence(
+                day, day + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("t"),
+    )
+    if df.isStreaming:
+        dau_b = dau_b.withWatermark("t", watermark)
+        wau_b = wau_b.withWatermark("t", watermark)
+    u = dau_b.unionByName(wau_b)
+    pairs = u.groupBy(F.window("t", "1 day").alias("w"), "kind", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pairs.groupBy("w", "kind")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("w.start").alias("day"), "kind", "n_users")
+    )
+
+
 def windowed_distinct_services(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Distinct services per 1-hour event-time window via two CHAINED
     stateful aggregations — (window, service) dedup-count, then a

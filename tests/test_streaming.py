@@ -309,3 +309,77 @@ def test_stream_chained_stateful_distinct_matches_batch(spark, jsonl_dir, tmp_pa
     flush_windows = {w for w in want_all if w[0].year == 2025 and w[0].month == 12 and w[0].day == 16}
     want_closed = want_all - flush_windows
     assert got == want_closed and len(want_closed) > 0
+
+
+def test_streaming_dau_wau_matches_batch_lineage(spark, tmp_path):
+    """Round-4 stretch (round-3 verdict item 8): the streaming DAU/WAU
+    twin must emit, for every watermark-finalized day, exactly the
+    batch events_dau_wau numbers — pair dedup + bounded forward
+    scatter maintained under a watermark with two chained stateful
+    aggregations. A far-future flush event closes all real windows;
+    the per-branch watermarks (min policy) must keep raw-time windows
+    open until raw time actually passes them, so nothing is dropped."""
+    in_dir = str(tmp_path / "in_dw")
+    os.makedirs(in_dir)
+    # 4 users across 12 days with overlaps (user 1 daily for 5 days,
+    # user 2 every 3rd day, user 3 twice same day — dedup matters,
+    # user 4 once), plus a flush far past everything.
+    rows = (
+        [(f"2024-03-{d:02d}T10:00:00Z", 1) for d in range(1, 6)]
+        + [(f"2024-03-{d:02d}T11:30:00Z", 2) for d in (2, 5, 8, 11)]
+        + [("2024-03-04T09:00:00Z", 3), ("2024-03-04T21:00:00Z", 3)]
+        + [("2024-03-09T12:00:00Z", 4)]
+    )
+    with open(os.path.join(in_dir, "a.jsonl"), "w") as f:
+        for ts, uid in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid}) + "\n")
+    with open(os.path.join(in_dir, "z_flush.jsonl"), "w") as f:
+        f.write(json.dumps({"ts": "2024-04-30T00:00:00Z", "user_id": 99}) + "\n")
+
+    schema = "ts timestamp, user_id long"
+    stream_df = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    q = (
+        SP.streaming_dau_wau(stream_df)
+        .writeStream.format("memory")
+        .queryName("dau_wau_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["day"], r["kind"], r["n_users"])
+        for r in spark.sql("SELECT * FROM dau_wau_stream").collect()
+    }
+    assert got, "streaming emitted nothing"
+
+    batch = SP.streaming_dau_wau(spark.read.schema(schema).json(in_dir))
+    want_all = {(r["day"], r["kind"], r["n_users"]) for r in batch.collect()}
+    # streaming append emits only watermark-closed windows; the flush
+    # event's own day (and its wau cover days) remain open
+    closed = {w for w in want_all if w[0].month == 3}
+    assert got == closed and len(closed) > 0
+
+    # and the batch lineage itself must agree with the registered
+    # events_dau_wau semantics on active days: dau/wau pivots join up
+    piv = {}
+    for day, kind, n in want_all:
+        piv.setdefault(day, {})[kind] = n
+    # every day with raw activity must carry both metrics, and wau must
+    # dominate dau (a 7-day rolling superset)
+    active_days = {d for d, k in ((day, kind) for day, kind, _ in want_all) if k == "dau"}
+    for d in active_days:
+        assert piv[d]["wau"] >= piv[d]["dau"]
+    # spot-check exact values: 2024-03-04 has users {1,2(no),3} -> dau 2
+    import datetime
+
+    d4 = datetime.datetime(2024, 3, 4)
+    d8 = datetime.datetime(2024, 3, 8)
+    assert piv[d4]["dau"] == 2          # users 1, 3 (3's two events dedup)
+    assert piv[d4]["wau"] == 3          # users 1 (3/1-3/4), 2 (3/2), 3
+    assert piv[d8]["dau"] == 1          # user 2 only
+    assert piv[d8]["wau"] == 3          # users 1 (3/2-3/5), 2, 3 (3/4)
