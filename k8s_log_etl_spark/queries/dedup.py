@@ -544,6 +544,69 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup via trained coarse cells (SemDeDup architecture)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DUP_THRESHOLD = 0.25
+
+
+def _semantic_cells_sql() -> str:
+    from k8s_log_etl_spark.queries.similarity import KMEANS_ITERS, _kmeans_sql_parts
+
+    final = f"a{KMEANS_ITERS}"
+    return f"""
+WITH {', '.join(_kmeans_sql_parts())}
+SELECT a.k AS cell, a.vec_id AS keep_id, b.vec_id AS dup_id,
+       round({X.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM {final} a JOIN {final} b ON a.k = b.k AND a.vec_id < b.vec_id
+WHERE {X.cosine_sql('a.embedding', 'b.embedding')} >= {SEMANTIC_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_semantic_cells", oracle=_semantic_cells_sql(), tags=("dedup", "similarity"))
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the trained k-means
+    coarse quantizer (the same deterministic Lloyd's loop as
+    kmeans_ivf_train, so the cells are the hash-verified ones), then
+    compare pairs ONLY within a cell and flag pairs above the cosine
+    threshold — near-semantic duplicates a lexical dedup (minhash /
+    simhash) cannot see. Keeps the lower vec_id per pair (the paper
+    keeps the point farthest from the centroid; the choice is policy,
+    the architecture is the cells).
+
+    Scale shape: the within-cell self-join shuffles once on cell id and
+    is quadratic only WITHIN a cell — the whole point of SemDeDup is
+    that K grows with N (K ≈ N/1000 in the paper) so per-cell cost is
+    bounded and constant while cross-cell pairs (the overwhelming
+    majority) are never formed. Here K=4 over the test table; the
+    trainer's K·dim-per-round driver sync is the only non-map-side
+    cost. Cosines are sequential double folds, bit-identical to the
+    oracle's unrolled-Lloyd's CTE chain."""
+    from k8s_log_etl_spark.queries.similarity import _kmeans_train
+
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    _, assigned = _kmeans_train(e)
+    cells = assigned.select("vec_id", "embedding", "k")
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMANTIC_DUP_THRESHOLD)
+        .select(
+            F.col("a.k").alias("cell"),
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("dup_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components over near-dup pairs (cluster resolution)
 # ---------------------------------------------------------------------------
 

@@ -387,6 +387,87 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# span-level contamination: WHERE in a corpus doc the benchmark leaks
+# ---------------------------------------------------------------------------
+
+_SPANS_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+bench AS (
+  SELECT DISTINCT {_CONTAM_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id < {BENCH_DOCS}
+),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos
+  FROM words, unnest(range(greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS t(i)
+  WHERE doc_id >= {BENCH_DOCS}
+    AND {_CONTAM_GRAM_SQL} IN (SELECT g FROM bench)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {CONTAM_NGRAM - 1} AS span_end_word,
+       count(*) AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register("contamination_spans", oracle=_SPANS_SQL, tags=("llmprep", "text"))
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark contamination: for each corpus document,
+    the CONTIGUOUS runs of 5-gram positions whose shingle occurs in the
+    held-out benchmark set — the surgical alternative to
+    decontam_filter_corpus's whole-document drop (a doc with one leaked
+    sentence keeps everything outside the span; production pipelines
+    excise the span, not the document). Each output row is one span:
+    first contaminated gram position, last contaminated WORD index
+    (last gram start + n-1), and the gram count in the run.
+
+    Gaps-and-islands over positions: pos - row_number() per doc is
+    constant exactly within a consecutive run (the classic islands
+    key). Scale shape: benchmark grams are bounded and broadcast
+    (leftsemi — corpus grams never materialize distinct); positional
+    explode is linear map-side work; the islands window partitions by
+    doc_id over CONTAMINATED positions only (bounded by hits, not doc
+    length), then one hash-agg per island. Nothing quadratic, one
+    window over a hit-sparse frame."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    grams = F.transform(
+        ngram_indices(w, CONTAM_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
+    )
+    bench_grams = (
+        d.filter(F.col("doc_id") < BENCH_DOCS)
+        .select(F.explode(F.array_distinct(grams)).alias("g"))
+        .distinct()
+    )
+    pos = (
+        d.filter(F.col("doc_id") >= BENCH_DOCS)
+        .select("doc_id", F.posexplode(grams).alias("pos", "g"))
+        .join(F.broadcast(bench_grams), "g", "leftsemi")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        pos.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(CONTAM_NGRAM - 1)).alias("span_end_word"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # domain mix weighting
 # ---------------------------------------------------------------------------
 

@@ -431,6 +431,56 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# skew-resilient join (salting) — charter scale technique, driver-checked
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = """
+SELECT n_name AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("join_skew_salted", oracle=_SALTED_SQL, tags=("join", "scale"))
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order tallies computed through an EXPLICITLY SALTED
+    fact⋈dim join (functions.skew.salted_join): the orders side gets a
+    random salt in [0, 8), the customer side is exploded 8× with every
+    salt, and the join key becomes (custkey, salt) — a hot customer's
+    rows spread across 8 shuffle partitions instead of serializing one
+    straggler task. Row multiplicity is unchanged, so the result is
+    EXACTLY the plain join (the oracle is the unsalted SQL — the
+    driver's hash check is the equivalence proof, which is the whole
+    point of registering the technique as a query).
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't help (e.g. a skewed key feeding an aggregation, or a
+    non-sort-merge plan); the 8× dim duplication is the price, which
+    is why the exploded side must be the bounded one. The salt uses a
+    fixed seed so reruns are deterministic; correctness never depends
+    on WHICH salt a row draws, only on the (key, salt) equi-match."""
+    from k8s_log_etl_spark.functions.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        salted_join(o, c, "o_custkey", salt=8)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # temporal joins (as-of, range) — §2c custom operators
 # ---------------------------------------------------------------------------
 

@@ -182,6 +182,16 @@ CONTRACTS = {
     "dq_constraint_checks": (["LeftAnti"], ["NestedLoop"]),
     # CDC diff: keyed full-outer over fingerprints, no loop join
     "corpus_snapshot_diff": (["FullOuter"], ["NestedLoop"]),
+    # --- round-4 additions ---
+    # SemDeDup: the pair join is keyed on the trained cell id — the
+    # quadratic work is confined within cells, never a loop/cross join
+    "dedup_semantic_cells": ([], ["NestedLoop"]),
+    # span contamination: bench grams broadcast (leftsemi), islands via
+    # one window over the hit-sparse frame
+    "contamination_spans": (["BroadcastHashJoin", "Window"], ["NestedLoop"]),
+    # salted join: the dim side replicates via Generate (explode of the
+    # salt array) and the fact join stays a keyed equi-join
+    "join_skew_salted": (["Generate"], ["NestedLoop"]),
     # pagination: a bounded limit frontier, never a full global Sort
     # materialization (TakeOrderedAndProject carries offset+limit)
     "orders_page_offset": (["TakeOrderedAndProject"], []),
