@@ -521,6 +521,42 @@ def _sqdist_fold(vec: F.Column, cvec: list[float]) -> F.Column:
     )
 
 
+def _kmeans_assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """One coarse-assignment pass: nearest centroid per vector,
+    (vec_id, embedding, k, d) ≡ the oracle's a{it} CTEs. Arrow-
+    vectorized with dim-sequential accumulation (see _pq_assign — the
+    same bit-identical-fold argument); np.argmin's first-minimum
+    tie-break equals the oracle's ORDER BY d, k. Map-side, no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(e.select("vec_id", "embedding").schema.fields)
+        + [StructField("k", LongType()), StructField("d", DoubleType())]
+    )
+    cmat = np.array([centroids[k] for k in range(KMEANS_K)], dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(pdf), KMEANS_K))
+            for i in range(DIM):
+                diff = V[:, i : i + 1] - cmat[:, i]
+                acc += diff * diff
+            k = np.argmin(acc, axis=1)
+            out = {c: pdf[c] for c in pdf.columns}
+            out["k"] = k.astype(np.int64)
+            out["d"] = acc[np.arange(len(pdf)), k]
+            yield pd.DataFrame(out)
+
+    return e.select("vec_id", "embedding").mapInPandas(fn, out_schema)
+
+
 def _kmeans_train(e: DataFrame) -> tuple[dict[int, list[float]], DataFrame]:
     """Shared deterministic Lloyd's loop (see kmeans_ivf_train's
     docstring for the determinism + scale contract). Returns the
@@ -538,18 +574,7 @@ def _kmeans_train(e: DataFrame) -> tuple[dict[int, list[float]], DataFrame]:
 
     assigned = None
     for it in range(1, KMEANS_ITERS + 1):
-        dists = F.array(
-            *[_sqdist_fold(F.col("embedding"), centroids[k]) for k in range(KMEANS_K)]
-        )
-        # argmin with ties to the lowest k: array_position finds the
-        # FIRST element equal to the minimum (exact double equality —
-        # both candidates are the same computed value).
-        assigned = e.select(
-            "vec_id",
-            "embedding",
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
-            F.array_min(dists).alias("d"),
-        )
+        assigned = _kmeans_assign(e, centroids)
         if it < KMEANS_ITERS:
             rows = (
                 assigned.select("k", F.posexplode("embedding").alias("dim", "x"))
@@ -600,7 +625,7 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 4                  # subspaces (64 dims -> 4 x 16)
 PQ_SUBDIM = DIM // PQ_M
-PQ_K = 4                  # codewords per subspace
+PQ_K = 16                 # codewords per subspace
 PQ_ITERS = 2
 
 
@@ -667,6 +692,76 @@ def _pq_subvec(m: int) -> F.Column:
     )
 
 
+def _pq_assign(e: DataFrame, cents: dict[int, dict[int, list[float]]]) -> DataFrame:
+    """One full PQ encoding pass: every vector's per-subspace nearest
+    codeword, long-form (vec_id, m, k, d, sv) ≡ the oracle's
+    a{m}_{it} CTEs.
+
+    Arrow-vectorized for the same reason as _mt_signatures: the
+    expression form needs PQ_M·PQ_K (= 64 at K=16) interpreted
+    `aggregate(zip_with(...))` folds per vector per round — measured
+    18 s at sf0.1 after the K=4→16 recall lift. The numpy inner loop
+    accumulates dim-SEQUENTIALLY per (subspace, codeword)
+    (`acc += (V[:, lo+i] - c[i])^2`), so each squared distance is the
+    exact left-to-right fold the oracle's list_reduce computes, and
+    np.argmin's first-minimum tie-break equals the oracle's
+    `ORDER BY d, k` on bit-identical doubles. Map-side, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("m", IntegerType()),
+            StructField("k", LongType()),
+            StructField("d", DoubleType()),
+            StructField("sv", ArrayType(DoubleType())),
+        ]
+    )
+    cmat = {
+        m: np.array([cents[m][k] for k in range(PQ_K)], dtype=np.float64)
+        for m in range(PQ_M)
+    }
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            frames = []
+            for m in range(PQ_M):
+                lo = m * PQ_SUBDIM
+                S = V[:, lo : lo + PQ_SUBDIM]
+                acc = np.zeros((len(pdf), PQ_K))
+                for i in range(PQ_SUBDIM):
+                    diff = S[:, i : i + 1] - cmat[m][:, i]
+                    acc += diff * diff
+                k = np.argmin(acc, axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "m": np.full(len(pdf), m, dtype=np.int32),
+                            "k": k.astype(np.int64),
+                            "d": acc[np.arange(len(pdf)), k],
+                            "sv": list(S),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return e.select("vec_id", "embedding").mapInPandas(fn, out_schema)
+
+
 def _pq_train(
     e: DataFrame,
 ) -> tuple[dict[int, dict[int, list[float]]], DataFrame]:
@@ -687,21 +782,7 @@ def _pq_train(
 
     assigned = None
     for it in range(1, PQ_ITERS + 1):
-        cols = []
-        for m in range(PQ_M):
-            sv = _pq_subvec(m)
-            dists = F.array(*[_sqdist_fold(sv, cents[m][k]) for k in range(PQ_K)])
-            cols.append(
-                F.struct(
-                    F.lit(m).alias("m"),
-                    (F.array_position(dists, F.array_min(dists)) - 1).alias("k"),
-                    F.array_min(dists).alias("d"),
-                    sv.alias("sv"),
-                )
-            )
-        assigned = e.select("vec_id", F.explode(F.array(*cols)).alias("a")).select(
-            "vec_id", "a.m", "a.k", "a.d", "a.sv"
-        )
+        assigned = _pq_assign(e, cents)
         if it < PQ_ITERS:
             rows = (
                 assigned.select("m", "k", F.posexplode("sv").alias("dim", "x"))
@@ -721,7 +802,9 @@ def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-PQ index pairs with the coarse cells (kmeans_ivf_train): the
     64-dim embedding splits into PQ_M contiguous 16-dim subspaces, each
     trained with its own deterministic Lloyd's loop, so a vector
-    compresses to PQ_M codeword ids (here 4 x 2 bits). Output: per
+    compresses to PQ_M codeword ids (here 4 x 4 bits — PQ_K raised
+    4 -> 16 in round 4, which lifted IVF-PQ recall@5 0.10 -> 0.28 at
+    the cost of a 4x larger codebook sync). Output: per
     (subspace, codeword) population and quantization inertia — the
     codebook quality report.
 

@@ -71,11 +71,12 @@ def test_sq8_adc_recall_vs_exact(spark, sf_dir):
 def test_ivfpq_adc_structure_and_recall_floor(spark, sf_dir):
     """IVF-PQ ADC search returns a full, well-formed top-k per query
     (ranks 1..k, no duplicates) and beats the random-pick floor. The
-    absolute recall vs the exact scan is LOW on this synthetic
-    near-random embedding table (same artifact as the hyperplane-LSH
-    variant: cosine structure is weak, and 4x4 codewords quantize it
-    away) — exactness of the whole train+probe+ADC procedure is pinned
-    by the driver hash-match against the unrolled SQL oracle instead."""
+    absolute recall vs the exact scan is MODEST on this synthetic
+    near-random embedding table (cosine structure is weak; round 4's
+    PQ_K=16 codebooks lifted recall@5 from 0.10 to 0.28, now tracked
+    per-query by ann_recall_eval) — exactness of the whole
+    train+probe+ADC procedure is pinned by the driver hash-match
+    against the unrolled SQL oracle."""
     from k8s_log_etl_spark.queries.similarity import (
         TOP_K,
         knn_brute_cosine,
@@ -96,7 +97,7 @@ def test_ivfpq_adc_structure_and_recall_floor(spark, sf_dir):
 
     exact = {(r.query_id, r.vec_id) for r in knn_brute_cosine(spark, sf_dir).collect()}
     got = {(r.query_id, r.vec_id) for r in rows}
-    assert len(exact & got) / len(exact) >= 0.02
+    assert len(exact & got) / len(exact) >= 0.2
 
 
 def test_lsh_or_amplified_recall_floor(spark, sf_dir):
