@@ -11,7 +11,7 @@ order between engines is below that).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.plans.registry import register
@@ -600,6 +600,79 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_days").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
         F.min("streak_start").alias("first_streak_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (gaps-and-islands; twin of stream_session_windows)
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM gaps
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_SQL, tags=("events", "temporal"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with the same 5-minute inactivity
+    gap — the gaps-and-islands construction: a lag() flags each
+    session-opening event (gap exceeded or first event), a running sum
+    of the flags numbers the sessions per user, and one hash-agg emits
+    per-session bounds/size/duration. This is the BATCH twin of
+    stream_session_windows (Spark's native session_window()): two
+    independent mechanisms, same semantics, equivalence-pinned in
+    tests/test_streaming.py — the cross-check that validates both.
+
+    Scale shape: both windows share ONE (user_id; ts, event_id)
+    sort+exchange (lag and the running sum reuse the partitioning),
+    then a keyed hash-agg; per-user partitions are event-bounded.
+    Duration in exact integer microseconds (ADVICE round-2 pattern:
+    never a float second subtraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = (
+        prev.isNull()
+        | (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev))
+            > SESSION_GAP_MIN * 60 * 1_000_000
+        )
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("is_start", is_start)
+        .withColumn("session_seq", F.sum("is_start").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
     )
 
 

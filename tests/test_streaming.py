@@ -383,3 +383,26 @@ def test_streaming_dau_wau_matches_batch_lineage(spark, tmp_path):
     assert piv[d4]["wau"] == 3          # users 1 (3/1-3/4), 2 (3/2), 3
     assert piv[d8]["dau"] == 1          # user 2 only
     assert piv[d8]["wau"] == 3          # users 1 (3/2-3/5), 2, 3 (3/4)
+
+
+def test_sessionize_islands_equals_native_session_window(spark, sf_dir):
+    """Two independent sessionization mechanisms must produce identical
+    sessions: events_sessionize builds them with gaps-and-islands
+    (lag + running flag sum), stream_session_windows with Spark's
+    native session_window(). Same 5-minute gap, same events table —
+    the cross-check validates both implementations (and the islands
+    oracle SQL transitively, via the driver hash of each)."""
+    from k8s_log_etl_spark.queries.streaming_batch import (
+        events_sessionize,
+        stream_session_windows,
+    )
+
+    islands = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in stream_session_windows(spark, sf_dir).collect()
+    }
+    assert islands == native and len(islands) > 0
