@@ -544,6 +544,121 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# minhash estimator quality (est vs exact Jaccard on LSH candidates)
+# ---------------------------------------------------------------------------
+
+_MH_QUALITY_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, b AS band, CASE b {_BAND_CASES} END AS bsig
+          FROM sig, unnest(range({BANDS})) AS t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, est_sim, exact_jaccard,
+       round(abs(est_sim_raw - exact_raw), 6) AS abs_err
+FROM (
+  SELECT cand.da AS doc_a, cand.db AS doc_b,
+         round(({_EQ_SUM}) / {NUM_HASHES}.0, 6) AS est_sim,
+         ({_EQ_SUM}) / {NUM_HASHES}.0 AS est_sim_raw,
+         round(coalesce(c, 0) * 1.0 / (sza.sz + szb.sz - coalesce(c, 0)), 6)
+           AS exact_jaccard,
+         coalesce(c, 0) * 1.0 / (sza.sz + szb.sz - coalesce(c, 0)) AS exact_raw
+  FROM cand
+  JOIN sig sa ON cand.da = sa.doc_id
+  JOIN sig sb ON cand.db = sb.doc_id
+  JOIN sizes sza ON cand.da = sza.doc_id
+  JOIN sizes szb ON cand.db = szb.doc_id
+  LEFT JOIN common ON cand.da = common.da AND cand.db = common.db
+)
+"""
+
+
+@register("minhash_estimate_quality", oracle=_MH_QUALITY_SQL, tags=("dedup", "eval"))
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality evaluation for the minhash sketch — the dedup
+    analogue of ann_recall_eval: for every banded-LSH candidate pair,
+    the 16-permutation minhash similarity estimate next to the EXACT
+    trigram Jaccard and the absolute error. This is the number that
+    justifies (or indicts) trusting the sketch at 100 TB, where the
+    exact answer is unaffordable corpus-wide but affordable on the
+    sketch's own candidate set.
+
+    Scale shape: signatures and shingle sets are both one map-side
+    pass + one keyed agg; candidates come from the (band, bsig)
+    equi-join exactly as dedup_minhash_lsh; the exact Jaccard is then
+    computed ONLY for candidate pairs via per-doc shingle-set arrays
+    (array_intersect on two ≤doc-length arrays, map-side after two
+    keyed joins) — never a corpus-wide posting self-join. est and
+    exact are integer-ratio doubles, bit-identical across engines."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    sh = _shingles(spark, sf_dir)
+    h = X.md5_long(F.col("s"))
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(SEEDS)]
+        ).alias("mh")
+    )
+    sig = sig.localCheckpoint(eager=True)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("mh")[b * (NUM_HASHES // BANDS) + r].cast("string")
+                           for r in range(NUM_HASHES // BANDS)]
+                ).alias("bsig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", "mh", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "mh", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
+        )
+        .distinct()
+    )
+    sets = d.select("doc_id", _shingle_array().alias("sset"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    est_raw = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(NUM_HASHES))
+    inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
+    union = F.size("sa.sset") + F.size("sb.sset") - inter
+    exact_raw = inter * F.lit(1.0) / union
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est_raw, 6).alias("est_sim"),
+            F.round(exact_raw, 6).alias("exact_jaccard"),
+            F.round(F.abs(est_raw - exact_raw), 6).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup via trained coarse cells (SemDeDup architecture)
 # ---------------------------------------------------------------------------
 
