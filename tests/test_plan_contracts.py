@@ -192,6 +192,12 @@ CONTRACTS = {
     # salted join: the dim side replicates via Generate (explode of the
     # salt array) and the fact join stays a keyed equi-join
     "join_skew_salted": (["Generate"], ["NestedLoop"]),
+    # estimator eval: candidates from the keyed (band, bsig) join; the
+    # exact-Jaccard legs are keyed doc_id joins over set arrays
+    "minhash_estimate_quality": ([], ["NestedLoop"]),
+    # batch sessionization: lag + running sum share one sort/exchange,
+    # no join anywhere
+    "events_sessionize": (["Window"], ["Join"]),
     # pagination: a bounded limit frontier, never a full global Sort
     # materialization (TakeOrderedAndProject carries offset+limit)
     "orders_page_offset": (["TakeOrderedAndProject"], []),
