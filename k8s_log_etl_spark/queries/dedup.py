@@ -887,6 +887,77 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_SIMHASH_BANDED_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lbl AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+scored AS (
+  SELECT l.cluster, l.node, d.n_chars,
+         row_number() OVER (
+           PARTITION BY l.cluster ORDER BY d.n_chars DESC, l.node
+         ) AS rn
+  FROM lbl l JOIN documents d ON d.doc_id = l.node
+)
+SELECT s.cluster, c.n_docs, s.node AS keeper_id, s.n_chars AS keeper_n_chars
+FROM scored s
+JOIN (SELECT cluster, count(*) AS n_docs FROM lbl GROUP BY cluster) c
+  ON s.cluster = c.cluster
+WHERE s.rn = 1
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_SQL, tags=("dedup", "llmprep"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution — the curation POLICY layer
+    on top of cluster detection: within each near-dup cluster
+    (banded-SimHash pairs → large-star/small-star components, the
+    dedup_cluster_components lineage), keep the LONGEST member
+    (n_chars, ties to the lowest doc_id) rather than the arbitrary
+    min-id — the 'keep the most complete version' rule real corpus
+    pipelines apply, since near-dups are usually truncations or
+    boilerplate-wrapped copies of one underlying text. One row per
+    cluster: size, keeper, keeper length.
+
+    Scale shape: inherits the component algorithm's O(log n) rounds;
+    the policy itself adds one keyed join onto the (node, cluster)
+    label frame (narrow — two longs per doc in any cluster) and a
+    per-cluster WindowGroupLimit (rn = 1 prunes to one row per cluster
+    per partition before the shuffle). Swapping the policy column
+    (model-based quality, recency, source priority) changes only the
+    ORDER BY."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_star(pairs)
+    sizes = labels.groupBy(F.col("lbl").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("node"))
+    best = (
+        labels.join(d.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+        .select(F.col("lbl").alias("cluster"), "node", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.join(sizes, "cluster").select(
+        "cluster",
+        "n_docs",
+        F.col("node").alias("keeper_id"),
+        F.col("n_chars").alias("keeper_n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram containment (asymmetric near-dup: sub-document duplication)
 # ---------------------------------------------------------------------------

@@ -198,6 +198,9 @@ CONTRACTS = {
     # batch sessionization: lag + running sum share one sort/exchange,
     # no join anywhere
     "events_sessionize": (["Window"], ["Join"]),
+    # keep-best policy: per-cluster winner pruned map-side before the
+    # window shuffle; label/doc joins stay keyed
+    "dedup_keep_best": (["WindowGroupLimit"], ["NestedLoop"]),
     # pagination: a bounded limit frontier, never a full global Sort
     # materialization (TakeOrderedAndProject carries offset+limit)
     "orders_page_offset": (["TakeOrderedAndProject"], []),
