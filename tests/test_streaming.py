@@ -406,3 +406,63 @@ def test_sessionize_islands_equals_native_session_window(spark, sf_dir):
         for r in stream_session_windows(spark, sf_dir).collect()
     }
     assert islands == native and len(islands) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window() under a real watermark in APPEND mode:
+    sessions only emit once the watermark passes gap-close, a
+    far-future flush closes all real sessions, and the emitted set
+    must equal the batch session_window lineage on the real events —
+    the streaming leg of the sessionization triangle (batch islands ==
+    batch session_window == streaming session_window)."""
+    in_dir = str(tmp_path / "in_sw")
+    os.makedirs(in_dir)
+    rows = [
+        # user 1: two sessions (gap > 5 min between 10:00-block and 10:20)
+        ("2024-03-01T10:00:00Z", 1), ("2024-03-01T10:03:00Z", 1),
+        ("2024-03-01T10:20:00Z", 1),
+        # user 2: one session with events within the gap
+        ("2024-03-01T10:01:00Z", 2), ("2024-03-01T10:05:30Z", 2),
+        ("2024-03-01T10:09:00Z", 2),
+    ]
+    with open(os.path.join(in_dir, "a.jsonl"), "w") as f:
+        for ts, uid in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid}) + "\n")
+    with open(os.path.join(in_dir, "z_flush.jsonl"), "w") as f:
+        f.write(json.dumps({"ts": "2024-03-02T00:00:00Z", "user_id": 99}) + "\n")
+
+    schema = "ts timestamp, user_id long"
+
+    def sessions(df):
+        src = df.withWatermark("ts", "10 minutes") if df.isStreaming else df
+        return (
+            src.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        )
+
+    stream_df = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    q = (
+        sessions(stream_df)
+        .writeStream.format("memory")
+        .queryName("sw_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sw_stream").collect()
+    }
+    batch = sessions(spark.read.schema(schema).json(in_dir))
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.collect()
+        if r["user_id"] != 99  # the flush session is still open
+    }
+    assert got == want and len(want) == 3
