@@ -236,6 +236,48 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND CAST(l_quantity AS DECIMAL(18,2)) < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_SQL, tags=("agg",))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change: one scan, three
+    pushed-down predicates, one scalar DECIMAL aggregate — the
+    pure-pushdown shape whose entire cost at 100 TB is how much of the
+    scan the predicates (and their parquet min/max stats) eliminate.
+    Discount compared in DECIMAL so the 0.05/0.07 bounds are exact
+    (a double literal comparison can flip rows sitting exactly on the
+    boundary). Completes the TPC-H shape coverage expressible over the
+    provided 8-table subset (q2/q9/q11/q16/q20 need partsupp, which
+    the driver fixtures do not include)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & _dec("l_discount").between(
+                F.lit("0.05").cast("decimal(18,2)"), F.lit("0.07").cast("decimal(18,2)")
+            )
+            & (_dec("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 _SEMI_SQL = """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')

@@ -1,0 +1,116 @@
+"""Streaming corpus ingestion: the continuous front door of a
+training-data pipeline.
+
+A Structured Streaming query that, per micro-batch, (1) canonicalizes
+and digests incoming documents, (2) applies the cheap quality gate,
+(3) deduplicates WITHIN the batch (first-seen doc per digest, ties to
+the lowest doc_id), (4) deduplicates AGAINST the accumulated corpus via
+a LeftAnti join on the persistent digest index, and (5) appends the
+survivors to a batch-partitioned corpus plus their digests to the
+index.
+
+Exactly-once mechanics (no table format available, same discipline as
+streaming/rollup.py): both sinks are parquet directories PARTITIONED BY
+the micro-batch id and written with dynamic partition overwrite — a
+replayed batch (crash anywhere between the two writes and the
+checkpoint commit) rewrites ITS OWN partitions with the same rows and
+cannot touch any other batch's files. The anti-join alone is NOT
+sufficient for idempotency: a crash after the corpus write but before
+the index write would otherwise re-append the same documents on
+replay; batch-keyed overwrite closes that window.
+
+Scale shape: the gate and digest are map-side expressions; in-batch
+dedup is one hash-agg on the 32-byte digest; the corpus-dedup
+anti-join is keyed on the digest — the index side carries ONE digest
+string per corpus document, not documents, so at 100 TB the join
+shuffles digests only (or broadcasts the batch side, which AQE picks
+whenever the micro-batch is small — the common case).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+MIN_TOKENS = 5      # quality gate: reject near-empty fragments
+MAX_TOKENS = 100_000
+
+
+def canonical_digest(text: F.Column) -> F.Column:
+    """md5 of the lowercased, whitespace-collapsed text — the same
+    canonicalization dedup_exact groups on."""
+    canon = F.concat_ws(
+        " ", F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+    )
+    return F.md5(canon)
+
+
+def _gate(df: DataFrame) -> DataFrame:
+    n_tok = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""))
+    return df.filter((n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS))
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    index_dir: str,
+) -> None:
+    """Process one micro-batch (the foreachBatch body, callable
+    directly for replay tests): gate → digest → in-batch dedup →
+    corpus-index anti-join → batch-partitioned appends."""
+    digested = _gate(batch_df).withColumn("digest", canonical_digest(F.col("text")))
+    # in-batch dedup: keeper = lowest doc_id per digest (min over a
+    # doc_id-first struct compares lexicographically by field order,
+    # so the whole surviving row is deterministic)
+    ordered = ["doc_id"] + [c for c in digested.columns if c not in ("doc_id", "digest")]
+    firsts = (
+        digested.groupBy("digest")
+        .agg(F.min(F.struct(*ordered)).alias("r"))
+        .select("digest", *[F.col(f"r.{c}").alias(c) for c in ordered])
+    )
+    # corpus dedup: drop anything already indexed (keyed anti-join)
+    if os.path.exists(index_dir):
+        seen = spark.read.parquet(index_dir).select("digest")
+        fresh = firsts.join(seen, "digest", "left_anti")
+    else:
+        fresh = firsts
+    fresh = fresh.withColumn("ingest_batch", F.lit(int(batch_id)))
+    (
+        fresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(corpus_dir)
+    )
+    (
+        fresh.select("digest", "ingest_batch")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(index_dir)
+    )
+
+
+def ingest_corpus(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Start the continuous ingestion query over a document stream
+    (columns: doc_id, text, + any metadata)."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, batch_df, batch_id, corpus_dir, index_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -466,3 +466,69 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         if r["user_id"] != 99  # the flush session is still open
     }
     assert got == want and len(want) == 3
+
+
+def test_streaming_corpus_ingest_dedup_and_replay_idempotent(spark, tmp_path):
+    """Continuous corpus ingestion (streaming/ingest.py): per batch,
+    quality gate -> in-batch dedup -> anti-join vs the persistent
+    digest index -> batch-partitioned appends. Asserts (a) cross-batch
+    and in-batch duplicates never reach the corpus, (b) the quality
+    gate drops fragments, (c) replaying a batch (the crash-recovery
+    path) leaves the corpus row-identical — the batch-keyed dynamic
+    overwrite + index anti-join make the foreachBatch body idempotent."""
+    from k8s_log_etl_spark.streaming import ingest as IN
+
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt_ing")
+
+    LONG = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [
+        (1, LONG + " one"),
+        (2, LONG + " one"),        # in-batch duplicate of doc 1
+        (3, LONG + " three"),
+        (4, "too short"),          # gated out (< MIN_TOKENS)
+    ]
+    b2 = [
+        (5, LONG + " ONE  "),      # canonical duplicate of doc 1 (case/ws)
+        (6, LONG + " six"),
+    ]
+    for i, (name, rows) in enumerate((("a.jsonl", b1), ("b.jsonl", b2))):
+        path = os.path.join(in_dir, name)
+        with open(path, "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        # the file source orders batches by modification time — pin it
+        # so 'a' is genuinely the earlier arrival
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    q = IN.ingest_corpus(spark, stream, corpus, index, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect()
+    }
+    assert {d for d, _ in got} == {1, 3, 6}
+    # index matches the corpus exactly (digest per kept doc)
+    idx = spark.read.parquet(index)
+    assert idx.count() == 3
+    assert idx.select("digest").distinct().count() == 3
+
+    # replay batch 0 (docs b1, batch_id 0) — crash-recovery path
+    before = sorted(
+        (r["doc_id"], r["digest"], r["ingest_batch"])
+        for r in spark.read.parquet(corpus).select("doc_id", "digest", "ingest_batch").collect()
+    )
+    replay_df = spark.createDataFrame(b1, schema)
+    IN.ingest_batch(spark, replay_df, 0, corpus, index)
+    after = sorted(
+        (r["doc_id"], r["digest"], r["ingest_batch"])
+        for r in spark.read.parquet(corpus).select("doc_id", "digest", "ingest_batch").collect()
+    )
+    assert after == before, "replaying a batch changed the corpus"
