@@ -618,10 +618,10 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(is_start) OVER (
+         CAST(sum(is_start) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_seq
+         ) AS BIGINT) AS session_seq
   FROM gaps
 )
 SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,

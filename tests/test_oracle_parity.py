@@ -4,6 +4,14 @@ Runs every registered query through Spark AND its DuckDB oracle on the
 same inputs, then compares row count, column names, and an
 order-insensitive stringified-value multiset. Catching a mismatch here is
 strictly cheaper than catching it in CORRECTNESS_r{N}.json.
+
+Round-4 hardening: the comparison goes through PANDAS frames with
+exactly tools/drive_entry.py's canonicalizer — the driver renders both
+sides via pandas, where DuckDB's HUGEINT (e.g. any windowed sum of
+integers) coerces to float64 and prints '5.0' against Spark's '5'. The
+earlier fetchall()-based compare silently passed that class of
+divergence (events_sessionize's session_seq slipped through CI and was
+caught only by the drive_entry sweep).
 """
 
 from __future__ import annotations
@@ -11,6 +19,8 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 from k8s_log_etl_spark.plans.registry import load_all
@@ -28,40 +38,50 @@ def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(value):
-    if value is None:
+def _canon_cell(v):
+    # keep bit-for-bit in sync with tools/drive_entry.py::_canon_cell
+    if v is None:
         return "<null>"
-    if isinstance(value, bool):
-        return "true" if value else "false"
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "nan"
-        return repr(round(value, 9))
-    return str(value)
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise TypeError(
+            f"unhashable type: {type(v).__name__} (driver canon crashes on array cells)"
+        )
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "<null>"
+        return repr(round(f, 9))
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if v is pd.NaT:
+        return "<null>"
+    return str(v)
 
 
-def _rows_multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+def _multiset(pdf: pd.DataFrame) -> list[str]:
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(
+        "|".join(_canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = SPECS[name]
-    sdf = spec.fn(spark, sf_dir)
-    s_cols = [c.lower() for c in sdf.columns]
-    s_rows = sdf.collect()
+    s_pdf = spec.fn(spark, sf_dir).toPandas()
+    s_pdf.columns = [c.lower() for c in s_pdf.columns]
 
     con = _duck_con(sf_dir)
-    cur = con.execute(spec.oracle)
-    d_cols = [d[0].lower() for d in cur.description]
-    d_rows = cur.fetchall()
+    d_pdf = con.execute(spec.oracle).df()
     con.close()
+    d_pdf.columns = [c.lower() for c in d_pdf.columns]
 
-    assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch {s_cols} vs {d_cols}"
-    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (
+        f"{name}: column mismatch {list(s_pdf.columns)} vs {list(d_pdf.columns)}"
+    )
+    assert len(s_pdf) == len(d_pdf), f"{name}: row count {len(s_pdf)} vs {len(d_pdf)}"
 
-    s_set = _rows_multiset([[r[c] for c in sdf.columns] for r in s_rows], s_cols)
-    d_set = _rows_multiset(d_rows, d_cols)
+    s_set, d_set = _multiset(s_pdf), _multiset(d_pdf)
     mismatches = [(a, b) for a, b in zip(s_set, d_set) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
