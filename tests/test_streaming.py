@@ -532,3 +532,18 @@ def test_streaming_corpus_ingest_dedup_and_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(corpus).select("doc_id", "digest", "ingest_batch").collect()
     )
     assert after == before, "replaying a batch changed the corpus"
+
+    # the worst crash window: corpus write landed, index write did NOT
+    # (the exact ordering the anti-join alone cannot survive) — replay
+    # must restore the index without duplicating the corpus
+    import shutil
+
+    shutil.rmtree(os.path.join(index, "ingest_batch=0"))
+    IN.ingest_batch(spark, replay_df, 0, corpus, index)
+    after2 = sorted(
+        (r["doc_id"], r["digest"], r["ingest_batch"])
+        for r in spark.read.parquet(corpus).select("doc_id", "digest", "ingest_batch").collect()
+    )
+    assert after2 == before, "crash-window replay duplicated corpus rows"
+    idx2 = spark.read.parquet(index)
+    assert idx2.count() == 3 and idx2.select("digest").distinct().count() == 3
