@@ -23,7 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from k8s_log_etl_spark.plans.registry import load_all  # noqa: E402
 from k8s_log_etl_spark.session import get_spark  # noqa: E402
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# Override with SCALE_SFS="dir1,dir2,..." (e.g. to append a
+# tools/synth_scale.py output for the data-linear regime).
+SFS = [
+    s
+    for s in os.environ.get(
+        "SCALE_SFS",
+        "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1",
+    ).split(",")
+    if s
+]
 
 DEFAULT = [
     "training_mix_pipeline",
