@@ -848,7 +848,13 @@ def cc_star(pairs: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = (
+        # Convergence: set equality of the edge frames. The exceptAll
+        # pair is two full shuffles — short-circuit it with a count
+        # compare first, which disagrees on most non-converged rounds
+        # (the star rounds strictly shrink/rewire until fixpoint) and
+        # costs one agg. Counts equal does NOT imply sets equal, so the
+        # exact check still runs before declaring convergence.
+        converged = small.count() == e.count() and (
             small.exceptAll(e).union(e.exceptAll(small)).isEmpty()
         )
         e = small

@@ -55,8 +55,12 @@ def main() -> int:
     for n in names:
         specs[n].fn(spark, SFS[0]).write.format("noop").mode("overwrite").save()
 
+    ratio_hdr = " ".join(
+        f"{'r(' + os.path.basename(SFS[i + 1]) + '/' + os.path.basename(SFS[i]) + ')':>22s}"
+        for i in range(len(SFS) - 1)
+    )
     print(f"{'query':34s} " + " ".join(f"{os.path.basename(s):>9s}" for s in SFS)
-          + "   r(0.01/0.001)  r(0.1/0.01)")
+          + ("   " + ratio_hdr if ratio_hdr else ""))
     for n in names:
         times = []
         for sf in SFS:
@@ -68,10 +72,11 @@ def main() -> int:
                 specs[n].fn(spark, sf).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             times.append(best)
-        r1 = times[1] / times[0]
-        r2 = times[2] / times[1]
+        ratios = " ".join(
+            f"{times[i + 1] / times[i]:22.2f}" for i in range(len(times) - 1)
+        )
         print(f"{n:34s} " + " ".join(f"{t:9.3f}" for t in times)
-              + f"   {r1:12.2f}  {r2:11.2f}")
+              + ("   " + ratios if ratios else ""))
     spark.stop()
     return 0
 
