@@ -803,16 +803,22 @@ def cc_star(pairs: DataFrame) -> DataFrame:
     joins, each checkpointed to truncate lineage. Returns (node, lbl)
     with lbl = component minimum — verified equivalent to
     cc_min_label_propagation (tests/test_scale_patterns.py)."""
-    nodes = (
-        pairs.select(F.col("doc_a").alias("node"))
-        .union(pairs.select(F.col("doc_b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # working edge set, kept deduplicated and loop-free
+    # working edge set, kept deduplicated and loop-free — checkpointed
+    # FIRST so the (potentially expensive) pair-generating pipeline
+    # runs exactly once; nodes derive from the materialized edges
+    # (every pair generator emits doc_a < doc_b, so no isolated node is
+    # lost by reading them off e). Round 3's layout checkpointed nodes
+    # and e independently off `pairs`, executing the whole upstream
+    # near-dup pipeline twice.
     e = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

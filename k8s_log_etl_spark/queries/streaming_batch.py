@@ -429,7 +429,15 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day stays TIMESTAMP (not DATE) end-to-end: the driver's pandas
     # canonicalization renders DuckDB DATE as datetime64 midnight but
     # Spark DATE as datetime.date — timestamps agree byte-for-byte.
-    pairs = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    # The deduped pair frame feeds BOTH the dau aggregate and the
+    # cover-window scatter; checkpoint it so the raw-event dedup
+    # shuffle (the only cost that scales with event volume) runs once,
+    # not once per consumer.
+    pairs = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     cover = pairs.select(
         "user_id",
