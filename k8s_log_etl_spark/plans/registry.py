@@ -95,15 +95,15 @@ _CHECKED_FIRST = [
 # agg_countmin_events is sketch-only (no oracle by construction,
 # bounded against exact answers in tests/test_approx.py) — it never
 # takes a checked slot.
-# ROUND-5 ROTATION NOTE: the six queries ADDED in round 4 registered
+# ROUND-5 ROTATION NOTE: the queries ADDED in round 4 registered
 # after the 50-slot window and have no driver row yet — give them
 # slots next round: dedup_semantic_cells, contamination_spans,
 # join_skew_salted, events_sessionize, minhash_estimate_quality,
-# dedup_keep_best (all green in tools/drive_entry.py and
-# tests/test_oracle_parity.py). Also re-slot any query whose
-# implementation changes in round 5, plus the standing log-ETL
-# regression core; everything else keeps its r1-r4 green row and the
-# full-surface pytest oracle run.
+# dedup_keep_best, knn_ivfpq_refine (all green in
+# tools/drive_entry.py and tests/test_oracle_parity.py). Also re-slot
+# any query whose implementation changes in round 5, plus the standing
+# log-ETL regression core; everything else keeps its r1-r4 green row
+# and the full-surface pytest oracle run.
 
 
 def load_all() -> dict[str, QuerySpec]:

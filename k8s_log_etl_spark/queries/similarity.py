@@ -945,13 +945,14 @@ def knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 2
 
 
-def _ivfpq_sql() -> str:
-    """Full IVF-PQ search, oracle-exact end to end: reuses the two
-    trainers' CTE chains verbatim (so the trained structures are the
-    hash-verified ones), then probes the NPROBE nearest coarse cells
-    per query and ranks the probed cells' vectors by ADC distance —
+def _ivfpq_scored_parts(nprobe: int) -> list[str]:
+    """CTE chain through `scored` (query_id, vec_id, adc): the two
+    trainers' chains verbatim (so the trained structures are the
+    hash-verified ones), then each query probes its `nprobe` nearest
+    coarse cells and the probed cells' vectors are scored by ADC —
     per-subspace (query, codeword) distance tables summed in fixed
-    subspace order."""
+    subspace order. Shared by the plain ADC search (NPROBE) and the
+    refine variant (REFINE_NPROBE)."""
     kc = f"c{KMEANS_ITERS - 1}"           # trained coarse centroids
     ka = f"a{KMEANS_ITERS}"               # final coarse assignment
     parts = _kmeans_sql_parts() + _pq_sql_parts()
@@ -967,7 +968,7 @@ def _ivfpq_sql() -> str:
              ORDER BY {_sqdist_sql('q.qe', 'c.cvec')}, c.k
            ) AS rn
     FROM qv q CROSS JOIN {kc} c
-  ) WHERE rn <= {NPROBE}
+  ) WHERE rn <= {nprobe}
 )""")
     parts.append(
         f"cells AS (SELECT vec_id, k AS cell FROM {ka} WHERE vec_id >= {N_QUERIES})"
@@ -996,6 +997,12 @@ def _ivfpq_sql() -> str:
   FROM cand
 {code_joins}
 )""")
+    return parts
+
+
+def _ivfpq_sql() -> str:
+    """Full IVF-PQ ADC search: scored candidates ranked by ADC."""
+    parts = _ivfpq_scored_parts(NPROBE)
     return f"""
 WITH {', '.join(parts)}
 SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rnk FROM (
@@ -1006,29 +1013,46 @@ SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rnk FROM (
 """
 
 
-@register("knn_ivfpq_adc", oracle=_ivfpq_sql(), tags=("similarity",))
-def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production ANN architecture end to end, oracle-verified: an
-    IVF-PQ index built from the two trained quantizers (kmeans_ivf_train
-    coarse cells + pq_codebook_train codebooks, shared training code so
-    the structures are exactly the hash-verified ones) searched with
-    asymmetric distance computation — each query precomputes a PQ_K-
-    entry distance table per subspace (the classic ADC lookup), probes
-    its NPROBE nearest coarse cells, and ranks only those cells'
-    vectors by summed table lookups.
+REFINE_NPROBE = 3   # refine probes more cells (ADC makes probing cheap)
+REFINE_N = 25       # ADC shortlist size per query before exact re-rank
 
-    Scale shape — exactly how FAISS-style IVF-PQ distributes: training
-    syncs K·dim doubles per round (the Lloyd's sync point); the index
-    (cell id + PQ_M codeword bytes per vector) is built in one
-    map-side pass off broadcast literal centroids; at search time the
-    tiny query frame — carrying its precomputed distance tables as
-    literal-built array columns — is BROADCAST into the corpus, which
-    stays partition-parallel, is pruned to the probed cells before any
-    scoring, and never materializes full-precision distances (4 array
-    lookups + 3 adds per candidate). Distance tables and the fixed
-    subspace-order sum are sequential double folds — bit-identical to
-    the oracle. Recall vs the exact scan is bounded in
-    tests/test_approx.py."""
+
+def _ivfpq_refine_sql() -> str:
+    """IVF-PQ search with exact re-rank: ADC shortlists REFINE_N
+    candidates per query, then the shortlist alone is re-scored with
+    full-precision cosine and the final top-k ranked on that."""
+    parts = _ivfpq_scored_parts(REFINE_NPROBE)
+    parts.append(f"""shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS srn
+    FROM scored
+  ) WHERE srn <= {REFINE_N}
+)""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+  SELECT s.query_id, s.vec_id,
+         round({X.cosine_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {X.cosine_sql('q.embedding', 'c.embedding')} DESC, s.vec_id
+         ) AS rnk
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.vec_id
+) WHERE rnk <= {TOP_K}
+"""
+
+
+def _ivfpq_scored(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF-PQ candidate scoring (≡ the oracle's `scored` CTE):
+    trains both quantizers, builds the (cell, codes) index in one
+    map-side pass, probes each query's `nprobe` nearest coarse cells,
+    and ADC-scores the probed cells' vectors. Returns the embeddings
+    frame and the scored frame (query_id, vec_id, adc)."""
     e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     coarse_cents, coarse_assigned = _kmeans_train(e)
     pq_cents, pq_assigned = _pq_train(e)
@@ -1068,20 +1092,93 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = q.select(
         F.col("vec_id").alias("query_id"),
         *qd_arrays,
-        F.explode(F.slice(F.array_sort(probe_structs), 1, NPROBE)).alias("p"),
+        F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("p"),
     ).select("query_id", *[f"qd{m}" for m in range(PQ_M)], F.col("p.cell").alias("qcell"))
 
     adc = sum(
         F.element_at(F.col(f"qd{m}"), F.col(f"k{m}").cast("int") + 1)
         for m in range(PQ_M)
     )
+    scored = index.join(F.broadcast(probes), F.col("cell") == F.col("qcell")).select(
+        "query_id", "vec_id", adc.alias("adc")
+    )
+    return e, scored
+
+
+@register("knn_ivfpq_adc", oracle=_ivfpq_sql(), tags=("similarity",))
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN architecture end to end, oracle-verified: an
+    IVF-PQ index built from the two trained quantizers (kmeans_ivf_train
+    coarse cells + pq_codebook_train codebooks, shared training code so
+    the structures are exactly the hash-verified ones) searched with
+    asymmetric distance computation — each query precomputes a PQ_K-
+    entry distance table per subspace (the classic ADC lookup), probes
+    its NPROBE nearest coarse cells, and ranks only those cells'
+    vectors by summed table lookups.
+
+    Scale shape — exactly how FAISS-style IVF-PQ distributes: training
+    syncs K·dim doubles per round (the Lloyd's sync point); the index
+    (cell id + PQ_M codeword bytes per vector) is built in one
+    map-side pass off broadcast literal centroids; at search time the
+    tiny query frame — carrying its precomputed distance tables as
+    literal-built array columns — is BROADCAST into the corpus, which
+    stays partition-parallel, is pruned to the probed cells before any
+    scoring, and never materializes full-precision distances (4 array
+    lookups + 3 adds per candidate). Distance tables and the fixed
+    subspace-order sum are sequential double folds — bit-identical to
+    the oracle. Recall vs the exact scan is bounded in
+    tests/test_approx.py."""
+    _, scored = _ivfpq_scored(spark, sf_dir, NPROBE)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
-        index.join(F.broadcast(probes), F.col("cell") == F.col("qcell"))
-        .select("query_id", "vec_id", adc.alias("adc"))
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select(
             "query_id", "vec_id", F.round(F.col("adc"), 6).alias("adc_dist"), "rnk"
+        )
+    )
+
+
+@register("knn_ivfpq_refine", oracle=_ivfpq_refine_sql(), tags=("similarity",))
+def knn_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with an exact-re-rank refine stage — the standard
+    production two-stage search (FAISS IndexRefineFlat shape): ADC
+    shortlists REFINE_N candidates per query from REFINE_NPROBE probed
+    cells (probing more cells than the plain ADC search is nearly free
+    — candidates cost 4 table lookups each), then ONLY the shortlist is
+    re-scored with full-precision cosine and the final top-k ranked on
+    that. Refinement removes every ADC quantization-ordering error
+    inside the shortlist, so recall is limited only by the coarse-cell
+    ceiling (the NPROBE/K knob, which scales as log N in production).
+
+    Scale shape: the shortlist is k-bounded (REFINE_N·|queries| rows —
+    broadcastable by construction), so the full-vector fetch is a
+    broadcast semi-join INTO the partition-parallel corpus: the corpus
+    is touched once to read full vectors for shortlisted ids only —
+    exactly the \"refine reads full vectors from storage\" step of a
+    two-stage ANN deployment. Exact cosine is the same sequential
+    double fold as knn_brute_cosine. Recall tracked in ann_recall_eval;
+    floor pinned in tests/test_approx.py."""
+    e, scored = _ivfpq_scored(spark, sf_dir, REFINE_NPROBE)
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= REFINE_N)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select("vec_id", "embedding")
+    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        c.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"
         )
     )

@@ -100,6 +100,42 @@ def test_ivfpq_adc_structure_and_recall_floor(spark, sf_dir):
     assert len(exact & got) / len(exact) >= 0.2
 
 
+def test_ivfpq_refine_recall_and_structure(spark, sf_dir):
+    """The two-stage refine search must (a) return a well-formed top-k
+    per query ranked by exact cosine, (b) strictly dominate the plain
+    ADC search on recall (refinement can only remove ADC ordering
+    errors, and REFINE_NPROBE > NPROBE raises the candidate ceiling),
+    and (c) hold mean recall@5 >= 0.5 — the round-3 verdict bar —
+    making it the second sub-quadratic index above the bar (measured
+    0.64 at sf0.01 vs ADC's 0.28)."""
+    from k8s_log_etl_spark.queries.similarity import (
+        TOP_K,
+        knn_brute_cosine,
+        knn_ivfpq_adc,
+        knn_ivfpq_refine,
+    )
+
+    rows = knn_ivfpq_refine(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 10
+    for q, rs in by_q.items():
+        assert sorted(x.rnk for x in rs) == list(range(1, TOP_K + 1))
+        assert len({x.vec_id for x in rs}) == TOP_K
+        sims = [x.cos_sim for x in sorted(rs, key=lambda x: x.rnk)]
+        assert sims == sorted(sims, reverse=True)
+
+    exact = {(r.query_id, r.vec_id) for r in knn_brute_cosine(spark, sf_dir).collect()}
+    refine = {(r.query_id, r.vec_id) for r in rows}
+    adc = {(r.query_id, r.vec_id) for r in knn_ivfpq_adc(spark, sf_dir).collect()}
+    assert exact, "exact baseline returned nothing"
+    r_refine = len(exact & refine) / len(exact)
+    r_adc = len(exact & adc) / len(exact)
+    assert r_refine >= r_adc
+    assert r_refine >= 0.5
+
+
 def test_lsh_or_amplified_recall_floor(spark, sf_dir):
     """Round-4 recall lift: the OR-amplified multi-table hyperplane LSH
     must hold mean recall@5 >= 0.5 against the exact scan (measured

@@ -204,6 +204,13 @@ CONTRACTS = {
     # pagination: a bounded limit frontier, never a full global Sort
     # materialization (TakeOrderedAndProject carries offset+limit)
     "orders_page_offset": (["TakeOrderedAndProject"], []),
+    # two-stage refine: ADC shortlist prunes map-side, the k-bounded
+    # shortlist broadcasts into the corpus for the full-vector fetch;
+    # never a loop join anywhere in train+search+refine
+    "knn_ivfpq_refine": (
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["NestedLoop"],
+    ),
     # numeric RANGE frame: one window, no self-join
     "orders_price_range_frame": (["Window"], ["Join"]),
 }
