@@ -1066,3 +1066,101 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated passages (suffix-style substring dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_NGRAM = 5   # passage granularity: a duplicated run of 5-word grams
+
+_SPAN_GRAM_SQL = (
+    "(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])"
+)
+
+_SUBSTRING_SPANS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {_SPAN_GRAM_SQL} AS g
+  FROM words, unnest(range(greatest(len(w) - {SPAN_NGRAM - 1}, 0))) AS t(i)
+),
+dup AS (
+  SELECT g FROM occ GROUP BY g HAVING min(doc_id) <> max(doc_id)
+),
+pos AS (
+  SELECT doc_id, pos FROM occ WHERE g IN (SELECT g FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {SPAN_NGRAM - 1} AS span_end_word,
+       count(*) AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register("dedup_substring_spans", oracle=_SUBSTRING_SPANS_SQL, tags=("dedup", "llmprep"))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated PASSAGES — the substring-level dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed relationally: a word 5-gram occurring in two
+    or more DISTINCT documents marks its positions duplicated, and
+    consecutive duplicated positions within a document merge into one
+    maximal span (first gram position, last covered word index, gram
+    count). Where the paper builds a suffix array, the same verbatim
+    cross-doc repeats fall out of an exact gram-identity group-by —
+    every repeated substring of >= SPAN_NGRAM words is a run of
+    repeated 5-grams. Complements dedup_ngram_jaccard (whole-doc
+    near-dup) and contamination_spans (corpus-vs-benchmark): this one
+    finds WHERE the corpus repeats itself, the span-excision shape
+    production pipelines apply to boilerplate and mirrored text.
+
+    Scale shape: (doc_id, pos, gram) explode is linear map-side work.
+    Duplicated grams come from a hash-agg on the gram string with
+    partial map-side combine (min/max doc_id — a gram spans >= 2 docs
+    iff min <> max; no countDistinct expand, and hot boilerplate grams
+    partial-aggregate instead of skewing a window sort). The
+    occurrence stream then equi-joins the dup set on the gram string —
+    no broadcast HINT (the dup side is unbounded at scale; Catalyst's
+    size stats pick broadcast at fixture scale and a shuffle join with
+    AQE skew-split at 100 TB). Grams join by full STRING, not a 64-bit
+    hash: a hash
+    collision would silently fuse two spans and diverge from the
+    oracle (same exactness call as training_mix_pipeline, documented
+    in PLANS.md). Islands then run per doc over duplicated positions
+    only (bounded by hits, not doc length)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        ngram_indices(w, SPAN_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(SPAN_NGRAM)]),
+    )
+    occ = d.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "g"
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
+        .select("g")
+    )
+    pos = occ.join(dup, "g", "leftsemi").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        pos.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SPAN_NGRAM - 1)).alias("span_end_word"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("grp")
+    )

@@ -211,6 +211,15 @@ CONTRACTS = {
         ["BroadcastHashJoin", "WindowGroupLimit"],
         ["NestedLoop"],
     ),
+    # substring spans: dup grams from a partial-combined hash-agg
+    # (HashAggregate appears map-side), the occurrence/dup join is a
+    # keyed LeftSemi (no forced broadcast hint — Catalyst may still
+    # pick broadcast at fixture scale from size stats, which is the
+    # right call there), islands via one window over hit positions
+    "dedup_substring_spans": (
+        ["HashAggregate", "LeftSemi", "Window"],
+        ["NestedLoop"],
+    ),
     # numeric RANGE frame: one window, no self-join
     "orders_price_range_frame": (["Window"], ["Join"]),
 }
