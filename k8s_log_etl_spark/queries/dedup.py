@@ -1141,8 +1141,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_indices(w, SPAN_NGRAM),
         lambda i: F.concat_ws(" ", *[w[i + j] for j in range(SPAN_NGRAM)]),
     )
-    occ = d.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), "g"
+    # The occurrence stream feeds TWO consumers (the dup-gram agg and
+    # the probe side of the semi-join); without a checkpoint Catalyst
+    # re-derives the split+5-gram explode — the dominant map cost —
+    # once per consumer (same multi-consumer pathology fixed in
+    # corpus_clean_pipeline / training_mix_pipeline; measured 13.8 s →
+    # 8.0 s at synthetic sf1). On a cluster this materialization is a
+    # persisted/staged intermediate instead.
+    occ = (
+        d.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "g")
+        .localCheckpoint(eager=False)
     )
     dup = (
         occ.groupBy("g")
