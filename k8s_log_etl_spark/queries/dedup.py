@@ -831,12 +831,17 @@ def cc_star(pairs: DataFrame) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
+        # No distinct here: duplicate emits are harmless mid-round (the
+        # two min-aggregates are duplicate-insensitive and partial
+        # aggregation absorbs dup keys map-side) and the small-star
+        # output below re-establishes the deduplicated invariant — one
+        # full shuffle per round saved (measured 3.3 → 2.8 s/loop at
+        # sf0.1).
         large = (
             sym.join(lmin, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # SMALL-STAR: orient each edge (larger, smaller); per larger
         # node u with smaller neighbors N, m = min(N); emit (v, m) for
