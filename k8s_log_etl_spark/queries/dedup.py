@@ -1110,7 +1110,12 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
-@register("dedup_substring_spans", oracle=_SUBSTRING_SPANS_SQL, tags=("dedup", "llmprep"))
+@register(
+    "dedup_substring_spans",
+    oracle=_SUBSTRING_SPANS_SQL,
+    tags=("dedup", "llmprep"),
+    bench=True,
+)
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated PASSAGES — the substring-level dedup of
     Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
