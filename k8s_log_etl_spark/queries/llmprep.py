@@ -290,7 +290,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment runs before trading recall for the sub-quadratic path;
     round 4 widened it from LSH-only so the production indexes'
     quality is tracked by the same hard signal (round-3 verdict
-    item 2). At sf0.01: LSH 0.60, ADC 0.28, refine 0.64 mean recall@5.
+    item 2). At sf0.01: LSH 0.60, ADC 0.28, refine 0.78 mean recall@5.
     Reuses the knn operators' lineages; the scoring join is on
     (query_id, vec_id) — k·|queries| rows per side per index,
     negligible at any scale."""

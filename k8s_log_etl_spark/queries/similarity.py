@@ -1014,7 +1014,12 @@ SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rnk FROM (
 
 
 REFINE_NPROBE = 3   # refine probes more cells (ADC makes probing cheap)
-REFINE_N = 25       # ADC shortlist size per query before exact re-rank
+REFINE_N = 50       # ADC shortlist per query (10x k) before exact re-rank
+# Measured recall@5 at sf0.01 vs shortlist size (PLANS.md round-4c):
+# 25 -> 0.64, 50 -> 0.78, 100 -> 0.88, 200 -> 0.94; the candidate
+# ceiling at REFINE_NPROBE=3 is 0.96, so the shortlist is the knob.
+# 50 = the classic 10x-k refine factor; ~10% of this toy corpus vs the
+# OR-amplified LSH's 28% candidate fraction.
 
 
 def _ivfpq_refine_sql() -> str:

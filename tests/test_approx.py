@@ -107,7 +107,7 @@ def test_ivfpq_refine_recall_and_structure(spark, sf_dir):
     errors, and REFINE_NPROBE > NPROBE raises the candidate ceiling),
     and (c) hold mean recall@5 >= 0.5 — the round-3 verdict bar —
     making it the second sub-quadratic index above the bar (measured
-    0.64 at sf0.01 vs ADC's 0.28)."""
+    0.78 at sf0.01 with the 10x-k shortlist vs ADC's 0.28)."""
     from k8s_log_etl_spark.queries.similarity import (
         TOP_K,
         knn_brute_cosine,
