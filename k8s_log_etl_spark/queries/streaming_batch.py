@@ -835,3 +835,109 @@ def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin quantile sketch (histogram quantiles)
+# ---------------------------------------------------------------------------
+
+QSK_VMIN = 0.0     # fixed sketch domain: bins are data-INdependent so
+QSK_VMAX = 512.0   # per-partition count vectors merge by pure addition
+QSK_BINS = 64
+QSK_W = (QSK_VMAX - QSK_VMIN) / QSK_BINS   # 8.0
+
+
+def _qsk_est_sql(p: float) -> str:
+    return (
+        f"round(max(CASE WHEN cum >= {p} * n AND cum - cnt < {p} * n "
+        f"THEN {QSK_VMIN} + {QSK_W} * (bin + ({p} * n - (cum - cnt)) / cnt) "
+        f"END), 6)"
+    )
+
+
+_QSK_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         least(greatest(CAST(floor((value - {QSK_VMIN}) / {QSK_W}) AS BIGINT), 0),
+               {QSK_BINS - 1}) AS bin
+  FROM events
+),
+counts AS (SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM counts
+)
+SELECT event_type, n AS n_events,
+       {_qsk_est_sql(0.5)} AS est_p50,
+       {_qsk_est_sql(0.9)} AS est_p90,
+       {_qsk_est_sql(0.99)} AS est_p99
+FROM cum GROUP BY event_type, n
+"""
+
+
+@register("events_quantile_sketch", oracle=_QSK_SQL, tags=("events", "sketch"))
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile estimation over a FIXED-bin sketch — the
+    mergeable quantile structure monitoring systems (Prometheus
+    histogram_quantile) and streaming aggregators use: 64 equi-width
+    bins over a data-independent domain [0, 512), per-type counts, and
+    p50/p90/p99 recovered by linear interpolation inside the bin where
+    the cumulative count crosses p·n. Out-of-domain values clamp to the
+    edge bins. Fifth mergeable sketch in the engine (count-min, HLL,
+    Bloom, SQ8 codes): because the bins are fixed, the per-partition
+    count vectors merge by pure addition — Spark's partial aggregation
+    IS the sketch merge, and the same vectors could accumulate across
+    streaming micro-batches or clusters with no bounds pass (unlike
+    events_value_histogram, whose data-dependent bounds need a prior
+    global min/max). Estimation error: the estimate lands in the same
+    bin as the ceil(p·n)-th order statistic, so it is within one bin
+    width of the inverse-CDF quantile (pinned in tests/test_approx.py;
+    note percentile_cont's order-statistic interpolation can straddle
+    a bin boundary, so the bound is stated against percentile_disc).
+    Exact quantiles at 100 TB would need a full sort per group.
+
+    Scale shape: bin assignment is a narrow map-side expression; the
+    count matrix is at most |types|·64 rows after one partially
+    aggregated shuffle; the cumulative window and the interpolation
+    run on that tiny frame. Nothing scales with row count after the
+    first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(QSK_VMIN)) / F.lit(QSK_W)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(QSK_BINS - 1),
+    )
+    counts = (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def est(p: float) -> F.Column:
+        target = F.lit(p) * F.col("n")
+        cond = (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+        interp = F.lit(QSK_VMIN) + F.lit(QSK_W) * (
+            F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        return F.round(F.max(F.when(cond, interp)), 6)
+
+    return cum.groupBy("event_type", F.col("n").alias("n_events")).agg(
+        est(0.5).alias("est_p50"),
+        est(0.9).alias("est_p90"),
+        est(0.99).alias("est_p99"),
+    )
