@@ -897,6 +897,10 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     note percentile_cont's order-statistic interpolation can straddle
     a bin boundary, so the bound is stated against percentile_disc).
     Exact quantiles at 100 TB would need a full sort per group.
+    Streaming twin: streaming/pipeline.py::streaming_quantile_sketch
+    maintains the same structure per event-time hour under a watermark
+    (merge across micro-batches = stateful count addition),
+    equivalence-tested in tests/test_streaming.py.
 
     Scale shape: bin assignment is a narrow map-side expression; the
     count matrix is at most |types|·64 rows after one partially

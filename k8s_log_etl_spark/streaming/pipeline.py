@@ -224,3 +224,74 @@ def windowed_distinct_services(df: DataFrame, watermark: str = "1 hour") -> Data
     return per.groupBy("w").agg(
         F.count(F.lit(1)).alias("n_services")
     ).select(F.col("w.start").alias("window_start"), "n_services")
+
+
+def streaming_quantile_sketch(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming maintenance of the mergeable fixed-bin quantile sketch
+    (events_quantile_sketch's structure, kept per event-time hour): ONE
+    stateful aggregation on (1h window, event_type, bin) — because the
+    bins are data-independent, every micro-batch's partial counts merge
+    into state by pure addition, which is precisely the sketch-merge
+    property the batch docstring claims; no bounds pass, no sort, no
+    second stateful stage. Output is the sketch TABLE
+    (hour, event_type, bin, cnt) — at most |types|·64 rows per hour,
+    watermark-finalized in append mode. Quantiles are recovered at READ
+    time from the tiny finalized table (quantiles_from_sketch), the
+    Prometheus histogram_quantile serving pattern: the expensive stream
+    never carries interpolation state, and late data within the
+    watermark lands in the right bin exactly."""
+    from k8s_log_etl_spark.queries.streaming_batch import QSK_BINS, QSK_VMIN, QSK_W
+
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(QSK_VMIN)) / F.lit(QSK_W)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(QSK_BINS - 1),
+    )
+    src = df.withWatermark("ts", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type", bin_.alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("hour"), "event_type", "bin", "cnt")
+    )
+
+
+def quantiles_from_sketch(sketch: DataFrame) -> DataFrame:
+    """Read-side quantile recovery over a (hour, event_type, bin, cnt)
+    sketch table: per group, cumulative bin counts and the same
+    crossing-bin linear interpolation as the batch
+    events_quantile_sketch — run on the |types|·64-rows-per-hour
+    finalized table, so serving cost is independent of event volume."""
+    from pyspark.sql import Window as W
+
+    from k8s_log_etl_spark.queries.streaming_batch import QSK_VMIN, QSK_W
+
+    wcum = W.partitionBy("hour", "event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("hour", "event_type")
+    cum = sketch.select(
+        "hour",
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def est(p: float):
+        target = F.lit(p) * F.col("n")
+        cond = (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+        interp = F.lit(QSK_VMIN) + F.lit(QSK_W) * (
+            F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        return F.round(F.max(F.when(cond, interp)), 6)
+
+    return cum.groupBy("hour", "event_type", F.col("n").alias("n_events")).agg(
+        est(0.5).alias("est_p50"),
+        est(0.9).alias("est_p90"),
+        est(0.99).alias("est_p99"),
+    )

@@ -547,3 +547,80 @@ def test_streaming_corpus_ingest_dedup_and_replay_idempotent(spark, tmp_path):
     assert after2 == before, "crash-window replay duplicated corpus rows"
     idx2 = spark.read.parquet(index)
     assert idx2.count() == 3 and idx2.select("digest").distinct().count() == 3
+
+
+def test_streaming_quantile_sketch_matches_batch(spark, tmp_path):
+    """The mergeable-sketch claim, proven on the stream: maintaining
+    (hour, type, bin) counts across micro-batches (maxFilesPerTrigger=1
+    forces multi-batch merging) must finalize EXACTLY the batch sketch
+    for every watermark-closed hour, and read-side recovery over the
+    streamed table must equal recovery over the batch table — plus an
+    exact hand-computed interpolation spot-check."""
+    in_dir = str(tmp_path / "in_qs")
+    os.makedirs(in_dir)
+    # hour 10:00 'click': values 4, 12, 20 -> bins 0,1,2; n=3,
+    # p50 target 1.5 crosses bin 1 (cum 2, prev 1): est = 8*(1+0.5) = 12
+    rows_a = [("2024-03-01T10:05:00Z", "click", 4.0),
+              ("2024-03-01T10:15:00Z", "click", 12.0)]
+    rows_b = [("2024-03-01T10:25:00Z", "click", 20.0),
+              ("2024-03-01T10:35:00Z", "view", 600.0),   # clamps to top bin
+              ("2024-03-01T11:10:00Z", "click", 7.5)]
+    for name, rows in (("a.jsonl", rows_a), ("b.jsonl", rows_b)):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for ts, et, v in rows:
+                f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+    with open(os.path.join(in_dir, "z_flush.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"ts": "2024-03-02T00:00:00Z", "event_type": "flush", "value": 1.0}) + "\n")
+
+    schema = "ts timestamp, event_type string, value double"
+    stream_df = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    q = (
+        SP.streaming_quantile_sketch(stream_df)
+        .writeStream.format("memory")
+        .queryName("qsk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["hour"], r["event_type"], r["bin"], r["cnt"])
+        for r in spark.sql("SELECT * FROM qsk_stream").collect()
+    }
+    assert got, "streaming emitted nothing"
+
+    batch_sketch = SP.streaming_quantile_sketch(spark.read.schema(schema).json(in_dir))
+    want_all = {
+        (r["hour"], r["event_type"], r["bin"], r["cnt"]) for r in batch_sketch.collect()
+    }
+    closed = {w for w in want_all if w[0].day == 1}  # flush hour stays open
+    assert got == closed and len(closed) > 0
+    # the 600.0 view event clamped into the top bin
+    from k8s_log_etl_spark.queries.streaming_batch import QSK_BINS
+    assert any(b == QSK_BINS - 1 and et == "view" for _, et, b, _ in got)
+
+    # read-side recovery over the streamed table == over the batch
+    # table (closed hours), including the hand-computed median
+    stream_q = {
+        (r["hour"], r["event_type"]): r
+        for r in SP.quantiles_from_sketch(spark.sql("SELECT * FROM qsk_stream")).collect()
+    }
+    batch_q = {
+        (r["hour"], r["event_type"]): r
+        for r in SP.quantiles_from_sketch(batch_sketch).collect()
+        if r["hour"].day == 1
+    }
+    assert set(stream_q) == set(batch_q)
+    for k, r in batch_q.items():
+        s = stream_q[k]
+        assert (s["n_events"], s["est_p50"], s["est_p90"], s["est_p99"]) == (
+            r["n_events"], r["est_p50"], r["est_p90"], r["est_p99"])
+    import datetime
+    h10 = datetime.datetime(2024, 3, 1, 10)
+    assert stream_q[(h10, "click")]["est_p50"] == 12.0
+    assert stream_q[(h10, "click")]["n_events"] == 3
