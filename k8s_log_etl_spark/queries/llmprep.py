@@ -1407,3 +1407,157 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     return snapshot_diff(old, new, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# capstone 4: RAG retrieval pipeline (chunk -> embed -> index -> serve)
+# ---------------------------------------------------------------------------
+
+RAG_QUERY_DOCS = 10      # doc_id < 10 play the incoming queries
+RAG_DIM = 8              # pseudo-embedding dimensionality
+RAG_PLANES = 6           # hyperplane index bits -> 64 buckets
+RAG_TOP_K = 3
+
+
+def _rag_plane(j: int, i: int) -> int:
+    """Deterministic integer hyperplane weights in [-7, 7], inlined as
+    literals in BOTH engines."""
+    return ((j * 29 + i * 13) % 15) - 7
+
+
+def _rag_emb_sql(chunk: str) -> str:
+    dims = ", ".join(
+        f"(({X.md5_long_sql(chunk + ' || ' + repr('|' + str(d)))} % 2001) - 1000) / 1000.0"
+        for d in range(RAG_DIM)
+    )
+    return f"[{dims}]"
+
+
+def _rag_bucket_sql(e: str) -> str:
+    terms = []
+    for j in range(RAG_PLANES):
+        w = "[" + ", ".join(f"{float(_rag_plane(j, i))}" for i in range(RAG_DIM)) + "]"
+        terms.append(f"(CASE WHEN {X.dot_sql(e, w)} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_RAG_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(i // {CHUNK_STRIDE} AS BIGINT) AS win_id,
+         array_to_string(w[i + 1:i + {CHUNK_WINDOW}], ' ') AS chunk
+  FROM words, unnest(range(0, len(w), {CHUNK_STRIDE})) AS t(i)
+  WHERE doc_id >= {RAG_QUERY_DOCS} AND len(w) > 0
+),
+cemb AS (SELECT doc_id, win_id, {_rag_emb_sql('chunk')} AS e FROM chunks),
+cidx AS (SELECT doc_id, win_id, e, {_rag_bucket_sql('e')} AS b FROM cemb),
+qtext AS (
+  SELECT doc_id AS query_doc, array_to_string(w[1:{CHUNK_WINDOW}], ' ') AS chunk
+  FROM words WHERE doc_id < {RAG_QUERY_DOCS} AND len(w) > 0
+),
+qemb AS (SELECT query_doc, {_rag_emb_sql('chunk')} AS e FROM qtext),
+qidx AS (SELECT query_doc, e, {_rag_bucket_sql('e')} AS b FROM qemb)
+SELECT query_doc, doc_id, win_id, cos_sim, rnk FROM (
+  SELECT q.query_doc, c.doc_id, c.win_id,
+         round({X.cosine_sql('q.e', 'c.e')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_doc
+           ORDER BY {X.cosine_sql('q.e', 'c.e')} DESC, c.doc_id, c.win_id
+         ) AS rnk
+  FROM qidx q JOIN cidx c ON q.b = c.b
+) WHERE rnk <= {RAG_TOP_K}
+"""
+
+
+def _rag_emb(chunk: F.Column) -> F.Column:
+    return F.array(
+        *[
+            ((X.md5_long(F.concat(chunk, F.lit(f"|{d}"))) % 2001) - 1000)
+            / F.lit(1000.0)
+            for d in range(RAG_DIM)
+        ]
+    )
+
+
+def _rag_bucket(e: F.Column) -> F.Column:
+    out = F.lit(0)
+    for j in range(RAG_PLANES):
+        w = F.array(*[F.lit(float(_rag_plane(j, i))) for i in range(RAG_DIM)])
+        out = out + F.when(X.dot(e, w) > 0, F.lit(1 << j)).otherwise(0)
+    return out
+
+
+@register(
+    "rag_retrieval_pipeline",
+    oracle=_RAG_SQL,
+    tags=("llmprep", "similarity", "text"),
+)
+def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone 4 — the retrieval side of a RAG system end to end,
+    oracle-exact: corpus documents are chunked into CHUNK_WINDOW-word
+    sliding windows (chunk_sliding_windows' geometry), every chunk gets
+    a deterministic pseudo-embedding (RAG_DIM dims derived from
+    md5_long(chunk || '|' || dim) — a stand-in for a real encoder with
+    the same Spark-side plumbing: the container has no model runtime,
+    and a fake-but-hashable encoder keeps the WHOLE pipeline
+    hash-verifiable against the SQL oracle, same policy as the
+    multimodal capstone's decoder), chunks are indexed into
+    2^RAG_PLANES hyperplane-LSH buckets, and incoming queries (their
+    first window, same embedding) retrieve bucket-colliding chunks
+    re-ranked by exact cosine to top-RAG_TOP_K.
+
+    Scale shape — each stage is the 100 TB-correct one: chunking and
+    embedding are pure map-side expression work (md5 + integer
+    arithmetic inside whole-stage codegen — no Python); the index is
+    one narrow frame (doc, win, 8 doubles, bucket byte); the query
+    frame is bounded and BROADCAST into the bucket equi-join, so the
+    corpus index never shuffles; candidates per query ~ N/2^P with P
+    the log-N knob; the exact re-rank touches only bucket collisions
+    and the per-query top-k prunes map-side (WindowGroupLimit).
+    Queries whose bucket holds no chunk return no rows — the recall
+    miss OR-amplification would fix (knn_lsh_hyperplane shows that
+    machinery on the embeddings table)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    base = d.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+    chunks = (
+        base.filter(F.col("doc_id") >= RAG_QUERY_DOCS)
+        .select("doc_id", "w", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            (F.col("i") / CHUNK_STRIDE).cast("bigint").alias("win_id"),
+            F.concat_ws(" ", F.slice("w", F.col("i") + 1, CHUNK_WINDOW)).alias(
+                "chunk"
+            ),
+        )
+    )
+    cidx = chunks.select(
+        "doc_id", "win_id", _rag_emb(F.col("chunk")).alias("e")
+    ).select("doc_id", "win_id", "e", _rag_bucket(F.col("e")).alias("b"))
+    qidx = (
+        base.filter(F.col("doc_id") < RAG_QUERY_DOCS)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.concat_ws(" ", F.slice("w", 1, CHUNK_WINDOW)).alias("chunk"),
+        )
+        .select("query_doc", _rag_emb(F.col("chunk")).alias("qe"))
+        .select("query_doc", "qe", _rag_bucket(F.col("qe")).alias("qb"))
+    )
+    cos = X.cosine(F.col("qe"), F.col("e"))
+    wr = Window.partitionBy("query_doc").orderBy(
+        F.desc("cos_raw"), F.asc("doc_id"), F.asc("win_id")
+    )
+    return (
+        cidx.join(F.broadcast(qidx), F.col("b") == F.col("qb"))
+        .select("query_doc", "doc_id", "win_id", cos.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= RAG_TOP_K)
+        .select(
+            "query_doc",
+            "doc_id",
+            "win_id",
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+            "rnk",
+        )
+    )

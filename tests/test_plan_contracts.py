@@ -220,6 +220,13 @@ CONTRACTS = {
         ["HashAggregate", "LeftSemi", "Window"],
         ["NestedLoop"],
     ),
+    # RAG capstone: bounded query frame broadcast into the bucket
+    # equi-join (corpus index never shuffles), per-query top-k prunes
+    # map-side; chunk+embed+bucket all codegen'd expressions
+    "rag_retrieval_pipeline": (
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["NestedLoop"],
+    ),
     # numeric RANGE frame: one window, no self-join
     "orders_price_range_frame": (["Window"], ["Join"]),
 }
