@@ -1491,6 +1491,7 @@ def _rag_bucket(e: F.Column) -> F.Column:
     "rag_retrieval_pipeline",
     oracle=_RAG_SQL,
     tags=("llmprep", "similarity", "text"),
+    bench=True,
 )
 def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone 4 — the retrieval side of a RAG system end to end,
