@@ -1410,6 +1410,98 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 history fold between dataset drops
+# ---------------------------------------------------------------------------
+
+SCD2_T1 = "2024-01-01 00:00:00"
+SCD2_T2 = "2024-02-01 00:00:00"
+
+_SCD2_ATTR_NE = (
+    "(o.lang IS DISTINCT FROM n.lang OR o.source IS DISTINCT FROM n.source "
+    "OR o.n_chars IS DISTINCT FROM n.n_chars)"
+)
+
+_SCD2_SQL = f"""
+WITH old AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < {DIFF_OLD_MAX}
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_MUTATE_MOD} = 0 THEN upper(lang) ELSE lang END AS lang,
+         source, n_chars
+  FROM documents WHERE doc_id >= {DIFF_NEW_MIN}
+),
+j AS (
+  SELECT o.doc_id AS k1, n.doc_id AS k2,
+         o.lang AS l1, o.source AS s1, o.n_chars AS c1,
+         n.lang AS l2, n.source AS s2, n.n_chars AS c2,
+         {_SCD2_ATTR_NE} AS ne
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT k1 AS doc_id, l1 AS lang, s1 AS source, c1 AS n_chars,
+       '{SCD2_T1}' AS valid_from, '{SCD2_T2}' AS valid_to
+FROM j WHERE k1 IS NOT NULL AND (k2 IS NULL OR ne)
+UNION ALL
+SELECT k1, l1, s1, c1, '{SCD2_T1}', '9999-12-31 00:00:00'
+FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND NOT ne
+UNION ALL
+SELECT k2, l2, s2, c2, '{SCD2_T2}', '9999-12-31 00:00:00'
+FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR ne)
+"""
+
+
+@register("corpus_scd2_history", oracle=_SCD2_SQL, tags=("llmprep",))
+def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history between the same two
+    dataset drops corpus_snapshot_diff compares, through
+    operators.snapshots.scd2_init/scd2_apply: the old drop opens the
+    history at T1; folding the new drop at T2 closes changed/vanished
+    keys at T2, carries unchanged keys open, and opens changed/new keys
+    from T2 — every doc's full (valid_from, valid_to) lineage, the
+    point-in-time dimension warehouse ops maintain. The operator path
+    computes change detection via 64-bit null-flagged fingerprints and
+    left-semi/anti joins keyed on doc_id (keys + hashes shuffle, never
+    whole rows); the oracle re-derives the fold from first principles
+    with direct null-safe attribute comparison, so both the fingerprint
+    collision-freeness AND the three-way fold logic (closed /
+    still-current / opened) are under the hash check.
+
+    Scale shape: scd2_apply is two hash joins and a union on the
+    natural key; history grows by (changed + added + removed) rows per
+    fold, and the closed partition passes through untouched — exactly
+    the incremental cost profile of a warehouse MERGE."""
+    from k8s_log_etl_spark.operators.snapshots import scd2_apply, scd2_init
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    old = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    new = d.filter(F.col("doc_id") >= DIFF_NEW_MIN).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_MUTATE_MOD == 0, F.upper(F.col("lang"))
+        ).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        "n_chars",
+    )
+    history = scd2_init(old, SCD2_T1)
+    folded = scd2_apply(history, new, ["doc_id"], SCD2_T2)
+    # Validity bounds leave the query as formatted strings: the open
+    # sentinel (9999-12-31) is a perfectly good TIMESTAMP in both
+    # engines but overflows pandas' ns range in the driver's
+    # toPandas() canonicalization.
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return folded.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # capstone 4: RAG retrieval pipeline (chunk -> embed -> index -> serve)
 # ---------------------------------------------------------------------------
 

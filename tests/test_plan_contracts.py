@@ -227,6 +227,13 @@ CONTRACTS = {
         ["BroadcastHashJoin", "WindowGroupLimit"],
         ["NestedLoop"],
     ),
+    # SCD2 fold: change detection is a keyed full-outer over
+    # fingerprints, the close/open legs are keyed semi/anti joins —
+    # never a loop join, never a window
+    "corpus_scd2_history": (
+        ["FullOuter", "LeftSemi", "LeftAnti"],
+        ["NestedLoop", "Window"],
+    ),
     # numeric RANGE frame: one window, no self-join
     "orders_price_range_frame": (["Window"], ["Join"]),
 }
