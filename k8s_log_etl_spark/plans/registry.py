@@ -100,8 +100,8 @@ _CHECKED_FIRST = [
 # slots next round: dedup_semantic_cells, contamination_spans,
 # join_skew_salted, events_sessionize, minhash_estimate_quality,
 # dedup_keep_best, knn_ivfpq_refine, dedup_substring_spans,
-# events_quantile_sketch, rag_retrieval_pipeline, corpus_scd2_history
-# (all green in
+# events_quantile_sketch, rag_retrieval_pipeline, corpus_scd2_history,
+# corpus_scd2_as_of (all green in
 # tools/drive_entry.py and tests/test_oracle_parity.py). Also re-slot
 # any query whose implementation changes in round 5, plus the standing
 # log-ETL regression core; everything else keeps its r1-r4 green row

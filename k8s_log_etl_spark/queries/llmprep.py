@@ -1470,6 +1470,25 @@ def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural key; history grows by (changed + added + removed) rows per
     fold, and the closed partition passes through untouched — exactly
     the incremental cost profile of a warehouse MERGE."""
+    folded = _scd2_folded(spark, sf_dir)
+    # Validity bounds leave the query as formatted strings: the open
+    # sentinel (9999-12-31) is a perfectly good TIMESTAMP in both
+    # engines but overflows pandas' ns range in the driver's
+    # toPandas() canonicalization.
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return folded.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
+
+
+def _scd2_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared T1-init + T2-fold history frame (timestamp-typed
+    validity bounds), used by corpus_scd2_history and the AS-OF read."""
     from k8s_log_etl_spark.operators.snapshots import scd2_apply, scd2_init
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
@@ -1485,19 +1504,37 @@ def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     history = scd2_init(old, SCD2_T1)
-    folded = scd2_apply(history, new, ["doc_id"], SCD2_T2)
-    # Validity bounds leave the query as formatted strings: the open
-    # sentinel (9999-12-31) is a perfectly good TIMESTAMP in both
-    # engines but overflows pandas' ns range in the driver's
-    # toPandas() canonicalization.
-    fmt = "yyyy-MM-dd HH:mm:ss"
-    return folded.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        F.date_format("valid_from", fmt).alias("valid_from"),
-        F.date_format("valid_to", fmt).alias("valid_to"),
+    return scd2_apply(history, new, ["doc_id"], SCD2_T2)
+
+
+SCD2_AS_OF = "2024-01-15 00:00:00"   # strictly between T1 and T2
+
+_SCD2_AS_OF_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id < {DIFF_OLD_MAX}
+"""
+
+
+@register("corpus_scd2_as_of", oracle=_SCD2_AS_OF_SQL, tags=("llmprep",))
+def corpus_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) read over the SCD2 history: rows whose
+    validity interval covers a timestamp strictly between the two fold
+    times must reconstruct the ORIGINAL T1 snapshot exactly — the
+    round-trip invariant that makes an SCD2 dimension trustworthy. The
+    oracle is maximally independent: it never touches the fold at all,
+    it IS the old drop (SELECT ... WHERE doc_id < {DIFF_OLD_MAX}), so
+    any error anywhere in init → diff → close/open bookkeeping (a row
+    closed too early, opened twice, or dropped) surfaces as a hash
+    mismatch against raw data.
+
+    Scale shape: the AS-OF read is a map-side interval filter over the
+    history (partition-prunable on valid_from in a date-partitioned
+    layout); no join."""
+    t = F.lit(SCD2_AS_OF).cast("timestamp")
+    return (
+        _scd2_folded(spark, sf_dir)
+        .filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+        .select("doc_id", "lang", "source", "n_chars")
     )
 
 
