@@ -82,9 +82,14 @@ def scd2_apply(
     closed = history.filter(F.col("valid_to") != F.lit(OPEN_TO).cast("timestamp"))
     current = history.filter(F.col("valid_to") == F.lit(OPEN_TO).cast("timestamp"))
 
+    # The diff frame feeds THREE consumers (still-current anti-join,
+    # closing semi-join, opening semi-join); without a checkpoint each
+    # consumer re-executes the full-outer fingerprint join (measured:
+    # 21 -> 9 exchanges on the corpus_scd2_history plan). On a cluster
+    # this materialization is a staged intermediate instead.
     diff = snapshot_diff(
         current.drop("valid_from", "valid_to"), snapshot, key_cols
-    )
+    ).localCheckpoint(eager=False)
     changed_or_removed = diff.filter(
         F.col("change_type").isin("changed", "removed")
     ).select(*key_cols)
