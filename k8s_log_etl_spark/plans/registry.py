@@ -101,7 +101,9 @@ _CHECKED_FIRST = [
 # join_skew_salted, events_sessionize, minhash_estimate_quality,
 # dedup_keep_best, knn_ivfpq_refine, dedup_substring_spans,
 # events_quantile_sketch, rag_retrieval_pipeline, corpus_scd2_history,
-# corpus_scd2_as_of (all green in
+# corpus_scd2_as_of — plus profile_documents, whose implementation was
+# REWORKED in round 4c (one-pass Expand profile) after its r3 green
+# row (all green in
 # tools/drive_entry.py and tests/test_oracle_parity.py). Also re-slot
 # any query whose implementation changes in round 5, plus the standing
 # log-ETL regression core; everything else keeps its r1-r4 green row

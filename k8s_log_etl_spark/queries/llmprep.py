@@ -530,24 +530,36 @@ FROM documents"""
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the documents table — row count, null count,
     exact distinct count per column, long-form output. The profiling
-    pass every ingest job runs before trusting a new data drop. One scan
-    feeding per-column aggregates; at 100 TB swap count(DISTINCT) for
-    approx_count_distinct (HLL sketch, one pass, mergeable) — kept exact
-    here so the oracle can hash-match."""
+    pass every ingest job runs before trusting a new data drop.
+
+    ONE scan computes every column's stats in a single aggregate
+    (Catalyst plans the multi-column count(DISTINCT) via Expand — a
+    |cols|× row multiplication into one shuffle), then the 1-row wide
+    result unpivots to long form with stack(); the round-4c rework of
+    the per-column union-of-aggregates shape, which scanned the table
+    once PER COLUMN (5 scans, 15 exchanges → 1 scan, 3 exchanges). At
+    100 TB the scan is the cost, so one-pass-with-Expand wins despite
+    the row multiplication; swap count(DISTINCT) for
+    approx_count_distinct (HLL, no Expand, mergeable) to drop the
+    multiplication too — kept exact here so the oracle can
+    hash-match."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    frames = [
-        d.agg(
-            F.lit(c).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
         )
-        for c in _PROFILE_COLS
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionAll(f)
-    return out
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
 
 
 # ---------------------------------------------------------------------------

@@ -234,6 +234,10 @@ CONTRACTS = {
         ["FullOuter", "LeftSemi", "LeftAnti"],
         ["NestedLoop", "Window"],
     ),
+    # one-pass profile: multi-column count(DISTINCT) planned via
+    # Expand off a SINGLE scan — never the per-column union of
+    # aggregates (5 scans of the table)
+    "profile_documents": (["Expand"], ["Union"]),
     # numeric RANGE frame: one window, no self-join
     "orders_price_range_frame": (["Window"], ["Join"]),
 }
