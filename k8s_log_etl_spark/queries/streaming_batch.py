@@ -907,7 +907,15 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated shuffle; the cumulative window and the interpolation
     run on that tiny frame. Nothing scales with row count after the
     first aggregate."""
-    ev = load_table(spark, sf_dir, "events")
+    return quantile_sketch_frame(load_table(spark, sf_dir, "events"))
+
+
+def quantile_sketch_frame(ev: DataFrame) -> DataFrame:
+    """The sketch lineage over any (event_type, value) frame — shared
+    by the registered query and the Hypothesis property test
+    (tests/test_llmprep_properties.py), which checks the
+    one-bin-width-vs-order-statistic bound on arbitrary generated
+    distributions including out-of-domain clamping."""
     bin_ = F.least(
         F.greatest(
             F.floor((F.col("value") - F.lit(QSK_VMIN)) / F.lit(QSK_W)).cast("long"),

@@ -158,3 +158,56 @@ def test_perplexity_matches_pure_python_model(spark):
         .collect()
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=700.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    split=st.integers(min_value=0, max_value=60),
+)
+def test_quantile_sketch_bound_on_arbitrary_distributions(spark, vals, split):
+    """For ANY value distribution — including values below 0 and above
+    the sketch domain, which clamp into the edge bins — each estimate
+    must land in the same bin as the ceil(p*n)-th order statistic
+    (clamped into the domain), i.e. within one bin width of the
+    inverse-CDF quantile, and n_events must be exact. Two event types
+    split the values to exercise the per-group partitioning."""
+    import math
+
+    from k8s_log_etl_spark.queries.streaming_batch import (
+        QSK_BINS,
+        QSK_VMIN,
+        QSK_W,
+        quantile_sketch_frame,
+    )
+
+    split = min(split, len(vals))
+    rows = [("a", float(v)) for v in vals[:split]] + [
+        ("b", float(v)) for v in vals[split:]
+    ]
+    groups: dict[str, list[float]] = {}
+    for t, v in rows:
+        groups.setdefault(t, []).append(v)
+
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.event_type: r for r in quantile_sketch_frame(df).collect()}
+    assert set(got) == {t for t, vs in groups.items() if vs}
+
+    def clamped_bin(v: float) -> int:
+        return min(max(int(math.floor((v - QSK_VMIN) / QSK_W)), 0), QSK_BINS - 1)
+
+    for t, vs in groups.items():
+        if not vs:
+            continue
+        v_sorted = sorted(vs)
+        n = len(v_sorted)
+        r = got[t]
+        assert r.n_events == n
+        for ep, p in ((r.est_p50, 0.5), (r.est_p90, 0.9), (r.est_p99, 0.99)):
+            b = clamped_bin(v_sorted[math.ceil(p * n) - 1])
+            lo, hi = QSK_VMIN + QSK_W * b, QSK_VMIN + QSK_W * (b + 1)
+            assert lo <= ep <= hi, (t, p, ep, lo, hi)
