@@ -910,21 +910,27 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_frame(load_table(spark, sf_dir, "events"))
 
 
+def qsk_bin(value: F.Column) -> F.Column:
+    """Fixed-domain bin assignment shared by the batch sketch and the
+    streaming twin (streaming/pipeline.py) — one definition so the two
+    structures can never drift apart."""
+    return F.least(
+        F.greatest(
+            F.floor((value - F.lit(QSK_VMIN)) / F.lit(QSK_W)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(QSK_BINS - 1),
+    )
+
+
 def quantile_sketch_frame(ev: DataFrame) -> DataFrame:
     """The sketch lineage over any (event_type, value) frame — shared
     by the registered query and the Hypothesis property test
     (tests/test_llmprep_properties.py), which checks the
     one-bin-width-vs-order-statistic bound on arbitrary generated
     distributions including out-of-domain clamping."""
-    bin_ = F.least(
-        F.greatest(
-            F.floor((F.col("value") - F.lit(QSK_VMIN)) / F.lit(QSK_W)).cast("long"),
-            F.lit(0),
-        ),
-        F.lit(QSK_BINS - 1),
-    )
     counts = (
-        ev.select("event_type", bin_.alias("bin"))
+        ev.select("event_type", qsk_bin(F.col("value")).alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

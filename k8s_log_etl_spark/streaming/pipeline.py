@@ -240,19 +240,14 @@ def streaming_quantile_sketch(df: DataFrame, watermark: str = "1 hour") -> DataF
     Prometheus histogram_quantile serving pattern: the expensive stream
     never carries interpolation state, and late data within the
     watermark lands in the right bin exactly."""
-    from k8s_log_etl_spark.queries.streaming_batch import QSK_BINS, QSK_VMIN, QSK_W
+    from k8s_log_etl_spark.queries.streaming_batch import qsk_bin
 
-    bin_ = F.least(
-        F.greatest(
-            F.floor((F.col("value") - F.lit(QSK_VMIN)) / F.lit(QSK_W)).cast("long"),
-            F.lit(0),
-        ),
-        F.lit(QSK_BINS - 1),
-    )
     src = df.withWatermark("ts", watermark) if df.isStreaming else df
     return (
         src.groupBy(
-            F.window("ts", "1 hour").alias("w"), "event_type", bin_.alias("bin")
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            qsk_bin(F.col("value")).alias("bin"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("hour"), "event_type", "bin", "cnt")
