@@ -290,3 +290,27 @@ def quantiles_from_sketch(sketch: DataFrame) -> DataFrame:
         est(0.9).alias("est_p90"),
         est(0.99).alias("est_p99"),
     )
+
+
+def range_quantiles_from_sketch(sketch: DataFrame, t0: str, t1: str) -> DataFrame:
+    """Range-quantile serving over the per-hour sketch table — the
+    merge-across-hours payoff of fixed bins: p50/p90/p99 for any hour
+    range [t0, t1) come from SUMMING the covered hours' bin counts
+    (sketch merge = vector add, cost proportional to hours covered ×
+    |types|·64 rows, independent of event volume) and running the same
+    read-side interpolation once on the merged vector. Equivalent BY
+    CONSTRUCTION to building the batch sketch over the range's raw
+    events — pinned in tests/test_streaming.py — which is what a
+    per-hour COUNT/quantile rollup cannot do for percentiles (quantiles
+    don't compose; bin counts do)."""
+    merged = (
+        sketch.filter(
+            (F.col("hour") >= F.lit(t0).cast("timestamp"))
+            & (F.col("hour") < F.lit(t1).cast("timestamp"))
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("hour", F.lit(t0).cast("timestamp"))
+        .select("hour", "event_type", "bin", "cnt")
+    )
+    return quantiles_from_sketch(merged).drop("hour")

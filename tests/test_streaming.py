@@ -624,3 +624,42 @@ def test_streaming_quantile_sketch_matches_batch(spark, tmp_path):
     h10 = datetime.datetime(2024, 3, 1, 10)
     assert stream_q[(h10, "click")]["est_p50"] == 12.0
     assert stream_q[(h10, "click")]["n_events"] == 3
+
+
+def test_range_quantiles_merge_across_hours_equals_batch(spark, tmp_path):
+    """Percentiles don't compose across rollup rows; bin counts do. A
+    3-hour sketch table merged over a 2-hour range must yield EXACTLY
+    the quantiles of the batch sketch built from the range's raw
+    events — the range-serving pattern a stored per-hour percentile
+    could never support."""
+    import datetime
+
+    from k8s_log_etl_spark.queries.streaming_batch import quantile_sketch_frame
+
+    rows = []
+    for h, vals in ((9, [4.0, 100.0, 13.5]), (10, [20.0, 20.5]), (11, [300.0, 1.0])):
+        for i, v in enumerate(vals):
+            rows.append((datetime.datetime(2024, 3, 1, h, i + 1), "click", v))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+
+    sketch = SP.streaming_quantile_sketch(df)     # batch run of the twin lineage
+    got = {
+        r.event_type: r
+        for r in SP.range_quantiles_from_sketch(
+            sketch, "2024-03-01 09:00:00", "2024-03-01 11:00:00"
+        ).collect()
+    }
+    want = {
+        r.event_type: r
+        for r in quantile_sketch_frame(
+            df.filter(
+                (F.col("ts") >= "2024-03-01 09:00:00")
+                & (F.col("ts") < "2024-03-01 11:00:00")
+            ).select("event_type", "value")
+        ).collect()
+    }
+    assert set(got) == set(want) == {"click"}
+    g, w = got["click"], want["click"]
+    assert (g.n_events, g.est_p50, g.est_p90, g.est_p99) == (
+        w.n_events, w.est_p50, w.est_p90, w.est_p99)
+    assert g.n_events == 5   # hour-11 events excluded by the range
