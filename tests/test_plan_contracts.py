@@ -227,11 +227,12 @@ CONTRACTS = {
         ["BroadcastHashJoin", "WindowGroupLimit"],
         ["NestedLoop"],
     ),
-    # SCD2 fold: change detection is a keyed full-outer over
-    # fingerprints, the close/open legs are keyed semi/anti joins —
-    # never a loop join, never a window
+    # SCD2 fold: the close/open legs are keyed semi/anti joins off the
+    # CHECKPOINTED diff frame (Scan ExistingRDD — the full-outer
+    # fingerprint join runs once behind it, so it no longer appears in
+    # the serving plan); never a loop join, never a window
     "corpus_scd2_history": (
-        ["FullOuter", "LeftSemi", "LeftAnti"],
+        ["LeftSemi", "LeftAnti", "ExistingRDD"],
         ["NestedLoop", "Window"],
     ),
     # one-pass profile: multi-column count(DISTINCT) planned via
