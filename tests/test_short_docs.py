@@ -45,6 +45,9 @@ NGRAM_QUERIES = [
     "text_fingerprint_clusters",
     "text_top_bigrams",
     "corpus_clean_pipeline",
+    # round-4c tokenizing additions
+    "dedup_substring_spans",
+    "rag_retrieval_pipeline",
 ]
 
 
@@ -77,3 +80,31 @@ def test_ngram_queries_survive_short_docs(spark, short_sf_dir, name):
         d_rows = con.execute(spec.oracle).fetchall()
         con.close()
         assert len(rows) == len(d_rows), (name, rows, d_rows)
+
+
+def test_substring_spans_semantics_on_crafted_corpus(spark, tmp_path):
+    """Two verbatim-identical 12-word documents must each yield exactly
+    ONE maximal span covering every gram position (grams 0..7 for 12
+    words at k=5, last covered word 11); a disjoint third document
+    yields none. Pins the islands merge and the cross-doc (not
+    intra-doc) duplication semantics on a corpus where the answer is
+    computable by hand."""
+    import pandas as pd
+
+    from k8s_log_etl_spark.queries.dedup import dedup_substring_spans
+
+    dup_text = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(12))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [dup_text, dup_text, other],
+            "lang": ["en"] * 3,
+            "source": ["unit"] * 3,
+            "n_chars": [len(dup_text), len(dup_text), len(other)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rows = dedup_substring_spans(spark, str(tmp_path)).collect()
+    got = {(r.doc_id, r.span_start, r.span_end_word, r.n_grams) for r in rows}
+    assert got == {(1, 0, 11, 8), (2, 0, 11, 8)}
