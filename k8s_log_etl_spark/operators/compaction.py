@@ -74,6 +74,10 @@ def recover_compaction(path: str) -> int:
             shutil.rmtree(old)  # swap completed; cleanup didn't run
         elif os.path.exists(os.path.join(tmp, "_SUCCESS")):
             os.rename(tmp, pdir)  # rewrite complete: roll forward
+            # drop the marker, same as compact_partitions' normal path,
+            # preserving the "partition dir contains only data files"
+            # invariant on the recovered dir too
+            os.remove(os.path.join(pdir, "_SUCCESS"))
             shutil.rmtree(old)
         else:
             os.rename(old, pdir)  # roll back to the original files

@@ -803,25 +803,27 @@ def cc_star(pairs: DataFrame) -> DataFrame:
     joins, each checkpointed to truncate lineage. Returns (node, lbl)
     with lbl = component minimum — verified equivalent to
     cc_min_label_propagation (tests/test_scale_patterns.py)."""
-    # working edge set, kept deduplicated and loop-free — checkpointed
-    # FIRST so the (potentially expensive) pair-generating pipeline
-    # runs exactly once; nodes derive from the materialized edges
-    # (every pair generator emits doc_a < doc_b, so no isolated node is
-    # lost by reading them off e). Round 3's layout checkpointed nodes
-    # and e independently off `pairs`, executing the whole upstream
-    # near-dup pipeline twice.
-    e = (
+    # Checkpoint the raw pair frame FIRST so the (potentially
+    # expensive) pair-generating pipeline runs exactly once; nodes
+    # derive from it BEFORE the self-loop filter, so a node appearing
+    # only in self-pairs (doc_a == doc_b) still gets a (node, node)
+    # label via the roots union below — no reliance on generators
+    # emitting doc_a < doc_b. The working edge set is the cheap
+    # narrow filter over the materialized frame. Round 3's layout
+    # checkpointed nodes and e independently off `pairs`, executing
+    # the whole upstream near-dup pipeline twice.
+    e0 = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = e0.filter(F.col("u") != F.col("v"))
     while True:
         # LARGE-STAR: for each node u over its full neighborhood Γ(u),
         # m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.

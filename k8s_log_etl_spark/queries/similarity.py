@@ -150,8 +150,10 @@ def _mt_signatures(df: DataFrame) -> DataFrame:
     instead OOMs janino. This mapInPandas batches over VECTORS while
     iterating dims sequentially (`acc += V[:, i] * W[i, :]` — per vector
     that is exactly the left-to-right double fold `((0 + v0·w0) + v1·w1)
-    + …`), so every projection is bit-identical to the oracle's
-    list_reduce and the engine-exact sign test is preserved, at numpy
+    + …`), so every projection is bit-identical to the oracle's inlined
+    left-associative sum expression (`_mt_proj_sql` emits the flat
+    `v[1]*w0 + v[2]*w1 + …`, which DuckDB folds left-to-right in the
+    same order) and the engine-exact sign test is preserved, at numpy
     speed. Runs map-side, no shuffle; at cluster scale each partition
     streams its Arrow batches through independently."""
     import numpy as np

@@ -79,7 +79,15 @@ def ingest_batch(
         fresh = firsts.join(seen, "digest", "left_anti")
     else:
         fresh = firsts
-    fresh = fresh.withColumn("ingest_batch", F.lit(int(batch_id)))
+    # Materialize ONCE before the two writes: both sinks consume the
+    # same frame, the gate/dedup/anti-join pipeline runs exactly once,
+    # and the second write no longer overwrites an index_dir that its
+    # own lineage is reading from (fragile under Spark's
+    # "cannot overwrite a path being read from" analysis, and
+    # non-idempotent if the frame were recomputed between actions).
+    fresh = fresh.withColumn("ingest_batch", F.lit(int(batch_id))).localCheckpoint(
+        eager=True
+    )
     (
         fresh.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

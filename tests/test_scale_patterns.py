@@ -90,6 +90,20 @@ def test_cc_star_equals_min_label_propagation(spark, sf_dir):
     assert star == prop and len(star) > 0
 
 
+def test_cc_star_keeps_self_pair_only_nodes(spark):
+    """A node that appears ONLY in self-pairs (doc_a == doc_b) must
+    still receive a label (itself): the node set derives from the pair
+    frame BEFORE the self-loop filter, so cc_star does not depend on
+    pair generators guaranteeing doc_a < doc_b."""
+    from k8s_log_etl_spark.queries import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 3), (2, 1)], ["doc_a", "doc_b"]
+    )
+    got = {(r["node"], r["lbl"]) for r in dedup.cc_star(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 3)}
+
+
 def test_posting_pairs_equals_self_join(spark, sf_dir):
     """The grouped-postings candidate generation (window cap +
     collect_list + map-side pair expansion) must produce exactly the
