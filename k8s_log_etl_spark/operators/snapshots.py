@@ -26,6 +26,40 @@ from pyspark.sql import functions as F
 OPEN_TO = "9999-12-31 00:00:00"
 
 
+def _align_attrs(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Project both snapshots onto the UNION of their attribute columns
+    (null-filling each side's missing ones, typed from the side that has
+    them), so schema evolution between drops — the most common real CDC
+    event — diffs instead of breaking. Semantics: a column added with
+    NULLs leaves rows unchanged; a non-NULL value in an added (or a
+    dropped non-NULL) column flags the row as changed, because NULL is
+    exactly what the other snapshot's null-fill carries. Column order is
+    old's order then new-only columns in new's order, so the fingerprint
+    layout is deterministic."""
+    old_attrs = [c for c in old.columns if c not in key_cols]
+    new_attrs = [c for c in new.columns if c not in key_cols]
+    union_attrs = old_attrs + [c for c in new_attrs if c not in old_attrs]
+    new_types = dict(new.dtypes)
+    old_types = dict(old.dtypes)
+
+    def project(df: DataFrame, have: list[str], other_types: dict) -> DataFrame:
+        cols = [F.col(c) for c in key_cols]
+        for c in union_attrs:
+            if c in have:
+                cols.append(F.col(c))
+            else:
+                cols.append(F.lit(None).cast(other_types[c]).alias(c))
+        return df.select(*cols)
+
+    return (
+        project(old, old_attrs, new_types),
+        project(new, new_attrs, old_types),
+        union_attrs,
+    )
+
+
 def _fingerprint(df: DataFrame, key_cols: list[str]) -> DataFrame:
     # Each attribute contributes an explicit is-null flag alongside its
     # string form, so NULL and any literal value (including one that
@@ -44,7 +78,12 @@ def snapshot_diff(
     old: DataFrame, new: DataFrame, key_cols: list[str]
 ) -> DataFrame:
     """Rows of (key..., change_type) with change_type in
-    {'added', 'removed', 'changed'}; unchanged keys are omitted."""
+    {'added', 'removed', 'changed'}; unchanged keys are omitted.
+    Snapshot schemas may differ (columns added/dropped between drops):
+    attributes are aligned onto their union first, NULL-filled, so an
+    added column only marks rows changed where it actually carries a
+    value."""
+    old, new, _ = _align_attrs(old, new, key_cols)
     o = _fingerprint(old, key_cols).select(
         *key_cols, F.col("_fp").alias("_fp_old")
     )
@@ -77,7 +116,12 @@ def scd2_apply(
     """Fold `snapshot` (the table's state at `ts`) into the SCD2
     history: closed rows pass through; current rows close at `ts` when
     their key changed or vanished; changed and new keys open fresh
-    current rows."""
+    current rows. The snapshot's schema may have evolved since the
+    history was opened: the diff aligns attribute schemas internally,
+    and the final union is by name with missing columns NULL-filled, so
+    an added column appears (NULL) on pre-existing history rows and a
+    dropped column survives (NULL on new rows) — history accretes the
+    union of all schemas it has seen."""
     ts_col = F.lit(ts).cast("timestamp")
     closed = history.filter(F.col("valid_to") != F.lit(OPEN_TO).cast("timestamp"))
     current = history.filter(F.col("valid_to") == F.lit(OPEN_TO).cast("timestamp"))
@@ -107,7 +151,7 @@ def scd2_apply(
         F.lit(OPEN_TO).cast("timestamp").alias("valid_to"),
     )
     return (
-        closed.unionByName(still_current)
-        .unionByName(closing)
-        .unionByName(opening)
+        closed.unionByName(still_current, allowMissingColumns=True)
+        .unionByName(closing, allowMissingColumns=True)
+        .unionByName(opening, allowMissingColumns=True)
     )

@@ -1551,6 +1551,92 @@ def corpus_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 fold across a schema change (column added between drops)
+# ---------------------------------------------------------------------------
+
+SCD2_EVO_MOD = 5   # every 5th doc carries a value in the ADDED column
+
+_SCD2_EVO_SQL = f"""
+WITH old AS (
+  SELECT doc_id, lang, source FROM documents WHERE doc_id < {DIFF_OLD_MAX}
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_MUTATE_MOD} = 0 THEN upper(lang) ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id % {SCD2_EVO_MOD} = 0 THEN n_chars END AS quality
+  FROM documents WHERE doc_id >= {DIFF_NEW_MIN}
+),
+j AS (
+  SELECT o.doc_id AS k1, n.doc_id AS k2,
+         o.lang AS l1, o.source AS s1,
+         n.lang AS l2, n.source AS s2, n.quality AS q2,
+         (o.lang IS DISTINCT FROM n.lang OR o.source IS DISTINCT FROM n.source
+          OR n.quality IS NOT NULL) AS ne
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT k1 AS doc_id, l1 AS lang, s1 AS source, CAST(NULL AS BIGINT) AS quality,
+       '{SCD2_T1}' AS valid_from, '{SCD2_T2}' AS valid_to
+FROM j WHERE k1 IS NOT NULL AND (k2 IS NULL OR ne)
+UNION ALL
+SELECT k1, l1, s1, CAST(NULL AS BIGINT), '{SCD2_T1}', '9999-12-31 00:00:00'
+FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND NOT ne
+UNION ALL
+SELECT k2, l2, s2, q2, '{SCD2_T2}', '9999-12-31 00:00:00'
+FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR ne)
+"""
+
+
+@register("corpus_scd2_schema_evolution", oracle=_SCD2_EVO_SQL, tags=("llmprep",))
+def corpus_scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 fold where the T2 snapshot ADDS an attribute column
+    (`quality`, carrying a value on every {SCD2_EVO_MOD}th doc, NULL
+    elsewhere) that did not exist when the history was opened at T1 —
+    the most common real-world CDC event, and the one a naive
+    `df.columns`-derived fingerprint silently mis-diffs. Semantics
+    under test: (a) an overlapping key whose added column is NULL and
+    whose shared attributes are unchanged stays OPEN from T1 (the
+    null-fill makes the aligned fingerprints equal); (b) a non-NULL
+    value in the added column alone closes the T1 row and opens a T2
+    row (the value IS a change vs the implicit NULL); (c) history
+    accretes the schema union — pre-evolution rows carry quality NULL.
+    The oracle re-derives the fold from first principles with the
+    added column written as an explicit CASE, never touching the
+    alignment code path.
+
+    Scale shape: identical to corpus_scd2_history (two hash joins and
+    a union on the natural key); schema alignment is a map-side
+    projection, no extra shuffle."""
+    from k8s_log_etl_spark.operators.snapshots import scd2_apply, scd2_init
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    old = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
+        "doc_id", "lang", "source"
+    )
+    new = d.filter(F.col("doc_id") >= DIFF_NEW_MIN).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_MUTATE_MOD == 0, F.upper(F.col("lang"))
+        ).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(F.col("doc_id") % SCD2_EVO_MOD == 0, F.col("n_chars"))
+        .cast("long")
+        .alias("quality"),
+    )
+    history = scd2_init(old, SCD2_T1)
+    folded = scd2_apply(history, new, ["doc_id"], SCD2_T2)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return folded.select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # capstone 4: RAG retrieval pipeline (chunk -> embed -> index -> serve)
 # ---------------------------------------------------------------------------
 

@@ -85,3 +85,62 @@ def test_scd2_two_folds_and_point_in_time(spark):
     assert {(r["id"], r["city"]) for r in asof.collect()} == {
         (1, "rome"), (2, "cairo"), (3, "lima")
     }
+
+
+def test_snapshot_diff_added_column(spark):
+    """Schema evolution between drops (round-4 verdict #6): a column
+    ADDED in the new snapshot null-aligns against the old one — NULL
+    values in it leave rows unchanged, a non-NULL value alone flags
+    'changed'."""
+    old = _df(spark, [(1, "ann", "rome"), (2, "bob", "oslo")])
+    new = spark.createDataFrame(
+        [(1, "ann", "rome", None), (2, "bob", "oslo", 9)],
+        "id long, name string, city string, score int",
+    )
+    got = {
+        (r["id"], r["change_type"])
+        for r in S.snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {(2, "changed")}
+
+
+def test_snapshot_diff_dropped_column(spark):
+    """A column DROPPED in the new snapshot: rows where it was NULL are
+    unchanged; rows where it carried a value are changed (value -> the
+    implicit NULL)."""
+    old = spark.createDataFrame(
+        [(1, "ann", None), (2, "bob", "x")], "id long, name string, tag string"
+    )
+    new = spark.createDataFrame([(1, "ann"), (2, "bob")], "id long, name string")
+    got = {
+        (r["id"], r["change_type"])
+        for r in S.snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {(2, "changed")}
+
+
+def test_scd2_fold_across_added_column(spark):
+    """scd2_apply with a snapshot whose schema gained a column since
+    the history opened: the history accretes the schema union
+    (pre-evolution rows carry NULL), unchanged-with-NULL keys stay
+    open from T0, and a value in the new column closes/reopens."""
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    hist = S.scd2_init(_df(spark, [(1, "ann", "rome"), (2, "bob", "oslo")]), t0)
+    hist = S.scd2_apply(
+        hist,
+        spark.createDataFrame(
+            [(1, "ann", "rome", None), (2, "bob", "oslo", 7)],
+            "id long, name string, city string, score int",
+        ),
+        ["id"],
+        t1,
+    )
+    rows = {
+        (r["id"], r["score"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in hist.collect()
+    }
+    assert rows == {
+        (1, None, t0, "9999-12-31 00:00:00"),  # untouched, schema-united
+        (2, None, t0, t1),                      # closed by the new value
+        (2, 7, t1, "9999-12-31 00:00:00"),
+    }
