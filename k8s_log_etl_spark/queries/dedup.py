@@ -1185,3 +1185,67 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# span excision: APPLY the detected duplicate passages (cut them out)
+# ---------------------------------------------------------------------------
+
+_EXCISE_SQL = f"""
+WITH spans_q AS ({_SUBSTRING_SPANS_SQL}),
+aw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM spans_q)
+),
+wpos AS (
+  SELECT aw.doc_id, CAST(t.i AS BIGINT) AS idx, w[t.i + 1] AS word
+  FROM aw, unnest(range(len(w))) AS t(i)
+),
+marked AS (
+  SELECT p.doc_id, p.idx, p.word,
+         EXISTS (SELECT 1 FROM spans_q s
+                 WHERE s.doc_id = p.doc_id
+                   AND p.idx BETWEEN s.span_start AND s.span_end_word) AS covered
+  FROM wpos p
+)
+SELECT m.doc_id,
+       md5(coalesce(string_agg(CASE WHEN NOT covered THEN word END, ' ' ORDER BY idx), '')) AS clean_hash,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_words_removed,
+       ns.n_spans
+FROM marked m
+JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans_q GROUP BY doc_id) ns USING (doc_id)
+GROUP BY m.doc_id, ns.n_spans
+"""
+
+
+@register("dedup_excise_spans", oracle=_EXCISE_SQL, tags=("dedup", "llmprep"))
+def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step for substring-level dedup (round-4 verdict #3):
+    cut the duplicated passages dedup_substring_spans detects out of
+    each affected document — keep everything outside the spans, the
+    way Lee et al. 2021's pipeline rewrites rather than drops
+    documents (and the detect->apply pair redact_documents already
+    models for PII). Output per affected doc: md5 of the cleaned text
+    (proves byte-identical rewrites without hauling bodies through the
+    compare), words removed, span count.
+
+    Scale shape: operators.spans.excise_spans — spans grouped per doc
+    (hit-bounded, small), ONE keyed join onto documents, then a
+    map-side indexed-filter rewrite (O(words x spans_in_doc) per doc
+    inside a JVM higher-order function, no shuffle after the join).
+    The oracle re-derives removal word-by-word with a correlated
+    EXISTS over the span table, so span semantics (inclusive ends,
+    overlap union) and the reassembled byte stream are both under the
+    hash check."""
+    from k8s_log_etl_spark.operators.spans import excise_spans
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    spans = dedup_substring_spans(spark, sf_dir)
+    out = excise_spans(d, spans)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        "n_words_removed",
+        "n_spans",
+    )

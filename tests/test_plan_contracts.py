@@ -241,6 +241,21 @@ CONTRACTS = {
     "profile_documents": (["Expand"], ["Union"]),
     # numeric RANGE frame: one window, no self-join
     "orders_price_range_frame": (["Window"], ["Join"]),
+    # --- round-5 additions ---
+    # span excision: the apply step is ONE keyed join of the grouped
+    # span frame onto documents followed by a map-side HOF rewrite —
+    # the detector's islands Window is upstream; the apply itself adds
+    # a hash-agg (collect_list per doc) + keyed join, never a loop
+    # join (tests/test_spans.py pins the apply-step plan in isolation)
+    "dedup_excise_spans": (["HashAggregate"], ["NestedLoop"]),
+    "decontam_excise_spans": (["HashAggregate"], ["NestedLoop"]),
+    # SCD2 fold across a schema change: identical serving shape to
+    # corpus_scd2_history — schema alignment is a map-side projection
+    # and must add no join/window
+    "corpus_scd2_schema_evolution": (
+        ["LeftSemi", "LeftAnti", "ExistingRDD"],
+        ["NestedLoop", "Window"],
+    ),
 }
 
 
