@@ -122,3 +122,40 @@ def ingest_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ingest_output(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    max_files_per_partition: int = 1,
+    target_files: int = 1,
+) -> dict[str, int]:
+    """Small-files maintenance over the ingest sinks (round-4 verdict
+    #4): at production cadence the batch-partitioned corpus accumulates
+    thousands of tiny ``ingest_batch=K`` partitions, each holding as
+    many fragments as the micro-batch had tasks — death by file count
+    on every downstream scan. This wires operators.compaction over
+    BOTH sinks: plan (count files per partition), then rewrite each
+    over-target partition to `target_files` via the crash-safe
+    tmp/old rename swap (recover_compaction runs first, so a crash
+    mid-swap on the previous pass is repaired before new work).
+
+    Run it BETWEEN ingest runs (the availableNow trigger drains and
+    stops, leaving a natural maintenance window): the rename swap
+    leaves a partition path missing for an instant, and an anti-join
+    reading the index exactly then would miss that batch's digests.
+    Content is proven identical and the read path still
+    partition-prunes on ingest_batch afterwards
+    (tests/test_rollup.py). Returns partitions rewritten per sink."""
+    from k8s_log_etl_spark.operators import compaction as C
+
+    done: dict[str, int] = {}
+    for name, path in (("corpus", corpus_dir), ("index", index_dir)):
+        todo = C.plan_compaction(
+            spark, path, "ingest_batch", max_files_per_partition
+        )
+        done[name] = C.compact_partitions(
+            spark, path, "ingest_batch", todo, target_files
+        )
+    return done

@@ -332,3 +332,104 @@ def test_compaction_recovers_from_crash_states(spark, tmp_path):
     assert not os.path.exists(old) and not os.path.exists(tmp)
     assert sorted(r["v"] for r in spark.read.parquet(base).collect()) == [0, 1, 2]
     assert sum(1 for f in os.listdir(pdir) if f.endswith(".parquet")) == 1
+
+
+def test_ingest_compaction_sf01_content_identical_and_pruned(spark, tmp_path):
+    """Round-4 verdict #4: wire compaction over the streaming-ingest
+    corpus. Ingest several micro-batches of sf0.1 documents (each
+    landing many fragment files per ingest_batch partition), compact
+    both sinks through the crash-safe swap, and pin: (a) corpus AND
+    index content row-identical, (b) file counts collapsed to 1 per
+    batch partition, (c) the serving read still partition-prunes on
+    ingest_batch (directory-level PartitionFilters, like the rollup
+    read path), (d) a fresh batch ingested AFTER compaction still
+    dedups against the compacted index."""
+    import pytest
+
+    from k8s_log_etl_spark.streaming import ingest as IN
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("sf0.1 testdata not present")
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # 3 micro-batches; repartition(8) gives each batch partition many
+    # fragment files, like a real micro-batch with parallel tasks.
+    # Batch 1 re-sends some of batch 0 (cross-batch dups must die).
+    slices = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1).unionAll(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
+        ),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    ]
+    # At sf0.1 AQE's partition coalescing folds each micro-batch to one
+    # output file — disable it during ingestion so every batch lands
+    # multi-file partitions, the production fragment pattern compaction
+    # exists for.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        for bid, sl in enumerate(slices):
+            IN.ingest_batch(spark, sl.repartition(8), bid, corpus, index)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    def _files(base):
+        return {
+            entry: sorted(
+                f for f in os.listdir(os.path.join(base, entry))
+                if f.endswith(".parquet")
+            )
+            for entry in os.listdir(base)
+            if entry.startswith("ingest_batch=")
+        }
+
+    n_before = {k: len(v) for k, v in _files(corpus).items()}
+    assert len(n_before) == 3 and all(n > 1 for n in n_before.values()), n_before
+
+    rows_before = sorted(
+        (r["doc_id"], r["digest"], r["ingest_batch"])
+        for r in spark.read.parquet(corpus).collect()
+    )
+    idx_before = sorted(
+        (r["digest"], r["ingest_batch"]) for r in spark.read.parquet(index).collect()
+    )
+
+    done = IN.compact_ingest_output(spark, corpus, index)
+    assert done == {"corpus": 3, "index": 3}
+
+    # (b) one file per partition now; a second pass finds nothing to do
+    assert all(len(v) == 1 for v in _files(corpus).values())
+    assert all(len(v) == 1 for v in _files(index).values())
+    assert IN.compact_ingest_output(spark, corpus, index) == {"corpus": 0, "index": 0}
+
+    # (a) content row-identical on both sinks
+    rows_after = sorted(
+        (r["doc_id"], r["digest"], r["ingest_batch"])
+        for r in spark.read.parquet(corpus).collect()
+    )
+    idx_after = sorted(
+        (r["digest"], r["ingest_batch"]) for r in spark.read.parquet(index).collect()
+    )
+    assert rows_after == rows_before
+    assert idx_after == idx_before
+
+    # (c) the read path prunes on the batch partition key
+    pruned = spark.read.parquet(corpus).filter(F.col("ingest_batch") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "ingest_batch" in pf[0], plan
+    assert pruned.count() == sum(1 for r in rows_before if r[2] == 1)
+
+    # (d) ingestion continues over the compacted index: a full replay
+    # of everything must add nothing new
+    IN.ingest_batch(spark, docs.repartition(8), 3, corpus, index)
+    assert not os.path.exists(os.path.join(corpus, "ingest_batch=3")) or (
+        spark.read.parquet(corpus).filter(F.col("ingest_batch") == 3).count() == 0
+    )
