@@ -19,6 +19,52 @@ import sys
 import time
 
 
+# The round-2 bench set: the standing cross-round comparability core.
+# Every later round's set is a superset; BASELINE.md adjudicates
+# regressions on this matched subset, so bench.py computes the
+# arithmetic itself (round-4 verdict #5) instead of leaving it to
+# hand sums in prose.
+R2_CORE_15 = [
+    "corpus_clean_pipeline", "dedup_minhash_lsh", "dedup_simhash_banded",
+    "join_asof_last_purchase", "knn_lsh_hyperplane", "pipeline_events",
+    "pipeline_events_report", "q1_pricing_summary", "q3_top_unshipped",
+    "q5_regional_revenue", "stream_session_windows", "stream_tumbling_counts",
+    "text_quality_score", "tfidf_top_terms", "window_topk_per_customer",
+]
+
+
+def _matched_subtotals(timings: dict[str, float]) -> dict:
+    """Machine-checked cross-round comparability: the r2-core-15
+    subtotal, plus current-vs-previous-round subtotals over the
+    intersection of query sets (read from the newest BENCH_r*.json the
+    driver left in the repo root)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict = {
+        "r2_core_15": {
+            "n": sum(1 for n in R2_CORE_15 if n in timings),
+            "sec": round(sum(timings.get(n, 0.0) for n in R2_CORE_15), 3),
+        }
+    }
+    benches = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
+    if benches:
+        prev_file = benches[-1]
+        try:
+            with open(os.path.join(here, prev_file)) as f:
+                prev = json.load(f)["parsed"]["queries"]
+        except (KeyError, json.JSONDecodeError, OSError):
+            return out
+        matched = sorted(set(prev) & set(timings))
+        out["vs_" + prev_file.removesuffix(".json")] = {
+            "n": len(matched),
+            "sec": round(sum(timings[n] for n in matched), 3),
+            "prev_sec": round(sum(prev[n] for n in matched), 3),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -95,6 +141,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "matched_subtotals": _matched_subtotals(timings),
             }
         )
     )
