@@ -118,8 +118,57 @@ PROBE_XORS = [0] + [1 << j for j in range(N_PLANES)]
 N_TABLES = 8
 _LSH_SEED = 0xA55
 
+# --- index-parameter growth policies (round-4 verdict #2) -----------------
+# The registered queries run under the driver's correctness gate at
+# sf0.01, whose embeddings table holds REGISTERED_CORPUS_N vectors; the
+# constants above are ANCHORED there: policy(REGISTERED_CORPUS_N) must
+# reproduce them exactly (pinned in tests/test_approx.py), and the
+# same functions produce the grown parameters the synthetic-sf1 recall
+# test runs with. Oracle SQL strings are built at import from the
+# fixed constants, so the registered queries stay engine-deterministic
+# at every sf_dir; scale runs call the parameterized search paths
+# below with policy(n) directly.
+REGISTERED_CORPUS_N = 500
 
-def _table_weights() -> list[list[int]]:
+# Plane-agreement probability of a true top-5 neighbor on the
+# synthetic corpus (cos ~ 0.3 => p = 1 - acos(0.3)/pi ~ 0.61), the
+# basis of the table-growth rule below.
+LSH_NOMINAL_P = 0.61
+
+
+def lsh_planes_for(n: int) -> int:
+    """P grows with log2(n): expected bucket occupancy n/2^P is held
+    at the ~2-per-bucket anchor (500 vectors / 2^8), so candidate
+    lists stay bounded as the corpus scales."""
+    import math
+
+    return max(4, round(math.log2(max(n, 16))) - 1)
+
+
+def _lsh_table_hit_prob(planes: int, p: float = LSH_NOMINAL_P) -> float:
+    """Per-table probability that a true neighbor lands within
+    Hamming-1 of the query's bucket: p^P + P p^(P-1) (1-p)."""
+    return p**planes + planes * p ** (planes - 1) * (1 - p)
+
+
+def lsh_tables_for(n: int) -> int:
+    """OR-amplification compensates plane growth: each extra plane
+    cuts the per-table hit probability q(P) roughly by p, so T grows
+    ~ q(P_anchor)/q(P(n)) to hold union recall 1-(1-q)^T roughly flat.
+    Candidate fraction T(n)*(P(n)+1)/2^P(n) still SHRINKS as n grows
+    (0.28 at the 500-vector anchor -> ~0.11 at 20k), so the index
+    stays sub-quadratic while recall holds."""
+    import math
+
+    p_anchor = lsh_planes_for(REGISTERED_CORPUS_N)
+    q_anchor = _lsh_table_hit_prob(p_anchor)
+    q_n = _lsh_table_hit_prob(lsh_planes_for(n))
+    return max(1, math.ceil(N_TABLES * q_anchor / q_n))
+
+
+def _table_weights(
+    n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> list[list[int]]:
     """Seeded integer weights in [-9, 9], one row per (table, plane).
     Both engines consume the same inlined literals, so there is no
     shared closed-form to keep in sync (the round-3 formula's mod-13
@@ -127,7 +176,7 @@ def _table_weights() -> list[list[int]]:
     import random
 
     rng = random.Random(_LSH_SEED)
-    return [[rng.randint(-9, 9) for _ in range(DIM)] for _ in range(N_TABLES * N_PLANES)]
+    return [[rng.randint(-9, 9) for _ in range(DIM)] for _ in range(n_tables * n_planes)]
 
 
 _W = _table_weights()
@@ -141,7 +190,12 @@ def _mt_proj_sql(vec: str, t: int, j: int) -> str:
     return f"({terms})"
 
 
-def _mt_signatures(df: DataFrame) -> DataFrame:
+def _mt_signatures(
+    df: DataFrame,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    weights: list[list[int]] | None = None,
+) -> DataFrame:
     """All N_TABLES bucket ids per vector in one Arrow-vectorized pass.
 
     The naive Spark form — 64 `aggregate(zip_with(...))` projections per
@@ -161,26 +215,27 @@ def _mt_signatures(df: DataFrame) -> DataFrame:
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    w = _W if weights is None else weights
     out_schema = StructType(
         list(df.schema.fields)
-        + [StructField(f"b{t}", LongType()) for t in range(N_TABLES)]
+        + [StructField(f"b{t}", LongType()) for t in range(n_tables)]
     )
-    wmat = np.array(_W, dtype=np.float64).T  # (DIM, N_TABLES*N_PLANES)
+    wmat = np.array(w, dtype=np.float64).T  # (DIM, n_tables*n_planes)
 
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(pdf), N_TABLES * N_PLANES))
+            acc = np.zeros((len(pdf), n_tables * n_planes))
             for i in range(DIM):
                 acc += V[:, i : i + 1] * wmat[i]
             bits = acc > 0
             out = {c: pdf[c] for c in pdf.columns}
-            for t in range(N_TABLES):
+            for t in range(n_tables):
                 bt = np.zeros(len(pdf), dtype=np.int64)
-                for j in range(N_PLANES):
-                    bt += bits[:, t * N_PLANES + j].astype(np.int64) << j
+                for j in range(n_planes):
+                    bt += bits[:, t * n_planes + j].astype(np.int64) << j
                 out[f"b{t}"] = bt
             yield pd.DataFrame(out)
 
@@ -256,9 +311,31 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE narrow hash-aggregate ((query_id, vec_id, cos) rows — the
     scores of duplicates are bit-identical, max() just picks the one),
     and the per-query top-k window runs over the deduped candidate
-    set. Never a cross join. Recall tracked by ann_recall_eval."""
+    set. Never a cross join. Recall tracked by ann_recall_eval; the
+    same search body runs at synthetic-sf1 scale with policy-grown
+    (T, P) in tests/test_approx.py (see lsh_planes_for)."""
     e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    buck = _mt_signatures(e.select("vec_id", "embedding"))
+    return _lsh_search(e)
+
+
+def _lsh_search(
+    e: DataFrame,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """The OR-amplified multi-probe search body, parameterized on
+    (n_tables, n_planes) so the scale recall harness can run it with
+    policy-grown constants; the registered query's defaults keep the
+    oracle-verified shape byte-identical."""
+    weights = (
+        None
+        if (n_tables, n_planes) == (N_TABLES, N_PLANES)
+        else _table_weights(n_tables, n_planes)
+    )
+    probe_xors = [0] + [1 << j for j in range(n_planes)]
+    buck = _mt_signatures(
+        e.select("vec_id", "embedding"), n_tables, n_planes, weights
+    )
     probe_pairs = F.explode(
         F.array(
             *[
@@ -266,8 +343,8 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(t).alias("t"),
                     F.col(f"b{t}").bitwiseXOR(F.lit(x)).alias("bucket"),
                 )
-                for t in range(N_TABLES)
-                for x in PROBE_XORS
+                for t in range(n_tables)
+                for x in probe_xors
             ]
         )
     )
@@ -284,7 +361,7 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[
                 F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                for t in range(N_TABLES)
+                for t in range(n_tables)
             ]
         )
     )
@@ -446,6 +523,42 @@ KMEANS_ITERS = 3
 DIST_QUANT = 1_000_000  # per-vector sq-distance quantized to micro-units
 
 
+def ivf_cells_for(n: int) -> int:
+    """Coarse-cell count grows ~ sqrt(n) (the FAISS rule of thumb),
+    anchored so policy(REGISTERED_CORPUS_N=500) = KMEANS_K = 4:
+    K(n) = sqrt(n)/5.5 -> 4 cells at 500 vectors, 26 at 20k. Per-cell
+    occupancy then also grows ~ sqrt(n), keeping both the probe fanout
+    and the per-cell scan balanced as the corpus scales."""
+    import math
+
+    return max(KMEANS_K, round(math.sqrt(n) / 5.5))
+
+
+def ivf_nprobe_for(k_cells: int) -> int:
+    """Probed-cell count holds the anchored COVERAGE fraction (3 of 4
+    cells = 75%): on THIS synthetic corpus the embeddings are
+    near-random, coarse cells carry little neighbor signal, and probe
+    coverage IS the recall ceiling — so the policy keeps it constant.
+    On a real clustered corpus nprobe/K decays (log N probes suffice
+    because true neighbors concentrate in few cells); the constant-
+    fraction rule is the honest worst-case for unstructured data."""
+    import math
+
+    return max(2, math.ceil(k_cells * REFINE_NPROBE / KMEANS_K))
+
+
+def refine_shortlist_for(n: int) -> int:
+    """ADC shortlist grows linearly in n (anchored n/10 = 50 at 500
+    vectors): a true neighbor's ADC-distance PERCENTILE is scale-free
+    (quantization noise doesn't shrink as the corpus grows), so its
+    ADC rank grows ~ n and the shortlist must track it to keep the
+    exact re-rank's recall. The two-stage economics survive: full
+    vectors are fetched for ~10% of the corpus instead of 100%, and
+    the ADC pass that produces the shortlist stays 4 lookups + 3 adds
+    per candidate."""
+    return max(10 * TOP_K, round(n / 10))
+
+
 def _sqdist_sql(vec: str, cvec: str) -> str:
     """Sequential-fold squared distance (same left-to-right order as the
     Spark zip_with/aggregate below)."""
@@ -539,14 +652,15 @@ def _kmeans_assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame
         list(e.select("vec_id", "embedding").schema.fields)
         + [StructField("k", LongType()), StructField("d", DoubleType())]
     )
-    cmat = np.array([centroids[k] for k in range(KMEANS_K)], dtype=np.float64)
+    n_cells = len(centroids)
+    cmat = np.array([centroids[k] for k in range(n_cells)], dtype=np.float64)
 
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(pdf), KMEANS_K))
+            acc = np.zeros((len(pdf), n_cells))
             for i in range(DIM):
                 diff = V[:, i : i + 1] - cmat[:, i]
                 acc += diff * diff
@@ -559,14 +673,18 @@ def _kmeans_assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame
     return e.select("vec_id", "embedding").mapInPandas(fn, out_schema)
 
 
-def _kmeans_train(e: DataFrame) -> tuple[dict[int, list[float]], DataFrame]:
+def _kmeans_train(
+    e: DataFrame, k_cells: int = KMEANS_K
+) -> tuple[dict[int, list[float]], DataFrame]:
     """Shared deterministic Lloyd's loop (see kmeans_ivf_train's
     docstring for the determinism + scale contract). Returns the
     centroids AFTER the last update (the trained coarse quantizer, ≡
     the oracle's c{KMEANS_ITERS-1} CTE) and the final assignment frame
-    (vec_id, embedding, k, d) (≡ a{KMEANS_ITERS})."""
+    (vec_id, embedding, k, d) (≡ a{KMEANS_ITERS}). `k_cells`
+    parameterized for the scale recall harness (see ivf_cells_for);
+    the registered queries use the anchored KMEANS_K default."""
     init = (
-        e.filter(F.col("vec_id") < KMEANS_K)
+        e.filter(F.col("vec_id") < k_cells)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -584,7 +702,7 @@ def _kmeans_train(e: DataFrame) -> tuple[dict[int, list[float]], DataFrame]:
                 .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
                 .collect()
             )
-            centroids = {k: [0.0] * len(centroids[0]) for k in range(KMEANS_K)}
+            centroids = {k: [0.0] * len(centroids[0]) for k in range(k_cells)}
             for r in rows:
                 centroids[int(r["k"])][int(r["dim"])] = float(r["cv"])
     return centroids, assigned
@@ -1061,7 +1179,16 @@ def _ivfpq_scored(
     and ADC-scores the probed cells' vectors. Returns the embeddings
     frame and the scored frame (query_id, vec_id, adc)."""
     e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    coarse_cents, coarse_assigned = _kmeans_train(e)
+    return e, _ivfpq_scored_frames(e, nprobe)
+
+
+def _ivfpq_scored_frames(
+    e: DataFrame, nprobe: int, k_cells: int = KMEANS_K
+) -> DataFrame:
+    """Frame-based IVF-PQ scoring, `k_cells`-parameterized for the
+    scale recall harness (ivf_cells_for); registered queries use the
+    anchored default."""
+    coarse_cents, coarse_assigned = _kmeans_train(e, k_cells)
     pq_cents, pq_assigned = _pq_train(e)
 
     cells = coarse_assigned.filter(F.col("vec_id") >= N_QUERIES).select(
@@ -1109,7 +1236,7 @@ def _ivfpq_scored(
     scored = index.join(F.broadcast(probes), F.col("cell") == F.col("qcell")).select(
         "query_id", "vec_id", adc.alias("adc")
     )
-    return e, scored
+    return scored
 
 
 @register("knn_ivfpq_adc", oracle=_ivfpq_sql(), tags=("similarity",))
@@ -1166,11 +1293,26 @@ def knn_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage ANN deployment. Exact cosine is the same sequential
     double fold as knn_brute_cosine. Recall tracked in ann_recall_eval;
     floor pinned in tests/test_approx.py."""
-    e, scored = _ivfpq_scored(spark, sf_dir, REFINE_NPROBE)
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    return _refine_search(e)
+
+
+def _refine_search(
+    e: DataFrame,
+    nprobe: int = REFINE_NPROBE,
+    shortlist_n: int = REFINE_N,
+    k_cells: int = KMEANS_K,
+) -> DataFrame:
+    """The two-stage ADC-shortlist + exact-re-rank search body,
+    parameterized on (nprobe, shortlist_n, k_cells) so the scale
+    recall harness can run it with policy-grown constants
+    (ivf_cells_for / ivf_nprobe_for / refine_shortlist_for); the
+    registered query's defaults keep the oracle-verified shape."""
+    scored = _ivfpq_scored_frames(e, nprobe, k_cells)
     ws = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     shortlist = (
         scored.withColumn("srn", F.row_number().over(ws))
-        .filter(F.col("srn") <= REFINE_N)
+        .filter(F.col("srn") <= shortlist_n)
         .select("query_id", "vec_id")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

@@ -198,3 +198,169 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
         for ep, p in ((e.est_p50, 0.5), (e.est_p90, 0.9), (e.est_p99, 0.99)):
             order_stat = v[math.ceil(p * n) - 1]
             assert abs(ep - order_stat) < QSK_W, (etype, p, ep, order_stat)
+
+
+def test_policy_anchors_reproduce_registered_constants():
+    """The index-parameter growth rules (functions of corpus size,
+    round-4 verdict #2) must reproduce the registered queries' fixed
+    constants at the correctness-gate corpus size — the policy IS the
+    source of truth, the constants its anchored evaluation."""
+    from k8s_log_etl_spark.queries import similarity as S
+
+    n0 = S.REGISTERED_CORPUS_N
+    assert S.lsh_planes_for(n0) == S.N_PLANES == 8
+    assert S.lsh_tables_for(n0) == S.N_TABLES == 8
+    assert S.ivf_cells_for(n0) == S.KMEANS_K == 4
+    assert S.ivf_nprobe_for(S.ivf_cells_for(n0)) == S.REFINE_NPROBE == 3
+    assert S.refine_shortlist_for(n0) == S.REFINE_N == 50
+    # and they genuinely GROW with the corpus
+    assert S.lsh_planes_for(20_000) > S.N_PLANES
+    assert S.lsh_tables_for(20_000) > S.N_TABLES
+    assert S.ivf_cells_for(20_000) > S.KMEANS_K
+    assert S.refine_shortlist_for(20_000) > S.REFINE_N
+    # the LSH candidate fraction SHRINKS even as tables grow
+    frac = lambda n: (  # noqa: E731
+        S.lsh_tables_for(n)
+        * (S.lsh_planes_for(n) + 1)
+        / 2 ** S.lsh_planes_for(n)
+    )
+    assert frac(20_000) < frac(n0)
+
+
+def _synth_sf1_embeddings(spark, replicas: int = 10):
+    """The synthetic-sf1 embeddings table, built exactly like
+    tools/synth_scale.py's embeddings replica rule: vec_id shifts by
+    replica*stride, each element offset by replica*1e-3 (float32), so
+    replicas are near- but not exact duplicates."""
+    src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    stride = src.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = [
+        src.withColumn("vec_id", F.col("vec_id") + F.lit(k * stride)).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x + F.lit(k * 1e-3).cast("float")),
+        )
+        for k in range(replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.repartition(32).localCheckpoint(eager=True)
+
+
+def test_ann_recall_survives_scale(spark):
+    """Round-4 verdict #2: the recall@5 >= 0.5 bar, held at sf0.01
+    with anchored constants, must hold on the synthetic-sf1 corpus
+    (20k vectors, the tools/synth_scale.py construction) with the
+    policy-GROWN parameters — P/T for the OR-amplified LSH, coarse
+    cells / nprobe / shortlist for the IVF-PQ refine — proving the
+    documented growth rules actually purchase scale-stable recall,
+    not just prose. Ground truth is an exact float64 cosine top-5
+    computed driver-side (20k x 64 = 5 MB)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    if not os.path.exists("/root/testdata/sf0.1/embeddings.parquet"):
+        pytest.skip("sf0.1 testdata not present")
+
+    from k8s_log_etl_spark.queries import similarity as S
+
+    e = _synth_sf1_embeddings(spark)
+    n = e.count()
+    assert n == 20_000
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    norms = np.linalg.norm(V, axis=1)
+    exact: dict[int, set[int]] = {}
+    for qi in range(S.N_QUERIES):
+        cos = (V @ V[qi]) / (norms * norms[qi])
+        cos[: S.N_QUERIES] = -np.inf  # corpus = vec_id >= N_QUERIES
+        top = np.argpartition(-cos, S.TOP_K)[: S.TOP_K]
+        exact[qi] = {int(ids[t]) for t in top}
+
+    planes, tables = S.lsh_planes_for(n), S.lsh_tables_for(n)
+    cells = S.ivf_cells_for(n)
+    nprobe, shortlist = S.ivf_nprobe_for(cells), S.refine_shortlist_for(n)
+
+    lsh = S._lsh_search(e, tables, planes).collect()
+    refine = S._refine_search(e, nprobe, shortlist, cells).collect()
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r_lsh, r_refine = recall(lsh), recall(refine)
+    print(f"synth-sf1 recall@5: lsh={r_lsh:.2f} (T={tables},P={planes}) "
+          f"refine={r_refine:.2f} (K={cells},nprobe={nprobe},shortlist={shortlist})")
+    assert r_lsh >= 0.5, f"LSH recall@5 {r_lsh} below bar at n={n}"
+    assert r_refine >= 0.5, f"refine recall@5 {r_refine} below bar at n={n}"
+
+
+def test_ann_recall_policy_midpoint_near_random(spark):
+    """The harder recall-vs-scale point: sf0.1's 2000 vectors keep the
+    NEAR-RANDOM neighbor structure (true top-5 sit near cos 0.3 — no
+    synthetic near-duplicates to find), so this measures what the
+    growth policy buys where recall is genuinely hard. With
+    policy(2000) = (P=10, T=18 | K=8, nprobe=6, shortlist=200):
+    measured recall@5 LSH 0.70, refine 0.92 — both ABOVE their
+    anchored sf0.01 values (0.60 / 0.78), i.e. the grown parameters
+    hold recall while the LSH candidate fraction shrinks 0.28 → 0.19
+    and the refine shortlist stays a 10% corpus fraction."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    if not os.path.exists("/root/testdata/sf0.1/embeddings.parquet"):
+        pytest.skip("sf0.1 testdata not present")
+
+    from k8s_log_etl_spark.queries import similarity as S
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n = e.count()
+    assert n == 2000
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    norms = np.linalg.norm(V, axis=1)
+    exact: dict[int, set[int]] = {}
+    for qi in range(S.N_QUERIES):
+        cos = (V @ V[qi]) / (norms * norms[qi])
+        cos[: S.N_QUERIES] = -np.inf
+        top = np.argpartition(-cos, S.TOP_K)[: S.TOP_K]
+        exact[qi] = {int(ids[t]) for t in top}
+
+    planes, tables = S.lsh_planes_for(n), S.lsh_tables_for(n)
+    cells = S.ivf_cells_for(n)
+    nprobe, shortlist = S.ivf_nprobe_for(cells), S.refine_shortlist_for(n)
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r_lsh = recall(S._lsh_search(e, tables, planes).collect())
+    r_refine = recall(S._refine_search(e, nprobe, shortlist, cells).collect())
+    print(f"sf0.1 recall@5: lsh={r_lsh:.2f} (T={tables},P={planes}) "
+          f"refine={r_refine:.2f} (K={cells},nprobe={nprobe},shortlist={shortlist})")
+    assert r_lsh >= 0.5
+    assert r_refine >= 0.5
