@@ -116,6 +116,7 @@ def load_all() -> dict[str, QuerySpec]:
     priority list), everything else after in registration order."""
     from k8s_log_etl_spark.queries import (  # noqa: F401
         dedup,
+        graph,
         llmprep,
         log_queries,
         multimodal,

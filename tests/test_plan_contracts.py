@@ -256,6 +256,15 @@ CONTRACTS = {
         ["LeftSemi", "LeftAnti", "ExistingRDD"],
         ["NestedLoop", "Window"],
     ),
+    # integer PageRank: every power iteration runs keyed join + agg
+    # behind a localCheckpoint, so the SERVING plan must be a pure
+    # projection over the materialized rank vector (Scan ExistingRDD)
+    # — re-deriving the loop per consumer would be the multi-consumer
+    # pathology round 4 eliminated elsewhere
+    "graph_pagerank_copurchase": (
+        ["ExistingRDD"],
+        ["NestedLoop", "Window", "Join", "HashAggregate"],
+    ),
 }
 
 
