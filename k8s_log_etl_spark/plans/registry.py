@@ -43,71 +43,57 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 4 rotation (executes the round-3 plan verbatim): the 43 oracled
-# queries that were registered after round 3's 50-slot window filled and
-# therefore have NO driver CORRECTNESS row yet all get slots, so after
-# this round EVERY registered query has had a green driver row in some
-# round (union of r1+r2+r3 rows + these 50). The remaining 7 slots form
-# the regression core: the log-ETL parity chain heads (normalize /
-# pipeline_events / report_summary), the corpus_clean_pipeline capstone,
-# dedup_minhash_lsh as the dedup head, and the two queries whose
-# implementation CHANGED this round for the ANN-recall lift
-# (knn_lsh_hyperplane multi-table OR-amplification, ann_recall_eval now
-# also scoring the IVF-PQ index) — a green r3 row says nothing about new
-# code. Everything rotated out keeps its r1/r2/r3 green row, is
-# unchanged since, and stays continuously covered by the full-surface
-# pytest oracle run (tests/test_oracle_parity.py runs every oracled
-# query every time).
+# Round 5 rotation (executes the round-4 verdict's plan verbatim):
+# (a) the 13 round-4 additions that registered after round 4's 50-slot
+# window and therefore have no driver row yet, plus profile_documents
+# (reworked in r4c after its r3 green row); (b) the four queries ADDED
+# in round 5 (SCD2 schema evolution, the two span-excision applies,
+# integer PageRank); (c) every query whose implementation CHANGED in
+# round 5 — dedup_cluster_components (cc_star self-pair node fix),
+# corpus_snapshot_diff (schema-union alignment), and the similarity
+# queries routed through the parameterized _lsh_search /
+# _kmeans_train / _ivfpq_scored_frames refactor (knn_lsh_hyperplane,
+# knn_ivfpq_adc, kmeans_ivf_train, ann_recall_eval; knn_ivfpq_refine
+# is already in (a)) — a green r4 row says nothing about new code;
+# (d) the standing log-ETL regression core; (e) the remaining 21
+# slots REFRESH the queries whose latest green row is oldest: all 20
+# r1-latest queries plus the alphabetically-first r2-latest
+# (agg_rollup_orders). Everything rotated out keeps its r1-r4 green
+# row, is unchanged since, and stays continuously covered by the
+# full-surface pytest oracle run (tests/test_oracle_parity.py runs
+# every oracled query every time).
 _CHECKED_FIRST = [
-    # --- never driver-checked through round 3 (43), in registration
-    #     order within family ---
-    # similarity: PQ / SQ8 / IVF-PQ index family (round-3c additions)
-    "pq_codebook_train", "knn_sq8_adc", "knn_ivfpq_adc",
-    # dedup additions
-    "dedup_edit_distance", "dedup_incremental_batch",
-    # llmprep / curation additions incl. the two capstones
-    "bpe_pair_stats", "sample_weighted_topn", "training_mix_pipeline",
-    "decontam_bloom_prescreen",
-    # warehouse ops capstone
-    "corpus_snapshot_diff",
-    # multimodal capstone
-    "multimodal_curation_pipeline", "multimodal_feature_extract",
-    # relational: remaining TPC-H shapes + window/null/set-op taxonomy
-    "q4_order_priority", "q12_late_shipments", "orders_price_percentiles",
-    "supplier_rank_dense", "nation_revenue_yoy", "part_price_outliers_mad",
-    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_orders",
-    "q21_sole_late_supplier", "q22_dormant_customers", "q8_market_share",
-    "orders_vs_peer_avg", "set_ops_multiset_orders", "parts_copurchased",
-    "orders_window_analytics", "agg_null_semantics", "join_null_safe",
-    "dq_constraint_checks", "orders_page_offset", "orders_price_range_frame",
-    "nation_top_customer_roster",
-    # events analytics additions
-    "events_markov_transitions", "events_bot_rate_flags",
-    "events_activity_streaks", "events_top_paths", "events_time_to_convert",
-    "events_weekly_seasonality",
-    # text analysis additions
-    "text_boilerplate_phrases", "text_gopher_rules", "text_zipf_slope",
-    # --- regression core + round-4-modified code (7) ---
+    # --- (a) round-4 additions without a driver row + profile_documents (14) ---
+    "dedup_semantic_cells", "contamination_spans", "join_skew_salted",
+    "events_sessionize", "minhash_estimate_quality", "dedup_keep_best",
+    "knn_ivfpq_refine", "dedup_substring_spans", "events_quantile_sketch",
+    "rag_retrieval_pipeline", "corpus_scd2_history", "corpus_scd2_as_of",
+    "q6_forecast_revenue", "profile_documents",
+    # --- (b) round-5 additions (4) ---
+    "corpus_scd2_schema_evolution", "dedup_excise_spans",
+    "decontam_excise_spans", "graph_pagerank_copurchase",
+    # --- (c) round-5 modified implementations (6) ---
+    "dedup_cluster_components", "corpus_snapshot_diff",
+    "knn_lsh_hyperplane", "knn_ivfpq_adc", "kmeans_ivf_train",
+    "ann_recall_eval",
+    # --- (d) regression core (5) ---
     "normalize", "pipeline_events", "report_summary",
     "corpus_clean_pipeline", "dedup_minhash_lsh",
-    "knn_lsh_hyperplane", "ann_recall_eval",
+    # --- (e) oldest-green refresh: all 20 r1-latest + 1 r2-latest (21) ---
+    "agg_by_service", "agg_cube_orders", "agg_distinct_customers",
+    "agg_grouping_sets", "agg_minmax_by", "agg_stats_events",
+    "dedup_events_exact", "dedup_simhash", "filter_service",
+    "join_anti_customers", "join_full_outer_nations", "join_range_binned",
+    "join_semi_customers", "parse_json", "pivot_status_by_year",
+    "scan_jsonl", "set_ops_customers", "topk_global_orders",
+    "unpivot_order_metrics", "window_lag_gap",
+    "agg_rollup_orders",
 ]
 # agg_countmin_events is sketch-only (no oracle by construction,
 # bounded against exact answers in tests/test_approx.py) — it never
-# takes a checked slot.
-# ROUND-5 ROTATION NOTE: the queries ADDED in round 4 registered
-# after the 50-slot window and have no driver row yet — give them
-# slots next round: dedup_semantic_cells, contamination_spans,
-# join_skew_salted, events_sessionize, minhash_estimate_quality,
-# dedup_keep_best, knn_ivfpq_refine, dedup_substring_spans,
-# events_quantile_sketch, rag_retrieval_pipeline, corpus_scd2_history,
-# corpus_scd2_as_of — plus profile_documents, whose implementation was
-# REWORKED in round 4c (one-pass Expand profile) after its r3 green
-# row (all green in
-# tools/drive_entry.py and tests/test_oracle_parity.py). Also re-slot
-# any query whose implementation changes in round 5, plus the standing
-# log-ETL regression core; everything else keeps its r1-r4 green row
-# and the full-surface pytest oracle run.
+# takes a checked slot. agg_approx_events likewise has no oracle (its
+# r2 CORRECTNESS row is a dead `no_oracle` artifact, not a failure —
+# the query is bounded against exact answers in tests/test_approx.py).
 
 
 def load_all() -> dict[str, QuerySpec]:
