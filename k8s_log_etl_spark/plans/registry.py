@@ -55,10 +55,9 @@ def register(
 # _kmeans_train / _ivfpq_scored_frames refactor (knn_lsh_hyperplane,
 # knn_ivfpq_adc, kmeans_ivf_train, ann_recall_eval; knn_ivfpq_refine
 # is already in (a)) — a green r4 row says nothing about new code;
-# (d) the standing log-ETL regression core; (e) the remaining 21
+# (d) the standing log-ETL regression core; (e) the remaining 20
 # slots REFRESH the queries whose latest green row is oldest: all 20
-# r1-latest queries plus the alphabetically-first r2-latest
-# (agg_rollup_orders). Everything rotated out keeps its r1-r4 green
+# r1-latest queries. Everything rotated out keeps its r1-r4 green
 # row, is unchanged since, and stays continuously covered by the
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
@@ -69,9 +68,10 @@ _CHECKED_FIRST = [
     "knn_ivfpq_refine", "dedup_substring_spans", "events_quantile_sketch",
     "rag_retrieval_pipeline", "corpus_scd2_history", "corpus_scd2_as_of",
     "q6_forecast_revenue", "profile_documents",
-    # --- (b) round-5 additions (4) ---
+    # --- (b) round-5 additions (5) ---
     "corpus_scd2_schema_evolution", "dedup_excise_spans",
     "decontam_excise_spans", "graph_pagerank_copurchase",
+    "graph_bfs_hops",
     # --- (c) round-5 modified implementations (6) ---
     "dedup_cluster_components", "corpus_snapshot_diff",
     "knn_lsh_hyperplane", "knn_ivfpq_adc", "kmeans_ivf_train",
@@ -79,7 +79,7 @@ _CHECKED_FIRST = [
     # --- (d) regression core (5) ---
     "normalize", "pipeline_events", "report_summary",
     "corpus_clean_pipeline", "dedup_minhash_lsh",
-    # --- (e) oldest-green refresh: all 20 r1-latest + 1 r2-latest (21) ---
+    # --- (e) oldest-green refresh: all 20 r1-latest (20) ---
     "agg_by_service", "agg_cube_orders", "agg_distinct_customers",
     "agg_grouping_sets", "agg_minmax_by", "agg_stats_events",
     "dedup_events_exact", "dedup_simhash", "filter_service",
@@ -87,7 +87,6 @@ _CHECKED_FIRST = [
     "join_semi_customers", "parse_json", "pivot_status_by_year",
     "scan_jsonl", "set_ops_customers", "topk_global_orders",
     "unpivot_order_metrics", "window_lag_gap",
-    "agg_rollup_orders",
 ]
 # agg_countmin_events is sketch-only (no oracle by construction,
 # bounded against exact answers in tests/test_approx.py) — it never

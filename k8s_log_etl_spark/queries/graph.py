@@ -26,6 +26,36 @@ PR_DAMP_NUM = 85    # damping 0.85 as an integer ratio
 PR_DAMP_DEN = 100
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-purchase edges (src, dst), checkpointed —
+    the shared graph behind PageRank and BFS. Pairs expand MAP-SIDE
+    from per-order sorted part lists (the parts_copurchased
+    grouped-expansion discipline, bounded by TPC-H's <= 7 lines/order)
+    — never a posting self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    per_order = po.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    # for the sorted list [p1..pk] emit every ordered pair (pi, pj), i != j
+    pair_list = F.flatten(
+        F.transform(
+            ps,
+            lambda x: F.transform(
+                F.array_remove(ps, x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        per_order.select(F.explode(pair_list).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def _pr_sql() -> str:
     """Unrolled integer PageRank: the same CTE-chain discipline as the
     k-means and PQ training oracles — r{it} computed from r{it-1} with
@@ -91,29 +121,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference surface: none (the Go reference has no joins at all);
     this extends SURVEY §2c's iterative family. PageRank itself is
     public literature (Page et al. 1999)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    per_order = po.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    ps = F.col("ps")
-    # symmetric directed pairs expanded map-side: for the sorted list
-    # [p1..pk] emit every ordered pair (pi, pj), i != j
-    pair_list = F.flatten(
-        F.transform(
-            ps,
-            lambda x: F.transform(
-                F.array_remove(ps, x),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
-    e = (
-        per_order.select(F.explode(pair_list).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     n_nodes = deg.count()  # the single driver scalar (pre-loop, like k-means)
     base = PR_Q // n_nodes
@@ -140,4 +148,85 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part"),
         "rank_q",
         F.round(F.col("rank_q") / PR_Q, 9).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded multi-source BFS (shortest hop counts)
+# ---------------------------------------------------------------------------
+
+BFS_SOURCES = 3     # the BFS_SOURCES smallest part keys in the edge set
+BFS_MAX_HOPS = 3    # bounded frontier expansion (production: diameter cap)
+
+_BFS_SQL = f"""
+WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+srcs AS (
+  SELECT src AS s FROM (SELECT DISTINCT src FROM e) ORDER BY src LIMIT {BFS_SOURCES}
+),
+walk(s, node, d) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT w.s, e.dst, w.d + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < {BFS_MAX_HOPS}
+)
+SELECT s AS source, node AS part, CAST(min(d) AS BIGINT) AS hops
+FROM walk GROUP BY s, node
+"""
+
+
+@register("graph_bfs_hops", oracle=_BFS_SQL, tags=("graph",))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the co-purchase graph: minimum
+    hop count from each of the BFS_SOURCES smallest part keys to every
+    part reachable within BFS_MAX_HOPS — the reachability/distance
+    primitive (recommendation radius, blast-radius analysis) and the
+    engine's third iterative-shape after cc_star's shrinking star
+    forest (O(log n) rounds) and PageRank's fixed power iterations:
+    here each round expands a FRONTIER and a min-aggregate folds it
+    into the label set, the textbook distributed BFS.
+
+    Integer hop counts make every step engine-exact; the oracle is a
+    recursive CTE whose UNION-dedup guarantees termination (same
+    discipline as the connected-components oracle), re-deriving the
+    same minimum over all <=BFS_MAX_HOPS walks.
+
+    Scale shape: per round ONE keyed join of the current label frame
+    onto the checkpointed edge list (src-partitionable, edges shipped
+    once on a cluster) and one (source, node) min-aggregate; frontier
+    frames are checkpointed so lineage stays flat. The hop bound caps
+    rounds at BFS_MAX_HOPS regardless of graph size; label-frame width
+    is (source, node, hop) triples — never paths."""
+    e = _copurchase_edges(spark, sf_dir)
+    srcs = (
+        e.select("src").distinct().orderBy("src").limit(BFS_SOURCES)
+    )
+    labels = srcs.select(
+        F.col("src").alias("s"), F.col("src").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = labels
+    for _ in range(BFS_MAX_HOPS):
+        steps = (
+            frontier.join(e, frontier.node == e.src)
+            .select("s", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        new_labels = (
+            labels.unionByName(steps)
+            .groupBy("s", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        # next frontier: nodes whose label changed this round (a plain
+        # anti-join on the (s, node, d) triple)
+        frontier = new_labels.join(labels, ["s", "node", "d"], "left_anti")
+        labels = new_labels
+    return labels.select(
+        F.col("s").alias("source"),
+        F.col("node").alias("part"),
+        F.col("d").cast("long").alias("hops"),
     )

@@ -265,6 +265,13 @@ CONTRACTS = {
         ["ExistingRDD"],
         ["NestedLoop", "Window", "Join", "HashAggregate"],
     ),
+    # bounded BFS: same serving discipline — every frontier round runs
+    # behind a localCheckpoint, the served frame is a projection over
+    # the materialized label set
+    "graph_bfs_hops": (
+        ["ExistingRDD"],
+        ["NestedLoop", "Window", "Join", "HashAggregate"],
+    ),
 }
 
 
