@@ -76,12 +76,19 @@ _CHECKED_FIRST = [
     "dedup_cluster_components", "corpus_snapshot_diff",
     "knn_lsh_hyperplane", "knn_ivfpq_adc", "kmeans_ivf_train",
     "ann_recall_eval",
-    # --- (d) regression core (5) ---
+    # --- (d) regression core + family representatives (7): the
+    # multimodal and sampling families have no round-5-new/modified
+    # query, but every capability family keeps a hard driver signal
+    # (tests/test_registry_order.py), so their capstone reps hold
+    # slots ---
     "normalize", "pipeline_events", "report_summary",
     "corpus_clean_pipeline", "dedup_minhash_lsh",
-    # --- (e) oldest-green refresh: all 20 r1-latest (20) ---
+    "multimodal_curation_pipeline", "sample_weighted_topn",
+    # --- (e) oldest-green refresh: 18 of the 20 r1-latest (the agg
+    # family keeps four other refreshes; minmax_by/stats_events yield
+    # their slots to the family reps above) ---
     "agg_by_service", "agg_cube_orders", "agg_distinct_customers",
-    "agg_grouping_sets", "agg_minmax_by", "agg_stats_events",
+    "agg_grouping_sets",
     "dedup_events_exact", "dedup_simhash", "filter_service",
     "join_anti_customers", "join_full_outer_nations", "join_range_binned",
     "join_semi_customers", "parse_json", "pivot_status_by_year",

@@ -8,27 +8,28 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-4 rotation: reps follow the slots. The 43 never-driver-checked
-# queries take the window (closing the round-3 verdict's top item);
-# rotated-out greens stay covered by the full pytest oracle run. The
-# streaming family's only SQL-expressible query (stream_sliding_avg,
-# r3-green, unchanged) rotates out; the family rep becomes the batch
-# events surface — streaming semantics keep their equivalence tests in
-# tests/test_streaming.py which run every time.
+# Round-5 rotation: reps follow the slots (round-4/5 additions, round-5
+# modified code, regression core, oldest-green refresh — see
+# plans/registry.py). Families whose round-4 rep rotated out name the
+# family's in-window query instead; multimodal and sampling have no
+# round-5 change, so their capstone reps hold explicit slots. The new
+# graph family (PageRank / BFS) gets a rep. Rotated-out greens stay
+# covered by the full pytest oracle run.
 FAMILY_REPRESENTATIVES = {
     "log": "pipeline_events",
     "dedup": "dedup_minhash_lsh",
     "multimodal": "multimodal_curation_pipeline",
     "knn": "knn_lsh_hyperplane",
-    "text": "text_gopher_rules",
+    "text": "decontam_excise_spans",
     "capstone": "corpus_clean_pipeline",
-    "relational": "q18_large_volume_orders",
-    "events": "events_time_to_convert",
-    "llmprep": "training_mix_pipeline",
+    "relational": "q6_forecast_revenue",
+    "events": "events_sessionize",
+    "llmprep": "rag_retrieval_pipeline",
     "sampling": "sample_weighted_topn",
     "warehouse": "corpus_snapshot_diff",
     "ann-index": "knn_ivfpq_adc",
     "ann-eval": "ann_recall_eval",
+    "graph": "graph_pagerank_copurchase",
 }
 
 
