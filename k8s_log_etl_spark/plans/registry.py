@@ -46,18 +46,20 @@ def register(
 # Round 5 rotation (executes the round-4 verdict's plan verbatim):
 # (a) the 13 round-4 additions that registered after round 4's 50-slot
 # window and therefore have no driver row yet, plus profile_documents
-# (reworked in r4c after its r3 green row); (b) the four queries ADDED
+# (reworked in r4c after its r3 green row); (b) the six queries ADDED
 # in round 5 (SCD2 schema evolution, the two span-excision applies,
-# integer PageRank); (c) every query whose implementation CHANGED in
+# integer PageRank, bounded BFS, LOCF gap fill); (c) every query whose
+# implementation CHANGED in
 # round 5 — dedup_cluster_components (cc_star self-pair node fix),
 # corpus_snapshot_diff (schema-union alignment), and the similarity
 # queries routed through the parameterized _lsh_search /
 # _kmeans_train / _ivfpq_scored_frames refactor (knn_lsh_hyperplane,
 # knn_ivfpq_adc, kmeans_ivf_train, ann_recall_eval; knn_ivfpq_refine
 # is already in (a)) — a green r4 row says nothing about new code;
-# (d) the standing log-ETL regression core; (e) the remaining 20
-# slots REFRESH the queries whose latest green row is oldest: all 20
-# r1-latest queries. Everything rotated out keeps its r1-r4 green
+# (d) the standing log-ETL regression core plus the multimodal and
+# sampling family representatives; (e) the remaining slots REFRESH
+# the queries whose latest green row is oldest (17 of the 20
+# r1-latest). Everything rotated out keeps its r1-r4 green
 # row, is unchanged since, and stays continuously covered by the
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
@@ -68,10 +70,10 @@ _CHECKED_FIRST = [
     "knn_ivfpq_refine", "dedup_substring_spans", "events_quantile_sketch",
     "rag_retrieval_pipeline", "corpus_scd2_history", "corpus_scd2_as_of",
     "q6_forecast_revenue", "profile_documents",
-    # --- (b) round-5 additions (5) ---
+    # --- (b) round-5 additions (6) ---
     "corpus_scd2_schema_evolution", "dedup_excise_spans",
     "decontam_excise_spans", "graph_pagerank_copurchase",
-    "graph_bfs_hops",
+    "graph_bfs_hops", "events_gap_fill_locf",
     # --- (c) round-5 modified implementations (6) ---
     "dedup_cluster_components", "corpus_snapshot_diff",
     "knn_lsh_hyperplane", "knn_ivfpq_adc", "kmeans_ivf_train",
@@ -84,11 +86,11 @@ _CHECKED_FIRST = [
     "normalize", "pipeline_events", "report_summary",
     "corpus_clean_pipeline", "dedup_minhash_lsh",
     "multimodal_curation_pipeline", "sample_weighted_topn",
-    # --- (e) oldest-green refresh: 18 of the 20 r1-latest (the agg
-    # family keeps four other refreshes; minmax_by/stats_events yield
-    # their slots to the family reps above) ---
+    # --- (e) oldest-green refresh: 17 of the 20 r1-latest (the agg
+    # family keeps three other refreshes; minmax_by/stats_events/
+    # grouping_sets yield their slots to the family reps and the
+    # round-5 additions above) ---
     "agg_by_service", "agg_cube_orders", "agg_distinct_customers",
-    "agg_grouping_sets",
     "dedup_events_exact", "dedup_simhash", "filter_service",
     "join_anti_customers", "join_full_outer_nations", "join_range_binned",
     "join_semi_customers", "parse_json", "pivot_status_by_year",

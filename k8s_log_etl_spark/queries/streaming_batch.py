@@ -149,6 +149,94 @@ def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-series LOCF gap fill (forward-fill densification)
+# ---------------------------------------------------------------------------
+
+_LOCF_SQL = """
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS lo,
+         time_bucket(INTERVAL 1 HOUR, max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, h.hour_start
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds) h
+),
+actual AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+         count(*) AS n, round(avg(value), 6) AS avg_v
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.hour_start,
+       coalesce(a.n, 0) AS n_events,
+       last_value(a.avg_v IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_filled,
+       a.n IS NULL AS is_gap
+FROM spine s LEFT JOIN actual a
+  ON a.event_type = s.event_type AND a.hour_start = s.hour_start
+"""
+
+
+@register("events_gap_fill_locf", oracle=_LOCF_SQL, tags=("streaming", "temporal"))
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series forward-fill (last observation carried forward): the
+    hourly spine per event_type, with empty hours carrying the most
+    recent observed hourly average instead of resample's zeros — the
+    densification dashboards and feature pipelines actually serve
+    (a sensor that went quiet keeps its last reading; hours before the
+    first observation stay NULL). Complements events_resample_1h
+    (zero-fill) with the second standard gap policy.
+
+    Plan shape: one hourly hash-aggregate (the only real shuffle); the
+    spine is |event_types| x |hours| — both bounded dimensions, built
+    broadcast-side, so the left join never shuffles the aggregate
+    side at fixture scale and stays keyed at any scale; the LOCF
+    itself is ONE window per series key with a running last(ignore
+    nulls) over a ROWS frame — at 100 TB the window partitions on the
+    series key (here event_type; a high-cardinality deployment
+    partitions per sensor/entity), so per-partition state is one
+    series' hours and the sort is local."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    # both spine dimensions are bounded (|types| x |hours|) — an
+    # explicit broadcast densification, not a data-sized cross join
+    spine = types.crossJoin(F.broadcast(hours))
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_filled"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # funnel analysis (event-sequence detection)
 # ---------------------------------------------------------------------------
 

@@ -272,6 +272,14 @@ CONTRACTS = {
         ["ExistingRDD"],
         ["NestedLoop", "Window", "Join", "HashAggregate"],
     ),
+    # LOCF gap fill: the spine is an explicit broadcast densification
+    # (bounded |types| x |hours| — BroadcastNestedLoopJoin, never a
+    # shuffle cartesian), the forward fill is ONE window over a ROWS
+    # frame partitioned on the series key
+    "events_gap_fill_locf": (
+        ["BroadcastNestedLoopJoin", "Window"],
+        ["CartesianProduct"],
+    ),
 }
 
 
