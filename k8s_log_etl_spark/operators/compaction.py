@@ -115,24 +115,34 @@ def compact_partitions(
     recover_compaction(path)
     done = 0
     for entry in partitions:
-        pdir = os.path.join(path, entry)
-        tmp = os.path.join(path, f"_compact_tmp_{entry}")
-        old = os.path.join(path, f"_compact_old_{entry}")
-        (
-            spark.read.parquet(pdir)
-            .repartition(target_files)
-            .write.mode("overwrite")
-            .parquet(tmp)
+        swap_rewrite(
+            spark.read.parquet(os.path.join(path, entry)).repartition(target_files),
+            path,
+            entry,
         )
-        os.rename(pdir, old)
-        os.rename(tmp, pdir)
-        shutil.rmtree(old)
-        # Spark leaves a _SUCCESS marker; it served as the rewrite-
-        # complete proof during the swap — drop it now so the partition
-        # dir contains only data files like the writer's own
-        # dynamic-overwrite output.
-        marker = os.path.join(pdir, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
         done += 1
     return done
+
+
+def swap_rewrite(df, path: str, entry: str) -> None:
+    """Write `df` as partition `entry`'s new file set through the
+    crash-safe tmp/old rename swap (the protocol recover_compaction
+    repairs): tmp write → rename live→old → rename tmp→live → delete
+    old. Shared by compaction (content-identical rewrite) and forget
+    (keyed-delete rewrite) — any caller that crashes mid-swap is
+    repaired by the next recover_compaction pass because the sidecar
+    names and the `_SUCCESS` completeness proof are identical."""
+    pdir = os.path.join(path, entry)
+    tmp = os.path.join(path, f"_compact_tmp_{entry}")
+    old = os.path.join(path, f"_compact_old_{entry}")
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(pdir, old)
+    os.rename(tmp, pdir)
+    shutil.rmtree(old)
+    # Spark leaves a _SUCCESS marker; it served as the rewrite-
+    # complete proof during the swap — drop it now so the partition
+    # dir contains only data files like the writer's own
+    # dynamic-overwrite output.
+    marker = os.path.join(pdir, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)

@@ -1,0 +1,140 @@
+"""Keyed delete propagation (operators/forget.py): only partitions
+containing forget keys are rewritten, deletions are exact, untouched
+partitions stay byte-identical, the pass is idempotent, and a crash
+mid-swap is repaired by the shared recover_compaction protocol."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.operators import forget as FG
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _file_hashes(base):
+    out = {}
+    for entry in os.listdir(base):
+        if not entry.startswith("source="):
+            continue
+        for fn in os.listdir(os.path.join(base, entry)):
+            p = os.path.join(base, entry, fn)
+            out[f"{entry}/{fn}"] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_forget_rewrites_only_affected_partitions(spark, tmp_path):
+    if not os.path.exists(os.path.join(SF_DIR, "documents.parquet")):
+        pytest.skip("sf0.1 testdata not present")
+    base = str(tmp_path / "corpus")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.write.partitionBy("source").parquet(base)
+
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    assert len(sources) >= 3
+    hit, spared = sources[0], sources[1]
+
+    # forget keys: every 5th doc of the hit source (a partial delete)
+    keys = (
+        docs.filter((F.col("source") == hit) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id")
+    )
+    n_keys = keys.count()
+    assert n_keys > 0
+    before_hashes = _file_hashes(base)
+    before_total = spark.read.parquet(base).count()
+
+    todo = FG.plan_forget(spark, base, "source", keys, "doc_id")
+    assert todo == [f"source={hit}"]
+
+    done = FG.apply_forget(spark, base, "source", keys, "doc_id")
+    assert done == {"partitions": 1, "rows_deleted": n_keys}
+
+    after = spark.read.parquet(base)
+    assert after.count() == before_total - n_keys
+    assert after.join(keys, "doc_id", "leftsemi").count() == 0
+    # spared partitions byte-identical
+    after_hashes = _file_hashes(base)
+    untouched = {k: v for k, v in before_hashes.items() if not k.startswith(f"source={hit}/")}
+    assert {k: v for k, v in after_hashes.items() if k in untouched} == untouched
+    # surviving rows of the hit partition are intact
+    hit_left = after.filter(F.col("source") == hit).count()
+    assert hit_left == docs.filter(
+        (F.col("source") == hit) & (F.col("doc_id") % 5 != 0)
+    ).count()
+    # no swap sidecars or markers left behind
+    assert not [e for e in os.listdir(base) if e.startswith("_compact_")]
+    assert not os.path.exists(os.path.join(base, f"source={hit}", "_SUCCESS"))
+
+    # idempotent: nothing left to do
+    assert FG.plan_forget(spark, base, "source", keys, "doc_id") == []
+    assert FG.apply_forget(spark, base, "source", keys, "doc_id") == {
+        "partitions": 0,
+        "rows_deleted": 0,
+    }
+    # the spared partition still serves its full row count
+    assert after.filter(F.col("source") == spared).count() == docs.filter(
+        F.col("source") == spared
+    ).count()
+
+
+def test_forget_crash_midswap_recovers(spark, tmp_path):
+    """A forget interrupted between the two renames (live dir missing,
+    old present, tmp carrying the _SUCCESS completeness proof) must
+    roll FORWARD on the next pass — the deletion that provably
+    completed sticks, and the pass finishes with nothing to do."""
+    if not os.path.exists(os.path.join(SF_DIR, "documents.parquet")):
+        pytest.skip("sf0.1 testdata not present")
+    base = str(tmp_path / "corpus")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.write.partitionBy("source").parquet(base)
+    hit = sorted(r["source"] for r in docs.select("source").distinct().collect())[0]
+    keys = (
+        docs.filter((F.col("source") == hit) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id")
+    )
+    n_keys = keys.count()
+
+    entry = f"source={hit}"
+    pdir = os.path.join(base, entry)
+    tmp = os.path.join(base, f"_compact_tmp_{entry}")
+    old = os.path.join(base, f"_compact_old_{entry}")
+    # manufacture the crash state: completed tmp rewrite, live renamed
+    # away, process died before tmp -> live
+    kept = spark.read.parquet(pdir).join(F.broadcast(keys), "doc_id", "left_anti")
+    kept.write.parquet(tmp)
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    os.rename(pdir, old)
+
+    done = FG.apply_forget(spark, base, "source", keys, "doc_id")
+    # recovery rolled the completed rewrite forward; the plan then saw
+    # a store already clean of the keys
+    assert done == {"partitions": 0, "rows_deleted": 0}
+    assert os.path.exists(pdir) and not os.path.exists(old) and not os.path.exists(tmp)
+    assert not os.path.exists(os.path.join(pdir, "_SUCCESS"))
+    store = spark.read.parquet(base)
+    assert store.join(keys, "doc_id", "leftsemi").count() == 0
+    assert store.filter(F.col("source") == hit).count() == docs.filter(
+        (F.col("source") == hit) & (F.col("doc_id") % 5 != 0)
+    ).count()
+
+
+def test_forget_entire_partition(spark, tmp_path):
+    """Forgetting every key of a partition leaves it empty (schema-
+    readable), not broken."""
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, p string, v long"
+    )
+    df.write.partitionBy("p").parquet(base)
+    keys = spark.createDataFrame([(1,), (2,)], "id long")
+    done = FG.apply_forget(spark, base, "p", keys, "id")
+    assert done == {"partitions": 1, "rows_deleted": 2}
+    store = spark.read.parquet(base)
+    assert [tuple(r) for r in store.orderBy("id").select("id", "p", "v").collect()] == [
+        (3, "b", 30)
+    ]
