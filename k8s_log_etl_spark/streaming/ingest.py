@@ -159,3 +159,42 @@ def compact_ingest_output(
             spark, path, "ingest_batch", todo, target_files
         )
     return done
+
+
+def forget_ingested(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    doc_ids: DataFrame,
+) -> dict[str, int]:
+    """Right-to-be-forgotten over the ingest pair (corpus + digest
+    index): remove the named documents from the corpus AND their
+    digests from the index, each via operators.forget's partition-
+    bounded crash-safe rewrite. Removing the digest matters for
+    SEMANTICS, not just hygiene — erasure is not a tombstone: if the
+    digest stayed indexed, byte-identical content could never
+    legitimately re-enter the corpus (the anti-join would silently
+    drop it forever). After this pass, re-ingesting the same text
+    lands again as a fresh document (tests/test_forget.py pins the
+    round trip).
+
+    Scale shape: one semi-join fetches the victims' digests (keyed on
+    doc_id, broadcast key frame), then two independent partition-
+    bounded forget passes; nothing touches unaffected batches."""
+    from k8s_log_etl_spark.operators.forget import apply_forget
+
+    kd = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    digests = (
+        spark.read.parquet(corpus_dir)
+        .join(F.broadcast(kd), "doc_id", "leftsemi")
+        .select("digest")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    c = apply_forget(spark, corpus_dir, "ingest_batch", kd, "doc_id")
+    i = apply_forget(spark, index_dir, "ingest_batch", digests, "digest")
+    return {
+        "corpus_rows_deleted": c["rows_deleted"],
+        "index_rows_deleted": i["rows_deleted"],
+        "partitions_rewritten": c["partitions"] + i["partitions"],
+    }

@@ -138,3 +138,44 @@ def test_forget_entire_partition(spark, tmp_path):
     assert [tuple(r) for r in store.orderBy("id").select("id", "p", "v").collect()] == [
         (3, "b", 30)
     ]
+
+
+def test_forget_ingested_erasure_allows_reingest(spark, tmp_path):
+    """The corpus+index pair: forgetting a document removes its rows
+    from BOTH stores, and — the semantic point — byte-identical
+    content can then legitimately re-enter (erasure, not tombstone)."""
+    from k8s_log_etl_spark.streaming import ingest as IN
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    LONG = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = [(1, LONG + " alpha"), (2, LONG + " beta")]
+    IN.ingest_batch(spark, spark.createDataFrame(b0, "doc_id long, text string"), 0, corpus, index)
+    assert spark.read.parquet(corpus).count() == 2
+
+    done = IN.forget_ingested(
+        spark, corpus, index, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert done["corpus_rows_deleted"] == 1
+    assert done["index_rows_deleted"] == 1
+    left = spark.read.parquet(corpus)
+    assert [r["doc_id"] for r in left.collect()] == [2]
+    assert spark.read.parquet(index).count() == 1
+
+    # identical content re-ingests as a fresh document (would be
+    # silently suppressed forever if the digest had stayed indexed)
+    IN.ingest_batch(
+        spark,
+        spark.createDataFrame([(9, LONG + " alpha")], "doc_id long, text string"),
+        1, corpus, index,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {2, 9}
+    assert spark.read.parquet(index).count() == 2
+    # while a still-indexed duplicate stays suppressed
+    IN.ingest_batch(
+        spark,
+        spark.createDataFrame([(10, LONG + " beta")], "doc_id long, text string"),
+        2, corpus, index,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {2, 9}
