@@ -46,10 +46,11 @@ def register(
 # Round 5 rotation (executes the round-4 verdict's plan verbatim):
 # (a) the 13 round-4 additions that registered after round 4's 50-slot
 # window and therefore have no driver row yet, plus profile_documents
-# (reworked in r4c after its r3 green row); (b) the six queries ADDED
-# in round 5 (SCD2 schema evolution, the two span-excision applies,
-# integer PageRank, bounded BFS, LOCF gap fill); (c) every query whose
-# implementation CHANGED in
+# (reworked in r4c after its r3 green row); (b) the eight queries
+# ADDED in round 5 (SCD2 schema evolution, the two span-excision
+# applies, integer PageRank, bounded BFS, LOCF gap fill, the
+# fact-to-SCD2 temporal dimension join, prefix-filtered exact
+# jaccard); (c) every query whose implementation CHANGED in
 # round 5 — dedup_cluster_components (cc_star self-pair node fix),
 # corpus_snapshot_diff (schema-union alignment), and the similarity
 # queries routed through the parameterized _lsh_search /
@@ -58,7 +59,7 @@ def register(
 # is already in (a)) — a green r4 row says nothing about new code;
 # (d) the standing log-ETL regression core plus the multimodal and
 # sampling family representatives; (e) the remaining slots REFRESH
-# the queries whose latest green row is oldest (17 of the 20
+# the queries whose latest green row is oldest (15 of the 20
 # r1-latest). Everything rotated out keeps its r1-r4 green
 # row, is unchanged since, and stays continuously covered by the
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
@@ -70,10 +71,11 @@ _CHECKED_FIRST = [
     "knn_ivfpq_refine", "dedup_substring_spans", "events_quantile_sketch",
     "rag_retrieval_pipeline", "corpus_scd2_history", "corpus_scd2_as_of",
     "q6_forecast_revenue", "profile_documents",
-    # --- (b) round-5 additions (6) ---
+    # --- (b) round-5 additions (8) ---
     "corpus_scd2_schema_evolution", "dedup_excise_spans",
     "decontam_excise_spans", "graph_pagerank_copurchase",
     "graph_bfs_hops", "events_gap_fill_locf",
+    "join_scd2_dimension", "dedup_prefix_filter_jaccard",
     # --- (c) round-5 modified implementations (6) ---
     "dedup_cluster_components", "corpus_snapshot_diff",
     "knn_lsh_hyperplane", "knn_ivfpq_adc", "kmeans_ivf_train",
@@ -86,11 +88,11 @@ _CHECKED_FIRST = [
     "normalize", "pipeline_events", "report_summary",
     "corpus_clean_pipeline", "dedup_minhash_lsh",
     "multimodal_curation_pipeline", "sample_weighted_topn",
-    # --- (e) oldest-green refresh: 17 of the 20 r1-latest (the agg
-    # family keeps three other refreshes; minmax_by/stats_events/
-    # grouping_sets yield their slots to the family reps and the
-    # round-5 additions above) ---
-    "agg_by_service", "agg_cube_orders", "agg_distinct_customers",
+    # --- (e) oldest-green refresh: 15 of the 20 r1-latest (the five
+    # agg_* refreshes yield their slots to the family reps and the
+    # round-5 additions above — the agg family's r1 rows stay covered
+    # by the full-surface pytest oracle run) ---
+    "agg_distinct_customers",
     "dedup_events_exact", "dedup_simhash", "filter_service",
     "join_anti_customers", "join_full_outer_nations", "join_range_binned",
     "join_semi_customers", "parse_json", "pivot_status_by_year",

@@ -1249,3 +1249,88 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words_removed",
         "n_spans",
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix filtering: EXACT jaccard join, sub-quadratic
+# ---------------------------------------------------------------------------
+
+_PREFIX_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON da = sa.doc_id
+JOIN sizes sb ON db = sb.doc_id
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_prefix_filter_jaccard", oracle=_PREFIX_JACCARD_SQL, tags=("dedup",))
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold-Jaccard join via prefix filtering (the
+    PPJoin/AllPairs family, Xiao et al. 2008 / Bayardo et al. 2007 —
+    public literature): order every document's shingles by GLOBAL
+    document frequency (rarest first, ties on the shingle string) and
+    index only each document's first |x| - ceil(t*|x|) + 1 shingles —
+    any pair with J >= t provably shares a token inside BOTH prefixes,
+    so the prefix-posting self-join generates a complete candidate set
+    and the exact verification loses nothing. Unlike
+    dedup_ngram_jaccard's POSTING_CAP (which DROPS hot shingles —
+    lossy by contract), prefix filtering is the LOSSLESS sub-quadratic
+    path: hot boilerplate shingles sort to the ends of documents and
+    fall out of the prefixes naturally, so the oracle is the full
+    uncapped self-join and the result is the exact answer.
+
+    Scale shape: one shuffle computes global shingle frequencies, one
+    window per doc ranks shingles (partitioned on doc_id — per-doc
+    state only), the candidate join touches PREFIX postings only
+    ((1-t)|x|+1 per doc — at t=0.5, half the posting volume, and the
+    hottest tokens excluded), and verification joins full shingle
+    sets for CANDIDATE pairs only, keyed on doc id. The candidate
+    ordering lives entirely Spark-side — only completeness matters,
+    so no cross-engine ordering contract is needed."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("s"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    plen = F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rn") <= plen).select("doc_id", "s")
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "s")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("da"), F.col("pb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    common = (
+        cand.join(a, "da").join(b, ["db", "s"]).groupBy("da", "db").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    jac = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
+    return (
+        common.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

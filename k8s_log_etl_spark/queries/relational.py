@@ -2517,3 +2517,98 @@ def nation_top_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("roster"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fact-to-SCD2-dimension temporal join (price-in-effect revenue)
+# ---------------------------------------------------------------------------
+
+SCD2_DIM_CUTOFF = "1998-01-01"   # every 3rd part re-prices here (+10%)
+SCD2_DIM_MIN = "1990-01-01"
+SCD2_DIM_OPEN = "9999-01-01"
+
+_SCD2_DIM_SQL = f"""
+WITH cents AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS c0
+  FROM part
+),
+dim AS (
+  SELECT p_partkey, c0 AS price_cents,
+         TIMESTAMP '{SCD2_DIM_MIN}' AS valid_from,
+         CASE WHEN p_partkey % 3 = 0 THEN TIMESTAMP '{SCD2_DIM_CUTOFF}'
+              ELSE TIMESTAMP '{SCD2_DIM_OPEN}' END AS valid_to
+  FROM cents
+  UNION ALL
+  SELECT p_partkey, (c0 * 110) // 100,
+         TIMESTAMP '{SCD2_DIM_CUTOFF}', TIMESTAMP '{SCD2_DIM_OPEN}'
+  FROM cents WHERE p_partkey % 3 = 0
+)
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l.l_quantity) AS BIGINT) * d.price_cents) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN dim d ON d.p_partkey = l.l_partkey
+          AND d.valid_from <= l.l_shipdate AND l.l_shipdate < d.valid_to
+GROUP BY 1
+"""
+
+
+@register("join_scd2_dimension", oracle=_SCD2_DIM_SQL, tags=("join", "warehouse"))
+def join_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse temporal join the SCD2 fold exists to serve: each
+    fact row (lineitem) joins the dimension VERSION valid at its event
+    time — revenue priced at the price in effect on the ship date,
+    across a deterministic two-version dimension (every 3rd part
+    re-prices +10% at the cutoff). Distinct from join_asof (nearest
+    previous event) and corpus_scd2_as_of (one global AS-OF instant):
+    here every fact row carries its own AS-OF point.
+
+    Exactness: prices in integer cents ((c*110) div 100 for the new
+    version), quantities floored to BIGINT, revenue an exact integer
+    sum — both engines bit-identical.
+
+    Scale shape: a keyed equi-join on partkey with the validity
+    interval as a post-join filter — per fact row the join fans out to
+    that key's VERSION COUNT (bounded by re-price frequency, ~2 here),
+    then the filter keeps exactly one; the classic fact-to-dimension
+    temporal join plan (at 100 TB the dim side is orders of magnitude
+    smaller and broadcast or shuffled keyed — never a range
+    cross-product). One hash-aggregate on ship_year afterwards."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    c0 = F.round(F.col("p_retailprice") * 100).cast("long")
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    base = p.select(
+        "p_partkey",
+        c0.alias("price_cents"),
+        ts(SCD2_DIM_MIN).alias("valid_from"),
+        F.when(F.col("p_partkey") % 3 == 0, ts(SCD2_DIM_CUTOFF))
+        .otherwise(ts(SCD2_DIM_OPEN))
+        .alias("valid_to"),
+    )
+    reprices = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey",
+            F.expr(
+                "CAST(CAST(round(p_retailprice * 100) AS BIGINT) * 110 div 100 AS BIGINT)"
+            ).alias("price_cents"),
+            ts(SCD2_DIM_CUTOFF).alias("valid_from"),
+            ts(SCD2_DIM_OPEN).alias("valid_to"),
+        )
+    )
+    dim = base.unionByName(reprices)
+    j = (
+        li.select("l_partkey", "l_shipdate", "l_quantity")
+        .join(dim, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("valid_from") <= F.col("l_shipdate"))
+            & (F.col("l_shipdate") < F.col("valid_to"))
+        )
+    )
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    return j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(qty * F.col("price_cents")).alias("revenue_cents"),
+    )

@@ -280,6 +280,16 @@ CONTRACTS = {
         ["BroadcastNestedLoopJoin", "Window"],
         ["CartesianProduct"],
     ),
+    # fact-to-SCD2-dimension temporal join: keyed equi-join with the
+    # validity interval as a post-join filter + one year hash-agg —
+    # never a range cross-product, no window
+    "join_scd2_dimension": (["HashAggregate"], ["NestedLoop", "Window"]),
+    # prefix-filtered exact jaccard: per-doc ranking window over the
+    # CHECKPOINTED shingle frame; candidate + verify joins all keyed
+    "dedup_prefix_filter_jaccard": (
+        ["Window", "ExistingRDD"],
+        ["NestedLoop"],
+    ),
 }
 
 
