@@ -189,3 +189,51 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_bfs_hand_computable_graph(spark, monkeypatch):
+    """Hand-checkable BFS semantics on a tiny path-plus-island graph:
+    min hop counts, the hop cap, and unreachable nodes absent."""
+    from k8s_log_etl_spark.queries import graph as G
+
+    # path 1-2-3-4-5-6, island 7-8; sources = 2 smallest = {1, 2}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (7, 8)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src long, dst long").localCheckpoint()
+    monkeypatch.setattr(G, "_copurchase_edges", lambda spark, sf_dir: e)
+    monkeypatch.setattr(G, "BFS_SOURCES", 2)
+    got = {
+        (r["source"], r["part"]): r["hops"]
+        for r in G.graph_bfs_hops(spark, "unused").collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,          # capped at 3 hops
+        (2, 1): 1, (2, 2): 0, (2, 3): 1, (2, 4): 2, (2, 5): 3,
+    }  # island nodes 7/8 unreachable from both sources; 5/6 beyond 1's cap
+
+
+def test_pagerank_hand_computable_star(spark, monkeypatch):
+    """Integer PageRank on a 3-leaf star (center 1, leaves 2-4): the
+    leaves are symmetric, so the exact Q-unit recurrence is two
+    scalars computable by hand — center absorbs all three leaf ranks
+    whole, each leaf gets a third of the center's — and the center
+    must outrank the leaves."""
+    from k8s_log_etl_spark.queries import graph as G
+
+    edges = [(1, 2), (1, 3), (1, 4)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src long, dst long").localCheckpoint()
+    monkeypatch.setattr(G, "_copurchase_edges", lambda spark, sf_dir: e)
+    rows = {r["part"]: r["rank_q"] for r in
+            G.graph_pagerank_copurchase(spark, "unused").collect()}
+    # replicate the integer recurrence exactly: center deg 3, leaf deg 1
+    base = G.PR_Q // 4
+    tele = (15 * base) // G.PR_DAMP_DEN
+    rc = rl = base
+    for _ in range(G.PR_ITERS):
+        rc, rl = (
+            tele + (85 * (3 * (rl // 1))) // 100,   # center: 3 whole leaf ranks
+            tele + (85 * (rc // 3)) // 100,         # leaf: a third of the center
+        )
+    assert rows == {1: rc, 2: rl, 3: rl, 4: rl}
+    assert rows[1] > rows[2]  # hub outranks leaves

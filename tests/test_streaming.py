@@ -663,3 +663,39 @@ def test_range_quantiles_merge_across_hours_equals_batch(spark, tmp_path):
     assert (g.n_events, g.est_p50, g.est_p90, g.est_p99) == (
         w.n_events, w.est_p50, w.est_p90, w.est_p99)
     assert g.n_events == 5   # hour-11 events excluded by the range
+
+
+def test_locf_gap_fill_hand_computable(spark, monkeypatch):
+    """Hand-checkable LOCF semantics on a 4-hour spine with two series:
+    'a' observed hours 0 and 2 (hour 1 and 3 carry hour-forward fills),
+    'b' first observed hour 2 (hours 0-1 stay NULL — nothing to carry
+    before the first observation)."""
+    from k8s_log_etl_spark.queries import streaming_batch as SB
+
+    rows = [
+        ("2024-01-01 00:30:00", "a", 10.0),
+        ("2024-01-01 02:30:00", "a", 30.0),
+        ("2024-01-01 02:10:00", "b", 7.0),
+        ("2024-01-01 03:20:00", "b", 9.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    monkeypatch.setattr(SB, "load_table", lambda spark, sf_dir, name: ev)
+    got = {
+        (r["event_type"], str(r["hour_start"])): (
+            r["n_events"], r["avg_value_filled"], r["is_gap"]
+        )
+        for r in SB.events_gap_fill_locf(spark, "unused").collect()
+    }
+    h = lambda i: f"2024-01-01 0{i}:00:00"  # noqa: E731
+    assert got == {
+        ("a", h(0)): (1, 10.0, False),
+        ("a", h(1)): (0, 10.0, True),    # carried forward
+        ("a", h(2)): (1, 30.0, False),
+        ("a", h(3)): (0, 30.0, True),    # carried forward
+        ("b", h(0)): (0, None, True),    # before first observation: NULL
+        ("b", h(1)): (0, None, True),
+        ("b", h(2)): (1, 7.0, False),
+        ("b", h(3)): (1, 9.0, False),
+    }
