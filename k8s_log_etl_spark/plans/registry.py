@@ -46,11 +46,13 @@ def register(
 # Round 5 rotation (executes the round-4 verdict's plan verbatim):
 # (a) the 13 round-4 additions that registered after round 4's 50-slot
 # window and therefore have no driver row yet, plus profile_documents
-# (reworked in r4c after its r3 green row); (b) the eight queries
+# (reworked in r4c after its r3 green row); (b) the thirteen queries
 # ADDED in round 5 (SCD2 schema evolution, the two span-excision
 # applies, integer PageRank, bounded BFS, LOCF gap fill, the
-# fact-to-SCD2 temporal dimension join, prefix-filtered exact
-# jaccard); (c) every query whose implementation CHANGED in
+# fact-to-SCD2 temporal dimension join, prefix-filtered exact jaccard,
+# and the five shapes completing TPC-H's 22 — Q2/Q9/Q11/Q16/Q20 on the
+# derived supplier-part catalog); (c) every query whose
+# implementation CHANGED in
 # round 5 — dedup_cluster_components (cc_star self-pair node fix),
 # corpus_snapshot_diff (schema-union alignment), and the similarity
 # queries routed through the parameterized _lsh_search /
@@ -59,7 +61,7 @@ def register(
 # is already in (a)) — a green r4 row says nothing about new code;
 # (d) the standing log-ETL regression core plus the multimodal and
 # sampling family representatives; (e) the remaining slots REFRESH
-# the queries whose latest green row is oldest (15 of the 20
+# the queries whose latest green row is oldest (10 of the 20
 # r1-latest). Everything rotated out keeps its r1-r4 green
 # row, is unchanged since, and stays continuously covered by the
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
@@ -71,11 +73,13 @@ _CHECKED_FIRST = [
     "knn_ivfpq_refine", "dedup_substring_spans", "events_quantile_sketch",
     "rag_retrieval_pipeline", "corpus_scd2_history", "corpus_scd2_as_of",
     "q6_forecast_revenue", "profile_documents",
-    # --- (b) round-5 additions (8) ---
+    # --- (b) round-5 additions (13) ---
     "corpus_scd2_schema_evolution", "dedup_excise_spans",
     "decontam_excise_spans", "graph_pagerank_copurchase",
     "graph_bfs_hops", "events_gap_fill_locf",
     "join_scd2_dimension", "dedup_prefix_filter_jaccard",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_counts", "q20_recent_demand_suppliers",
     # --- (c) round-5 modified implementations (6) ---
     "dedup_cluster_components", "corpus_snapshot_diff",
     "knn_lsh_hyperplane", "knn_ivfpq_adc", "kmeans_ivf_train",
@@ -88,15 +92,14 @@ _CHECKED_FIRST = [
     "normalize", "pipeline_events", "report_summary",
     "corpus_clean_pipeline", "dedup_minhash_lsh",
     "multimodal_curation_pipeline", "sample_weighted_topn",
-    # --- (e) oldest-green refresh: 15 of the 20 r1-latest (the five
-    # agg_* refreshes yield their slots to the family reps and the
-    # round-5 additions above — the agg family's r1 rows stay covered
-    # by the full-surface pytest oracle run) ---
+    # --- (e) oldest-green refresh: 10 of the 20 r1-latest (the agg_*,
+    # join-variant and set-op refreshes yield their slots to the
+    # family reps and round-5 additions above — every rotated-out r1
+    # row stays covered by the full-surface pytest oracle run) ---
     "agg_distinct_customers",
     "dedup_events_exact", "dedup_simhash", "filter_service",
-    "join_anti_customers", "join_full_outer_nations", "join_range_binned",
-    "join_semi_customers", "parse_json", "pivot_status_by_year",
-    "scan_jsonl", "set_ops_customers", "topk_global_orders",
+    "join_range_binned", "parse_json",
+    "scan_jsonl", "topk_global_orders",
     "unpivot_order_metrics", "window_lag_gap",
 ]
 # agg_countmin_events is sketch-only (no oracle by construction,

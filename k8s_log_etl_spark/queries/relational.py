@@ -2612,3 +2612,329 @@ def join_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(qty * F.col("price_cents")).alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the five remaining TPC-H shapes (Q2/Q9/Q11/Q16/Q20), completed on a
+# DERIVED supplier-part catalog: the driver provisions no partsupp
+# table, so ps_supplycost / ps_availqty are derived deterministically
+# from lineitem (min unit price in integer cents; total shipped
+# quantity) — the SHAPES (correlated-min subquery, profit expression,
+# HAVING-vs-scalar-subquery, NOT IN + count distinct, doubly-nested IN
+# with a correlated aggregate threshold) are the point, and the
+# integer-cents units keep every comparison engine-exact.
+# ---------------------------------------------------------------------------
+
+_SPCAT_SQL = """spcat AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)
+             // CAST(floor(l_quantity) AS BIGINT)) AS ps_supplycost_cents,
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)"""
+
+
+def _spcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived supplier-part catalog (== the oracle's spcat CTE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("ec"),
+            F.floor("l_quantity").cast("long").alias("q"),
+        )
+        .withColumn("unit", F.expr("ec div q"))
+        .groupBy("ps_partkey", "ps_suppkey")
+        .agg(
+            F.min("unit").alias("ps_supplycost_cents"),
+            F.sum("q").alias("ps_availqty"),
+        )
+    )
+
+
+Q2_SIZE = 15
+Q2_TYPE = "SMALL"
+Q2_REGION = "ASIA"
+
+_Q2_SQL = f"""
+WITH {_SPCAT_SQL},
+rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+),
+rcat AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_cents, rs.s_name, rs.s_acctbal, rs.n_name
+  FROM spcat ps JOIN rs ON ps.ps_suppkey = rs.s_suppkey
+)
+SELECT r.s_acctbal, r.s_name, r.n_name, p.p_partkey, r.ps_supplycost_cents AS cost_cents
+FROM part p JOIN rcat r ON p.p_partkey = r.ps_partkey
+WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}'
+  AND r.ps_supplycost_cents = (
+    SELECT min(r2.ps_supplycost_cents) FROM rcat r2
+    WHERE r2.ps_partkey = p.p_partkey)
+ORDER BY r.s_acctbal DESC, r.n_name, r.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_SQL, tags=("join", "subquery"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for parts of one size/type, the supplier(s)
+    achieving the MINIMUM regional supply cost — the classic
+    correlated-min-equality subquery over a 4-way dim join. The oracle
+    keeps the literal correlated subquery; the Spark plan decorrelates
+    it the way Catalyst's rewrite would: a per-part min window over the
+    regional catalog, then an equality filter — one extra window over
+    a frame already partitioned by part, no second scan of the
+    catalog. LIMIT rides a fully tie-broken ORDER BY
+    (TakeOrderedAndProject, no global sort)."""
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rs = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r.filter(F.col("r_name") == Q2_REGION), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rcat = _spcat(spark, sf_dir).join(
+        F.broadcast(rs), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = rcat.withColumn(
+        "min_cost", F.min("ps_supplycost_cents").over(w)
+    ).filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+    return (
+        p.filter((F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE))
+        .join(best, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("ps_supplycost_cents").alias("cost_cents"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q9_TOKEN = "red"
+
+_Q9_SQL = f"""
+WITH {_SPCAT_SQL}
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - ps.ps_supplycost_cents
+                  * CAST(floor(l.l_quantity) AS BIGINT) * 100) AS BIGINT)
+         AS profit_u
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN spcat ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+WHERE p.p_name LIKE '%{Q9_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_SQL, tags=("join", "agg"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line (parts whose name
+    carries a token) per supplier nation per year — the 5-way join
+    with a compound profit expression. Units are exact integers
+    (cents x percent for revenue, cost scaled to match), so the sum is
+    order-free and bit-identical across engines. Scale shape: the
+    part-name filter prunes BEFORE the joins (pushed to the part
+    scan), supplier/nation broadcast, the catalog joins keyed on
+    (part, supp); one (nation, year) hash-aggregate at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains(Q9_TOKEN))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            _spcat(spark, sf_dir),
+            (li.l_partkey == F.col("ps_partkey")) & (li.l_suppkey == F.col("ps_suppkey")),
+        )
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    cost = F.col("ps_supplycost_cents") * F.floor("l_quantity").cast("long") * 100
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("long").alias("o_year"),
+    ).agg(F.sum(rev - cost).alias("profit_u"))
+
+
+Q11_NATION = "NATION_3"
+Q11_FRACTION_DEN = 1000   # keep parts holding > 1/1000 of national value
+
+_Q11_SQL = f"""
+WITH {_SPCAT_SQL},
+nat AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_cents * ps.ps_availqty AS v
+  FROM spcat ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{Q11_NATION}'
+)
+SELECT ps_partkey AS part, CAST(sum(v) AS BIGINT) AS value_u
+FROM nat
+GROUP BY 1
+HAVING sum(v) * {Q11_FRACTION_DEN} > (SELECT sum(v) FROM nat)
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_SQL, tags=("agg", "subquery"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's stock value — group-by HAVING against a scalar subquery
+    over the SAME derived frame. Spark plan: the national catalog is
+    checkpoint-free but single-derived (one keyed join chain), the
+    total is a one-row broadcast crossed onto the per-part aggregate,
+    and the share test is exact integer (value x 1000 > total). The
+    oracle keeps the literal HAVING-subquery form."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    nat = (
+        _spcat(spark, sf_dir)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                          .select("s_suppkey")),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = nat.groupBy(F.col("ps_partkey").alias("part")).agg(
+        F.sum("v").alias("value_u")
+    )
+    total = nat.agg(F.sum("v").alias("tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_u") * Q11_FRACTION_DEN > F.col("tot"))
+        .select("part", "value_u")
+    )
+
+
+Q16_EXCL_BRAND = "Brand#9"
+Q16_EXCL_TYPE_PREFIX = "ECONOMY"
+Q16_SIZES = (1, 4, 7, 10, 15, 22, 36, 49)
+
+_Q16_SQL = f"""
+WITH {_SPCAT_SQL}
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM spcat ps JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'
+  AND p.p_size IN ({', '.join(str(x) for x in Q16_SIZES)})
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q16_supplier_counts", oracle=_Q16_SQL, tags=("agg", "subquery"))
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size) bucket, excluding a brand, a type prefix, and a denylisted
+    supplier set (negative account balance standing in for Q16's
+    complaint-comment scan — no comment column exists) — the NOT IN +
+    count(DISTINCT) taxonomy entry. Spark expresses NOT IN as a
+    left-anti join (null-safe here: keys are non-null), keeps the
+    part-side predicates on the scan, and lets the distinct-count
+    aggregate partial map-side."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (~F.col("p_type").startswith(Q16_EXCL_TYPE_PREFIX))
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    deny = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        _spcat(spark, sf_dir)
+        .join(F.broadcast(deny), "ps_suppkey", "left_anti")
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_NATION = "NATION_5"
+Q20_NAME_PREFIX = "small"
+Q20_YEAR = 1997
+Q20_SHARE_NUM = 4   # keep (part, supp) whose 1997 demand x 4 > all-time
+
+_Q20_SQL = f"""
+WITH {_SPCAT_SQL}
+SELECT s.s_name, s.s_acctbal
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = '{Q20_NATION}'
+  AND s.s_suppkey IN (
+    SELECT ps.ps_suppkey FROM spcat ps
+    WHERE ps.ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+      AND (SELECT CAST(coalesce(sum(CAST(floor(l.l_quantity) AS BIGINT)), 0) AS BIGINT)
+           FROM lineitem l
+           WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+             AND l.l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+             AND l.l_shipdate < TIMESTAMP '{Q20_YEAR + 1}-01-01')
+          * {Q20_SHARE_NUM} > ps.ps_availqty
+  )
+ORDER BY s.s_name
+"""
+
+
+@register("q20_recent_demand_suppliers", oracle=_Q20_SQL, tags=("join", "subquery"))
+def q20_recent_demand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding a filtered
+    part whose RECENT demand dominates its history (1997 shipments x 4
+    exceed all-time — the direction is surrogate for Q20's excess-
+    stock test, the doubly-nested IN with a correlated aggregate
+    threshold is the shape). Spark decorrelates the inner aggregate
+    the standard way: pre-aggregate the year's shipments per
+    (part, supp), join onto the catalog, compare exact integers; both
+    IN subqueries become keyed semi-joins. The oracle keeps the
+    literal nested-IN + correlated-subquery text."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    ).select(F.col("p_partkey").alias("ps_partkey"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q20_NATION)
+    y97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q20_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q20_YEAR + 1}-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("qty_y"))
+    )
+    hot = (
+        _spcat(spark, sf_dir)
+        .join(p, "ps_partkey", "leftsemi")
+        .join(y97, ["ps_partkey", "ps_suppkey"], "left")
+        .filter(
+            F.coalesce(F.col("qty_y"), F.lit(0)) * Q20_SHARE_NUM
+            > F.col("ps_availqty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(hot, F.col("s_suppkey") == F.col("ps_suppkey"), "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

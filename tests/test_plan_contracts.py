@@ -290,6 +290,23 @@ CONTRACTS = {
         ["Window", "ExistingRDD"],
         ["NestedLoop"],
     ),
+    # Q2 shape: correlated-min decorrelated into a per-part window;
+    # tie-broken LIMIT must prune map-side, dims broadcast
+    "q2_min_cost_supplier": (
+        ["Window", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["NestedLoop"],
+    ),
+    # Q9 shape: 5-way keyed join, dims broadcast, one (nation, year)
+    # hash-agg; profit expression stays in codegen — no window
+    "q9_product_profit": (["BroadcastHashJoin", "HashAggregate"], ["NestedLoop", "Window"]),
+    # Q11 shape: the scalar national total crosses on as a one-row
+    # broadcast (the only acceptable NLJ), share test stays a filter
+    "q11_important_stock": (["BroadcastNestedLoopJoin", "HashAggregate"], []),
+    # Q16 shape: NOT IN as a broadcast anti join, distinct-count agg
+    "q16_supplier_counts": (["BroadcastHashJoin", "HashAggregate"], ["NestedLoop", "Window"]),
+    # Q20 shape: both INs as keyed semi-joins, correlated aggregate
+    # pre-grouped then joined — never a per-row subquery loop
+    "q20_recent_demand_suppliers": (["LeftSemi"], ["NestedLoop", "Window"]),
 }
 
 
