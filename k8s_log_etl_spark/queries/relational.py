@@ -2527,6 +2527,38 @@ SCD2_DIM_CUTOFF = "1998-01-01"   # every 3rd part re-prices here (+10%)
 SCD2_DIM_MIN = "1990-01-01"
 SCD2_DIM_OPEN = "9999-01-01"
 
+
+def scd2_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic two-version part-price dimension
+    (p_partkey, price_cents, valid_from, valid_to): every 3rd part
+    re-prices +10% (integer cents, (c*110) div 100) at the cutoff.
+    Shared by join_scd2_dimension and the streaming enrichment twin
+    (tests/test_streaming.py), so batch and stream join the SAME
+    versioned frame."""
+    p = load_table(spark, sf_dir, "part")
+    c0 = F.round(F.col("p_retailprice") * 100).cast("long")
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    base = p.select(
+        "p_partkey",
+        c0.alias("price_cents"),
+        ts(SCD2_DIM_MIN).alias("valid_from"),
+        F.when(F.col("p_partkey") % 3 == 0, ts(SCD2_DIM_CUTOFF))
+        .otherwise(ts(SCD2_DIM_OPEN))
+        .alias("valid_to"),
+    )
+    reprices = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey",
+            F.expr(
+                "CAST(CAST(round(p_retailprice * 100) AS BIGINT) * 110 div 100 AS BIGINT)"
+            ).alias("price_cents"),
+            ts(SCD2_DIM_CUTOFF).alias("valid_from"),
+            ts(SCD2_DIM_OPEN).alias("valid_to"),
+        )
+    )
+    return base.unionByName(reprices)
+
 _SCD2_DIM_SQL = f"""
 WITH cents AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS c0
@@ -2575,30 +2607,8 @@ def join_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     temporal join plan (at 100 TB the dim side is orders of magnitude
     smaller and broadcast or shuffled keyed — never a range
     cross-product). One hash-aggregate on ship_year afterwards."""
-    p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    c0 = F.round(F.col("p_retailprice") * 100).cast("long")
-    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
-    base = p.select(
-        "p_partkey",
-        c0.alias("price_cents"),
-        ts(SCD2_DIM_MIN).alias("valid_from"),
-        F.when(F.col("p_partkey") % 3 == 0, ts(SCD2_DIM_CUTOFF))
-        .otherwise(ts(SCD2_DIM_OPEN))
-        .alias("valid_to"),
-    )
-    reprices = (
-        p.filter(F.col("p_partkey") % 3 == 0)
-        .select(
-            "p_partkey",
-            F.expr(
-                "CAST(CAST(round(p_retailprice * 100) AS BIGINT) * 110 div 100 AS BIGINT)"
-            ).alias("price_cents"),
-            ts(SCD2_DIM_CUTOFF).alias("valid_from"),
-            ts(SCD2_DIM_OPEN).alias("valid_to"),
-        )
-    )
-    dim = base.unionByName(reprices)
+    dim = scd2_part_dim(spark, sf_dir)
     j = (
         li.select("l_partkey", "l_shipdate", "l_quantity")
         .join(dim, F.col("l_partkey") == F.col("p_partkey"))

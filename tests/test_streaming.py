@@ -699,3 +699,81 @@ def test_locf_gap_fill_hand_computable(spark, monkeypatch):
         ("b", h(2)): (1, 7.0, False),
         ("b", h(3)): (1, 9.0, False),
     }
+
+
+def test_stream_scd2_dimension_enrichment_matches_batch(spark, tmp_path):
+    """Streaming twin of join_scd2_dimension: a stream of fact rows
+    (lineitems arriving over three micro-batches) stream-static-joined
+    to the SAME versioned part dimension with the valid-at-event-time
+    filter must reproduce the batch join row-for-row — the stream-
+    static join re-plans the dim lookup per micro-batch, the validity
+    interval rides as a post-join filter, and every fact row picks its
+    own AS-OF dimension version."""
+    from k8s_log_etl_spark.queries import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        .select("l_partkey", "l_shipdate", "l_quantity")
+    )
+    in_dir = str(tmp_path / "facts_in")
+    os.makedirs(in_dir)
+    rows = li.collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        path = os.path.join(in_dir, f"b{i}.jsonl")
+        with open(path, "w") as f:
+            for r in rows[i * third:(i + 1) * third]:
+                f.write(json.dumps({
+                    "l_partkey": r["l_partkey"],
+                    "l_shipdate": r["l_shipdate"].isoformat(),
+                    "l_quantity": r["l_quantity"],
+                }) + "\n")
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    dim = R.scd2_part_dim(spark, sf)
+    schema = "l_partkey long, l_shipdate timestamp, l_quantity double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    enriched = (
+        stream.join(dim, stream.l_partkey == dim.p_partkey)
+        .filter(
+            (F.col("valid_from") <= F.col("l_shipdate"))
+            & (F.col("l_shipdate") < F.col("valid_to"))
+        )
+        .select(
+            "l_partkey", "l_shipdate", "price_cents",
+            F.floor("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("scd2_enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT l_partkey, l_shipdate, price_cents, qty FROM scd2_enrich_stream"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in li.join(dim, li.l_partkey == dim.p_partkey)
+        .filter(
+            (F.col("valid_from") <= F.col("l_shipdate"))
+            & (F.col("l_shipdate") < F.col("valid_to"))
+        )
+        .select(
+            "l_partkey", "l_shipdate", "price_cents",
+            F.floor("l_quantity").cast("long").alias("qty"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) == len(rows)  # exactly one dimension version per fact
