@@ -36,8 +36,13 @@ R2_CORE_15 = [
 def _matched_subtotals(timings: dict[str, float]) -> dict:
     """Machine-checked cross-round comparability: the r2-core-15
     subtotal, plus current-vs-previous-round subtotals over the
-    intersection of query sets (read from the newest BENCH_r*.json the
-    driver left in the repo root)."""
+    intersection of query sets. "Previous" = the newest BENCH_r*.json
+    in the repo root whose round is STRICTLY below the current round —
+    once the driver has written this round's own file, a naive
+    newest-file pick would compare the run against its own numbers
+    (round-5 ADVICE). Current round comes from $SPARK_GRAFT_ROUND or
+    argv[1] when given; otherwise it defaults to newest-round + 1
+    (right whenever this round's file hasn't been written yet)."""
     here = os.path.dirname(os.path.abspath(__file__))
     out: dict = {
         "r2_core_15": {
@@ -49,6 +54,14 @@ def _matched_subtotals(timings: dict[str, float]) -> dict:
         (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.search(r"\d+", f).group()),
     )
+    cur_round = None
+    for raw in (os.environ.get("SPARK_GRAFT_ROUND"), sys.argv[1] if len(sys.argv) > 1 else None):
+        if raw and re.fullmatch(r"\d+", raw.strip()):
+            cur_round = int(raw.strip())
+            break
+    if cur_round is None and benches:
+        cur_round = int(re.search(r"\d+", benches[-1]).group()) + 1
+    benches = [f for f in benches if int(re.search(r"\d+", f).group()) < (cur_round or 0)]
     if benches:
         prev_file = benches[-1]
         try:

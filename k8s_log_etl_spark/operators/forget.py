@@ -27,6 +27,27 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.operators.compaction import recover_compaction, swap_rewrite
 
+# Characters Hive/Spark URL-escape in partition directory names
+# (Hive FileUtils.escapePathName, mirrored by Spark's
+# ExternalCatalogUtils.escapePathName — public source): all control
+# chars plus this printable set. Everything else (including space)
+# passes through literally; escapes are uppercase %XX.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def escape_partition_value(value: object) -> str:
+    """Render a partition value the way Spark names the directory:
+    NULL becomes __HIVE_DEFAULT_PARTITION__, special characters are
+    %XX-escaped (round-5 ADVICE — a raw f-string breaks on values
+    containing '/', '%', '=', ... because the computed entry never
+    matches the on-disk directory and the swap fails mid-pass)."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch for ch in s
+    )
+
 
 def plan_forget(
     spark: SparkSession,
@@ -46,7 +67,18 @@ def plan_forget(
         .distinct()
         .collect()
     )
-    return sorted(f"{partition_col}={r[partition_col]}" for r in vals)
+    entries = sorted(
+        f"{partition_col}={escape_partition_value(r[partition_col])}" for r in vals
+    )
+    # Fail the whole plan up front if any computed entry doesn't name a
+    # real directory — a mid-pass FileNotFoundError inside swap_rewrite
+    # would strand a tmp dir (round-5 ADVICE).
+    missing = [e for e in entries if not os.path.isdir(os.path.join(path, e))]
+    if missing:
+        raise FileNotFoundError(
+            f"planned partition entries not found under {path}: {missing}"
+        )
+    return entries
 
 
 def apply_forget(

@@ -1286,14 +1286,38 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall out of the prefixes naturally, so the oracle is the full
     uncapped self-join and the result is the exact answer.
 
+    Round 6 adds the two remaining LOSSLESS candidate reducers from
+    the same literature (round-5 verdict #1), both cheap predicates on
+    the posting self-join:
+      - LENGTH filter (Arasu et al. 2006 / Bayardo et al. 2007):
+        J(x,y) >= t forces t*|y| <= |x| (|x|<=|y|), so any pair with
+        min(sz) < t*max(sz) cannot qualify — prune before distinct.
+      - POSITIONAL filter (Xiao et al. 2008): both docs order shingles
+        by the SAME global rank, so shared tokens appear in the same
+        relative order; at a prefix match in positions (i, j) the
+        overlap is provably <= min(i,j) + min(|x|-i, |y|-j) (shared-
+        before <= min(i-1,j-1), the match, shared-after <= remaining).
+        J >= t needs overlap >= ceil(t/(1+t)*(|x|+|y|)) — prune any
+        match row whose bound falls short. The bound holds at EVERY
+        match, so any-row-passes keeps strictly all true pairs:
+        lossless, oracle unchanged (the full uncapped self-join).
+    Float guards subtract 1e-9 before ceil/compare — the safe
+    direction (can only weaken the filter, never drop a true pair).
+    Carrying (rn, sz) into the prefix postings is free (both already
+    computed by the ranking window), and keeping (sza, szb) on the
+    surviving candidates removes the two post-verify size joins the
+    round-5 form paid.
+
     Scale shape: one shuffle computes global shingle frequencies, one
     window per doc ranks shingles (partitioned on doc_id — per-doc
     state only), the candidate join touches PREFIX postings only
     ((1-t)|x|+1 per doc — at t=0.5, half the posting volume, and the
-    hottest tokens excluded), and verification joins full shingle
-    sets for CANDIDATE pairs only, keyed on doc id. The candidate
-    ordering lives entirely Spark-side — only completeness matters,
-    so no cross-engine ordering contract is needed."""
+    hottest tokens excluded) with length+positional pruning applied
+    before the distinct, and verification joins full shingle sets for
+    CANDIDATE pairs only, keyed on doc id. The candidate ordering
+    lives entirely Spark-side — only completeness matters, so no
+    cross-engine ordering contract is needed."""
+    t = JACCARD_THRESHOLD
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("s"))
@@ -1302,32 +1326,36 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wdoc))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    plen = F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
-    prefix = ranked.filter(F.col("rn") <= plen).select("doc_id", "s")
+    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rn") <= plen).select("doc_id", "s", "rn", "sz")
+    sza, szb = F.col("pa.sz"), F.col("pb.sz")
+    rna, rnb = F.col("pa.rn"), F.col("pb.rn")
+    length_ok = F.least(sza, szb) >= F.lit(t) * F.greatest(sza, szb) - F.lit(1e-9)
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (sza + szb) - F.lit(1e-9))
+    overlap_ub = F.least(rna, rnb) + F.least(sza - rna, szb - rnb)
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "s")
         .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .filter(length_ok & (overlap_ub >= alpha))
         .select(
-            F.col("pa.doc_id").alias("da"), F.col("pb.doc_id").alias("db")
+            F.col("pa.doc_id").alias("da"),
+            F.col("pb.doc_id").alias("db"),
+            sza.alias("sza"),
+            szb.alias("szb"),
         )
         .distinct()
     )
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
     common = (
-        cand.join(a, "da").join(b, ["db", "s"]).groupBy("da", "db").agg(
+        cand.join(a, "da").join(b, ["db", "s"]).groupBy("da", "db", "sza", "szb").agg(
             F.count(F.lit(1)).alias("c")
         )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
     jac = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
     return (
-        common.join(sa, "da")
-        .join(sb, "db")
-        .filter(jac >= JACCARD_THRESHOLD)
+        common.filter(jac >= JACCARD_THRESHOLD)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),

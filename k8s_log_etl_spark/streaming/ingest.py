@@ -180,7 +180,20 @@ def forget_ingested(
 
     Scale shape: one semi-join fetches the victims' digests (keyed on
     doc_id, broadcast key frame), then two independent partition-
-    bounded forget passes; nothing touches unaffected batches."""
+    bounded forget passes; nothing touches unaffected batches.
+
+    Ordering is load-bearing (round-5 ADVICE): the index pass runs
+    BEFORE the corpus pass. Each pass's swap is crash-safe in
+    isolation, but the cross-store pair is only idempotent in this
+    order — a crash between the two leaves the victim still in the
+    corpus, so a re-run re-derives the digest via the corpus semi-join
+    and the (already clean) index delete is a no-op while the corpus
+    delete completes. Corpus-first would strand the digest: the re-run
+    semi-join against the cleaned corpus finds nothing, the orphan
+    digest stays indexed forever, and byte-identical content is
+    silently suppressed on every future ingest — exactly the failure
+    this function exists to prevent. tests/test_forget.py pins the
+    crash-between-stores recovery."""
     from k8s_log_etl_spark.operators.forget import apply_forget
 
     kd = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
@@ -191,8 +204,8 @@ def forget_ingested(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    c = apply_forget(spark, corpus_dir, "ingest_batch", kd, "doc_id")
     i = apply_forget(spark, index_dir, "ingest_batch", digests, "digest")
+    c = apply_forget(spark, corpus_dir, "ingest_batch", kd, "doc_id")
     return {
         "corpus_rows_deleted": c["rows_deleted"],
         "index_rows_deleted": i["rows_deleted"],

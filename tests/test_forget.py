@@ -140,6 +140,97 @@ def test_forget_entire_partition(spark, tmp_path):
     ]
 
 
+def test_forget_escaped_partition_values(spark, tmp_path):
+    """Partition values carrying Hive-special characters ('/', '%',
+    '=') and NULL are URL-escaped / defaulted in directory names;
+    plan_forget must compute the same names Spark wrote (round-5
+    ADVICE — a raw f-string entry fails mid-swap with
+    FileNotFoundError on such stores)."""
+    base = str(tmp_path / "tbl")
+    rows = [
+        (1, "a/b", 10), (2, "a/b", 20),
+        (3, "50%", 30), (4, "x=y", 40), (5, None, 50),
+    ]
+    df = spark.createDataFrame(rows, "id long, p string, v long")
+    df.write.partitionBy("p").parquet(base)
+    on_disk = {e for e in os.listdir(base) if e.startswith("p=")}
+    assert on_disk == {
+        "p=a%2Fb", "p=50%25", "p=x%3Dy", "p=__HIVE_DEFAULT_PARTITION__"
+    }
+
+    keys = spark.createDataFrame([(1,), (3,), (4,), (5,)], "id long")
+    todo = FG.plan_forget(spark, base, "p", keys, "id")
+    assert todo == sorted(on_disk)
+    done = FG.apply_forget(spark, base, "p", keys, "id")
+    assert done == {"partitions": 4, "rows_deleted": 4}
+    left = spark.read.parquet(base)
+    assert [tuple(r) for r in left.select("id", "p", "v").orderBy("id").collect()] == [
+        (2, "a/b", 20)
+    ]
+    assert not [e for e in os.listdir(base) if e.startswith("_compact_")]
+
+
+def test_forget_ingested_crash_between_stores_converges(spark, tmp_path):
+    """The cross-store pair is idempotent ONLY index-first (round-5
+    ADVICE): crash after the index pass but before the corpus pass,
+    then re-run — the victim is still in the corpus, so its digest
+    re-derives, the index delete is a no-op, and the corpus delete
+    completes. No orphan digest, and identical content re-ingests."""
+    from k8s_log_etl_spark.operators import forget as fgmod
+    from k8s_log_etl_spark.streaming import ingest as IN
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    LONG = "the quick brown fox jumps over the lazy dog again and again"
+    IN.ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, LONG + " alpha"), (2, LONG + " beta")], "doc_id long, text string"
+        ),
+        0, corpus, index,
+    )
+
+    real_apply = fgmod.apply_forget
+    calls: list[str] = []
+
+    def crash_after_first(spark_, path, *a, **kw):
+        calls.append(path)
+        out = real_apply(spark_, path, *a, **kw)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash between stores")
+        return out
+
+    fgmod.apply_forget = crash_after_first
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            IN.forget_ingested(
+                spark, corpus, index, spark.createDataFrame([(1,)], "doc_id long")
+            )
+    finally:
+        fgmod.apply_forget = real_apply
+    # the pass that ran first must have been the INDEX pass
+    assert calls == [index]
+    assert spark.read.parquet(index).count() == 1  # victim digest gone
+    assert spark.read.parquet(corpus).count() == 2  # victim still present
+
+    # re-run converges: corpus delete completes, index delete no-ops
+    done = IN.forget_ingested(
+        spark, corpus, index, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert done["corpus_rows_deleted"] == 1
+    assert done["index_rows_deleted"] == 0
+    assert spark.read.parquet(corpus).count() == 1
+    assert spark.read.parquet(index).count() == 1
+
+    # and erasure semantics hold: the same bytes re-enter as fresh
+    IN.ingest_batch(
+        spark,
+        spark.createDataFrame([(9, LONG + " alpha")], "doc_id long, text string"),
+        1, corpus, index,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {2, 9}
+
+
 def test_forget_ingested_erasure_allows_reingest(spark, tmp_path):
     """The corpus+index pair: forgetting a document removes its rows
     from BOTH stores, and — the semantic point — byte-identical
