@@ -211,3 +211,76 @@ def test_quantile_sketch_bound_on_arbitrary_distributions(spark, vals, split):
             b = clamped_bin(v_sorted[math.ceil(p * n) - 1])
             lo, hi = QSK_VMIN + QSK_W * b, QSK_VMIN + QSK_W * (b + 1)
             assert lo <= ep <= hi, (t, p, ep, lo, hi)
+
+
+def _py_bpe(texts: list[str], rounds: int):
+    """Pure-Python reference for bpe_encode_corpus: Sennrich-style
+    training (most frequent adjacent pair, ties (weight DESC, pair
+    ASC)) with greedy leftmost non-overlapping merge application."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for text in texts:
+        for w in text.strip().split():
+            if w:
+                vocab[w.lower()] += 1
+    seqs = {term: list(term) for term in vocab}
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for term, syms in seqs.items():
+            f = vocab[term]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), _w = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for term, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[term] = out
+    return vocab, seqs
+
+
+def test_bpe_encode_matches_python_model(spark, tmp_path):
+    """bpe_encode_corpus == the pure-Python greedy BPE on a corpus
+    built to stress exactly the cases where a string-replace-based
+    merge application can silently diverge from greedy leftmost
+    semantics: runs of a self-pair ('aaaa' -> [aa, aa], never
+    [a, aa, a]), adjacent repeats of a two-symbol pair ('ababab' ->
+    both sites merged in one round, not every other one), and merges
+    whose result is a prefix of a later candidate."""
+    texts = [
+        "aaaa aaaa aaa aa a",
+        "ababab abab ab ab ab",
+        "banana bananana ban and bandana",
+        "aaaa ababab banana banana",
+        "internationalization nation national",
+    ]
+    rows = [
+        (i, t, "en", "src", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = llmprep.bpe_encode_corpus(spark, str(tmp_path)).collect()
+
+    vocab, seqs = _py_bpe(texts, llmprep.BPE_MERGE_ROUNDS)
+    corpus_tokens = sum(f * len(seqs[t]) for t, f in vocab.items())
+    expect = sorted(
+        (
+            (t, " ".join(seqs[t]), len(seqs[t]), f, corpus_tokens)
+            for t, f in vocab.items()
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[: llmprep.BPE_ENCODE_TOP]
+    assert [
+        (r["term"], r["token_seq"], r["n_tokens"], r["freq"], r["corpus_tokens"])
+        for r in got
+    ] == expect

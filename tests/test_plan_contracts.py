@@ -108,6 +108,15 @@ CONTRACTS = {
     # BPE pair stats: token stream collapses to the vocab FIRST, pairs
     # expand per distinct word, top-k never global-sorts
     "bpe_pair_stats": (["TakeOrderedAndProject"], ["NestedLoop"]),
+    # BPE encode: the merge loop runs behind a per-round checkpoint, so
+    # the SERVING plan is vocabulary-sized work off the materialized
+    # encoding (Scan ExistingRDD) — global top-k prunes map-side, the
+    # corpus_tokens scalar arrives as a broadcast one-row frame (the
+    # only NLJ), and no plan node ever re-derives the merge rounds
+    "bpe_encode_corpus": (
+        ["TakeOrderedAndProject", "Scan ExistingRDD", "BroadcastNestedLoopJoin"],
+        [],
+    ),
     # incremental dedup: keyed hash join + hash-keyed window; never an
     # all-pairs shape
     "dedup_incremental_batch": (["Window"], ["NestedLoop"]),
