@@ -20,6 +20,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -183,3 +184,112 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("doc_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup: re-encoded variants + aHash signatures
+# ---------------------------------------------------------------------------
+
+PHASH_VARIANT_MOD = 5          # every mod-th doc gets a re-encoded twin
+PHASH_VARIANT_OFFSET = 10_000_000
+PHASH_PIXELS = 64
+PHASH_BANDS = 4                # 4 x 16-bit bands over the 64 aHash bits
+PHASH_MAX_HAMMING = 3          # pigeonhole-lossless with 4 bands
+
+VARIANT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def with_reencoded_variants(df: DataFrame, mod: int = PHASH_VARIANT_MOD) -> DataFrame:
+    """Manufacture the corpus condition perceptual dedup exists for:
+    every mod-th document gains a "re-encoded" twin — byte-DIFFERENT
+    payload (every low nibble replaced by deterministic noise, the fake
+    analogue of compression/quantization error) whose HIGH nibbles (the
+    fake decoder's perceptual channel) are untouched. The twin's digest
+    differs from the original's, so exact payload dedup
+    (multimodal_curation_pipeline's digest hash-agg) can never pair
+    them; a perceptual hash over decoded features must. 1:N flatMap in
+    Arrow mapInPandas (the sample_frames shape)."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pays = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                ids.append(doc_id)
+                pays.append(b)
+                if doc_id % mod == 0:
+                    ids.append(doc_id + PHASH_VARIANT_OFFSET)
+                    pays.append(
+                        bytes(
+                            (x & 0xF0) | ((doc_id + j) % 16)
+                            for j, x in enumerate(b)
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    return df.select("doc_id", "payload").mapInPandas(fn, VARIANT_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("digest", StringType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+    ]
+)
+
+
+def ahash_signatures(df: DataFrame) -> DataFrame:
+    """STUB perceptual hash — the aHash (average-hash) shape over the
+    fake decoder's pixel channel, NOT a real image hash. Decode: the
+    16 payload high nibbles are the stable "pixels" a real decoder
+    would produce regardless of encoding; 64 fake pixels are mixed
+    nibble pairs p_i = h[i mod 16]*16 + h[(3i + i div 16) mod 16]
+    (the second index is aperiodic over the 64 positions, so the four
+    bands below carry distinct bits). aHash: bit_i = 1 iff
+    64*p_i >= sum(p) — the integer-exact form of "pixel above mean".
+    Signature = 4 x 16-bit band ints (b0..b3), avoiding 64-bit sign
+    games in either engine; digest = payload hex (byte identity).
+    Swap the pixel derivation for a real decode + 8x8 downscale
+    outside this environment; everything downstream (banding, the
+    pigeonhole join, Hamming verify) is the real operator. Low-nibble
+    noise never moves any pixel, so a re-encoded twin hashes
+    IDENTICALLY; Hamming <= PHASH_MAX_HAMMING is caught losslessly by
+    the 4-band pigeonhole (d+1 bands catch any d-bit difference)."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "digest": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = [x >> 4 for x in b[:16]]
+                p = [
+                    h[i % 16] * 16 + h[(3 * i + i // 16) % 16]
+                    for i in range(PHASH_PIXELS)
+                ]
+                s = sum(p)
+                bits = [1 if 64 * px >= s else 0 for px in p]
+                out["doc_id"].append(doc_id)
+                out["digest"].append(b.hex())
+                for k in range(PHASH_BANDS):
+                    out[f"b{k}"].append(
+                        sum(bit << j for j, bit in enumerate(bits[16 * k : 16 * k + 16]))
+                    )
+            pdf_out = pd.DataFrame(out)
+            for k in range(PHASH_BANDS):
+                pdf_out[f"b{k}"] = pdf_out[f"b{k}"].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload").mapInPandas(fn, AHASH_SCHEMA)

@@ -288,3 +288,146 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup over decoded pixel features (the image analogue
+# of dedup_simhash_banded)
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789abcdef"
+
+_PHASH_SIG_CTES = f"""
+base AS (SELECT doc_id, md5(text) AS hex FROM documents),
+corpus AS (
+  SELECT doc_id, hex FROM base
+  UNION ALL
+  SELECT doc_id + {MM.PHASH_VARIANT_OFFSET} AS doc_id,
+         array_to_string(list_transform(range(16), j ->
+           substr(hex, CAST(2 * j + 1 AS INTEGER), 1) ||
+           substr('{_HEXD}', CAST((doc_id + j) % 16 AS INTEGER) + 1, 1)), '')
+           AS hex
+  FROM base WHERE doc_id % {MM.PHASH_VARIANT_MOD} = 0
+),
+nib AS (
+  SELECT doc_id, hex,
+         list_transform(range(16), j ->
+           strpos('{_HEXD}', substr(hex, CAST(2 * j + 1 AS INTEGER), 1)) - 1) AS h
+  FROM corpus
+),
+pix AS (
+  SELECT doc_id, hex,
+         list_transform(range({MM.PHASH_PIXELS}), i ->
+           h[CAST(i % 16 AS INTEGER) + 1] * 16
+           + h[CAST((3 * i + i // 16) % 16 AS INTEGER) + 1]) AS p
+  FROM nib
+),
+sig AS (
+  SELECT doc_id, hex,
+         list_transform(range({MM.PHASH_BANDS}), b ->
+           list_sum(list_transform(range(16), k ->
+             (CASE WHEN {MM.PHASH_PIXELS} * p[CAST(16 * b + k AS INTEGER) + 1]
+                        >= list_sum(p) THEN 1 ELSE 0 END)
+             * (1 << CAST(k AS INTEGER))))) AS bands
+  FROM pix
+)"""
+
+_PHASH_HAMMING = " + ".join(
+    f"bit_count(xor(sa.bands[{k + 1}], sb.bands[{k + 1}]))"
+    for k in range(MM.PHASH_BANDS)
+)
+
+_PHASH_SQL = f"""
+WITH {_PHASH_SIG_CTES},
+bl AS (
+  SELECT doc_id, CAST(t.b AS INTEGER) AS band_idx,
+         bands[CAST(t.b AS INTEGER) + 1] AS val
+  FROM sig, unnest(range({MM.PHASH_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       CAST({_PHASH_HAMMING} AS BIGINT) AS hamming,
+       (sa.hex = sb.hex) AS digest_equal
+FROM cand c
+JOIN sig sa ON c.da = sa.doc_id
+JOIN sig sb ON c.db = sb.doc_id
+WHERE {_PHASH_HAMMING} <= {MM.PHASH_MAX_HAMMING}
+"""
+
+
+@register("dedup_perceptual_ahash", oracle=_PHASH_SQL, tags=("multimodal", "dedup"))
+def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup for the image corpus (round-5 verdict #5) —
+    the multimodal analogue of dedup_simhash_banded, closing the gap
+    the curation pipeline's digest dedup leaves: a re-encoded image
+    (same pixels, different bytes) never digest-matches, so only a
+    hash over DECODED features can pair it with its original. The
+    corpus manufactures that exact condition (with_reencoded_variants:
+    every 5th doc gains a low-nibble-noise twin with a fresh digest),
+    and this query catches every twin at Hamming 0 while digest_equal
+    is false — the rows the digest path provably misses.
+
+    Shape: Arrow mapInPandas decode->aHash (the only Python pass),
+    4 x 16-bit band signature, pigeonhole candidate join (a pair
+    within Hamming <= 3 of 64 bits MUST share one of 4 bands — the
+    banded join is lossless for the reported radius, unlike the
+    probabilistic MinHash bands), then exact Hamming verify via
+    bit_count(xor) on candidates only. At 100 TB: signatures are one
+    partition-parallel Python pass + checkpoint; candidates are a
+    keyed equi-join on (band, value) — never all-pairs; verify is
+    JVM-side bit math on the candidate set. The oracle recomputes
+    decode, pixels, bits, bands, candidates, and Hamming from the md5
+    hex, so the whole chain is hash-verified."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    corpus = MM.with_reencoded_variants(MM.attach_payload(d))
+    sig = MM.ahash_signatures(corpus).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("val")
+                )
+                for k in range(MM.PHASH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.val")
+    cand = (
+        bands.alias("ba")
+        .join(bands.alias("bb"), ["band_idx", "val"])
+        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(
+            F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("da"),
+        F.col("digest").alias("dga"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(MM.PHASH_BANDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"),
+        F.col("digest").alias("dgb"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(MM.PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(MM.PHASH_BANDS)
+    )
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= MM.PHASH_MAX_HAMMING)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "hamming",
+            (F.col("dga") == F.col("dgb")).alias("digest_equal"),
+        )
+    )

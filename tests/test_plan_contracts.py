@@ -52,6 +52,9 @@ CONTRACTS = {
     # picks broadcast at tiny SF, sort-merge at scale — both fine)
     "dedup_minhash_lsh": (["Scan ExistingRDD"], ["NestedLoop"]),
     "dedup_simhash_banded": ([], ["NestedLoop"]),
+    # perceptual near-dup: signatures materialized once (checkpoint),
+    # candidates via the keyed (band, value) equi-join — never all-pairs
+    "dedup_perceptual_ahash": (["Scan ExistingRDD"], ["NestedLoop"]),
     "dedup_embedding_lsh": ([], ["NestedLoop"]),
     "knn_lsh_hyperplane": (["BroadcastHashJoin"], ["NestedLoop"]),
     "knn_ivf_grid": (["BroadcastHashJoin"], ["NestedLoop"]),
