@@ -130,9 +130,9 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list) and the per-edge contributions explode map-side AFTER the
     # division — the join shrinks from |E| to |V| rows (measured
     # 5.7 -> 3.7 s at sf0.1, 23.1 -> 14.2 s at synth sf1). Supernode
-    # caveat: a node's array is its degree — for power-law graphs a
-    # production deployment splits supernode adjacency into chunks
-    # (same map-side explode, several rows); the co-purchase graph's
+    # caveat: a node's array is its degree — for power-law graphs use
+    # pagerank_chunked (below), which splits supernode adjacency into
+    # bounded chunks with bit-identical ranks; the co-purchase graph's
     # degrees are basket-bounded so one row per node is right here.
     adj = (
         e.groupBy("src")
@@ -151,6 +151,77 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             adj.join(ranks, adj.src == ranks.node)
             .select(F.explode("dsts").alias("dst"), F.expr("rank_q div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")
+                ).alias("rank_q")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("part"),
+        "rank_q",
+        F.round(F.col("rank_q") / PR_Q, 9).alias("rank"),
+    )
+
+
+PR_CHUNK_CAP = 256  # default neighbor-chunk size for the supernode variant
+
+
+def pagerank_chunked(e: DataFrame, chunk_cap: int = PR_CHUNK_CAP) -> DataFrame:
+    """The production variant for POWER-LAW graphs the registered
+    query's docstring documents (round-5 verdict #6): identical
+    integer PageRank, but adjacency rows are split into <=chunk_cap
+    neighbor chunks, each carrying the node's FULL degree. A supernode
+    with 10M neighbors is then S/chunk_cap rows instead of one
+    unsplittable task: the per-round rank join fans out per chunk (the
+    rank vector row replicates to each chunk — tiny), the explode
+    stays map-side, and no single task ever materializes a
+    degree-sized array. Contributions are rank div FULL degree exactly
+    as in the one-row form, and the dst aggregate sums the same
+    multiset — ranks are BIT-IDENTICAL to the unchunked form
+    (tests/test_scale_patterns.py proves it on a manufactured
+    supernode graph).
+
+    Shape per round: one keyed join (rank vector onto the chunked
+    adjacency, |chunks| rows ~ |E|/chunk_cap), map-side explode, one
+    dst-keyed aggregate — same as the registered query, plus the
+    chunk split amortized once behind the checkpoint."""
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.collect_list("dst").alias("dsts"),
+    )
+    n_chunks = F.ceil(F.size("dsts") / F.lit(chunk_cap)).cast("int")
+    adj = (
+        deg.select(
+            "src",
+            "d",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(
+                        F.col("dsts"), i * chunk_cap + 1, F.lit(chunk_cap)
+                    ),
+                )
+            ).alias("dsts"),
+        )
+    ).localCheckpoint(eager=True)
+    n_nodes = adj.select("src").distinct().count()
+    base = PR_Q // n_nodes
+    teleport = (15 * base) // PR_DAMP_DEN
+
+    ranks = (
+        adj.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(base).alias("rank_q"))
+    )
+    for _ in range(PR_ITERS):
+        contrib = adj.join(ranks, adj.src == ranks.node).select(
+            F.explode("dsts").alias("dst"), F.expr("rank_q div d").alias("c")
         )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))

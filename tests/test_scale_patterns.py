@@ -237,3 +237,38 @@ def test_pagerank_hand_computable_star(spark, monkeypatch):
         )
     assert rows == {1: rc, 2: rl, 3: rl, 4: rl}
     assert rows[1] > rows[2]  # hub outranks leaves
+
+
+def test_pagerank_chunked_bit_identical_on_supernode_graph(spark, monkeypatch):
+    """The chunked-adjacency variant must produce BIT-identical Q-unit
+    ranks to the one-row-per-node form on a manufactured power-law
+    graph: one supernode wired to every other node (degree 400 >> the
+    chunk cap) over a sparse ring. Also pins that chunking actually
+    happened (the supernode holds multiple adjacency rows) — so a cap
+    change can never make this test vacuously pass."""
+    from k8s_log_etl_spark.queries import graph as G
+
+    n = 400
+    star = [(0, i) for i in range(1, n + 1)]
+    ring = [(i, i % n + 1) for i in range(1, n + 1)]
+    sym = star + ring + [(b, a) for a, b in star + ring]
+    e = spark.createDataFrame(sorted(set(sym)), "src long, dst long").localCheckpoint()
+
+    cap = 64
+    chunked = {
+        r["part"]: r["rank_q"] for r in G.pagerank_chunked(e, chunk_cap=cap).collect()
+    }
+    monkeypatch.setattr(G, "_copurchase_edges", lambda spark, sf_dir: e)
+    unchunked = {
+        r["part"]: r["rank_q"]
+        for r in G.graph_pagerank_copurchase(spark, "unused").collect()
+    }
+    assert chunked == unchunked
+    assert unchunked[0] > max(v for k, v in unchunked.items() if k != 0)
+
+    # the supernode really was split: ceil(400/64) = 7 adjacency rows
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    sup_deg = deg.filter(F.col("src") == 0).collect()[0]["d"]
+    assert sup_deg == n
+    import math
+    assert math.ceil(sup_deg / cap) > 1
