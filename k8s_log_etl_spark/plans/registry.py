@@ -43,64 +43,58 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 5 rotation (executes the round-4 verdict's plan verbatim):
-# (a) the 13 round-4 additions that registered after round 4's 50-slot
-# window and therefore have no driver row yet, plus profile_documents
-# (reworked in r4c after its r3 green row); (b) the thirteen queries
-# ADDED in round 5 (SCD2 schema evolution, the two span-excision
-# applies, integer PageRank, bounded BFS, LOCF gap fill, the
-# fact-to-SCD2 temporal dimension join, prefix-filtered exact jaccard,
-# and the five shapes completing TPC-H's 22 — Q2/Q9/Q11/Q16/Q20 on the
-# derived supplier-part catalog); (c) every query whose
-# implementation CHANGED in
-# round 5 — dedup_cluster_components (cc_star self-pair node fix),
-# corpus_snapshot_diff (schema-union alignment), and the similarity
-# queries routed through the parameterized _lsh_search /
-# _kmeans_train / _ivfpq_scored_frames refactor (knn_lsh_hyperplane,
-# knn_ivfpq_adc, kmeans_ivf_train, ann_recall_eval; knn_ivfpq_refine
-# is already in (a)) — a green r4 row says nothing about new code;
-# (d) the standing log-ETL regression core plus the multimodal and
-# sampling family representatives; (e) the remaining slots REFRESH
-# the queries whose latest green row is oldest (10 of the 20
-# r1-latest). Everything rotated out keeps its r1-r4 green
-# row, is unchanged since, and stays continuously covered by the
-# full-surface pytest oracle run (tests/test_oracle_parity.py runs
-# every oracled query every time).
+# Round 6 rotation: after round 5, the union of r1-r5 driver rows
+# covers every registered query except the by-design no-oracle
+# agg_countmin_events, with all 50 r5 slots green — so round 6 spends
+# the window on (a) the two round-6 ADDITIONS (BPE encode, perceptual
+# near-dup), (b) the one round-6 MODIFIED implementation
+# (dedup_prefix_filter_jaccard — PPJoin length+positional filters; a
+# green r5 row says nothing about new code), and (c)-(e) the
+# OLDEST-green refresh, which this round reaches ALL of them: every
+# r1-latest query (10) and every oracled r2-latest query (31 — the
+# no-oracle agg_approx_events stays out of the window with
+# agg_countmin_events, both bounded in tests/test_approx.py instead),
+# plus the two oldest r3 log-ETL-core rows (agg_by_level,
+# transform_chain). (f) Families whose members are all r4/r5-latest
+# keep a hard driver signal through their reps
+# (tests/test_registry_order.py): training_mix_pipeline (capstone),
+# corpus_snapshot_diff (warehouse), ann_recall_eval (ann-eval),
+# graph_pagerank_copurchase (graph). Everything rotated out keeps its
+# r3-r5 green row, is unchanged since, and stays continuously covered
+# by the full-surface pytest oracle run (tests/test_oracle_parity.py
+# runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-4 additions without a driver row + profile_documents (14) ---
-    "dedup_semantic_cells", "contamination_spans", "join_skew_salted",
-    "events_sessionize", "minhash_estimate_quality", "dedup_keep_best",
-    "knn_ivfpq_refine", "dedup_substring_spans", "events_quantile_sketch",
-    "rag_retrieval_pipeline", "corpus_scd2_history", "corpus_scd2_as_of",
-    "q6_forecast_revenue", "profile_documents",
-    # --- (b) round-5 additions (13) ---
-    "corpus_scd2_schema_evolution", "dedup_excise_spans",
-    "decontam_excise_spans", "graph_pagerank_copurchase",
-    "graph_bfs_hops", "events_gap_fill_locf",
-    "join_scd2_dimension", "dedup_prefix_filter_jaccard",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q16_supplier_counts", "q20_recent_demand_suppliers",
-    # --- (c) round-5 modified implementations (6) ---
-    "dedup_cluster_components", "corpus_snapshot_diff",
-    "knn_lsh_hyperplane", "knn_ivfpq_adc", "kmeans_ivf_train",
-    "ann_recall_eval",
-    # --- (d) regression core + family representatives (7): the
-    # multimodal and sampling families have no round-5-new/modified
-    # query, but every capability family keeps a hard driver signal
-    # (tests/test_registry_order.py), so their capstone reps hold
-    # slots ---
-    "normalize", "pipeline_events", "report_summary",
-    "corpus_clean_pipeline", "dedup_minhash_lsh",
-    "multimodal_curation_pipeline", "sample_weighted_topn",
-    # --- (e) oldest-green refresh: 10 of the 20 r1-latest (the agg_*,
-    # join-variant and set-op refreshes yield their slots to the
-    # family reps and round-5 additions above — every rotated-out r1
-    # row stays covered by the full-surface pytest oracle run) ---
-    "agg_distinct_customers",
-    "dedup_events_exact", "dedup_simhash", "filter_service",
-    "join_range_binned", "parse_json",
-    "scan_jsonl", "topk_global_orders",
-    "unpivot_order_metrics", "window_lag_gap",
+    # --- (a) round-6 additions (2) ---
+    "bpe_encode_corpus", "dedup_perceptual_ahash",
+    # --- (b) round-6 modified implementations (1) ---
+    "dedup_prefix_filter_jaccard",
+    # --- (c) oldest-green refresh: all 10 r1-latest ---
+    "agg_by_service", "agg_cube_orders", "agg_grouping_sets",
+    "agg_minmax_by", "agg_stats_events", "join_anti_customers",
+    "join_full_outer_nations", "join_semi_customers",
+    "pivot_status_by_year", "set_ops_customers",
+    # --- (d) oldest-green refresh: all 31 oracled r2-latest ---
+    "agg_rollup_orders", "correlated_not_exists",
+    "dedup_embedding_cosine", "dedup_exact", "embedding_centroids",
+    "events_props_typed", "events_resample_1h", "having_large_orders",
+    "join_asof_last_purchase", "knn_brute_cosine", "knn_ivf_grid",
+    "multimodal_blob_meta", "multimodal_frame_sample",
+    "multimodal_resize_stats", "q13_order_distribution",
+    "q1_pricing_summary", "q3_top_unshipped", "q5_regional_revenue",
+    "sample_stratified_topk", "scalar_subquery_outliers",
+    "stream_session_windows", "stream_tumbling_counts",
+    "text_fingerprint_clusters", "text_langid_confusion",
+    "text_quality_score", "text_token_bpeish", "text_token_stats",
+    "text_top_bigrams", "tfidf_top_terms", "window_running_total",
+    "window_topk_per_customer",
+    # --- (e) oldest r3 rows: the log-ETL regression core's two
+    # oldest (the rest of the core is r3-latest too and rotates in
+    # next round) ---
+    "agg_by_level", "transform_chain",
+    # --- (f) family representatives whose families are wholly
+    # r4/r5-latest (capstone, warehouse, ann-eval, graph) ---
+    "training_mix_pipeline", "corpus_snapshot_diff",
+    "ann_recall_eval", "graph_pagerank_copurchase",
 ]
 # agg_countmin_events is sketch-only (no oracle by construction,
 # bounded against exact answers in tests/test_approx.py) — it never

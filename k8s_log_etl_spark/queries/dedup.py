@@ -1270,7 +1270,12 @@ WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_prefix_filter_jaccard", oracle=_PREFIX_JACCARD_SQL, tags=("dedup",))
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=_PREFIX_JACCARD_SQL,
+    tags=("dedup",),
+    bench=True,
+)
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT threshold-Jaccard join via prefix filtering (the
     PPJoin/AllPairs family, Xiao et al. 2008 / Bayardo et al. 2007 —

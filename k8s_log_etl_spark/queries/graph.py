@@ -91,7 +91,7 @@ FROM r{PR_ITERS}
 """
 
 
-@register("graph_pagerank_copurchase", oracle=_pr_sql(), tags=("graph",))
+@register("graph_pagerank_copurchase", oracle=_pr_sql(), tags=("graph",), bench=True)
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (parts are linked when
     bought in the same order — the symmetrized edge set behind

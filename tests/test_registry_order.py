@@ -8,26 +8,25 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-5 rotation: reps follow the slots (round-4/5 additions, round-5
-# modified code, regression core, oldest-green refresh — see
-# plans/registry.py). Families whose round-4 rep rotated out name the
-# family's in-window query instead; multimodal and sampling have no
-# round-5 change, so their capstone reps hold explicit slots. The new
-# graph family (PageRank / BFS) gets a rep. Rotated-out greens stay
-# covered by the full pytest oracle run.
+# Round-6 rotation: the window is spent on the round-6 additions +
+# modified code and the oldest-green refresh (every r1/r2-latest row —
+# see plans/registry.py), so most reps move to their family's oldest
+# in-window member; families that are wholly r4/r5-latest (capstone,
+# warehouse, ann-eval, graph) hold explicit slots via their reps.
+# Rotated-out greens stay covered by the full pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "pipeline_events",
-    "dedup": "dedup_minhash_lsh",
-    "multimodal": "multimodal_curation_pipeline",
-    "knn": "knn_lsh_hyperplane",
-    "text": "decontam_excise_spans",
-    "capstone": "corpus_clean_pipeline",
-    "relational": "q6_forecast_revenue",
-    "events": "events_sessionize",
-    "llmprep": "rag_retrieval_pipeline",
-    "sampling": "sample_weighted_topn",
+    "log": "transform_chain",
+    "dedup": "dedup_exact",
+    "multimodal": "multimodal_blob_meta",
+    "knn": "knn_brute_cosine",
+    "text": "text_quality_score",
+    "capstone": "training_mix_pipeline",
+    "relational": "q1_pricing_summary",
+    "events": "events_resample_1h",
+    "llmprep": "bpe_encode_corpus",
+    "sampling": "sample_stratified_topk",
     "warehouse": "corpus_snapshot_diff",
-    "ann-index": "knn_ivfpq_adc",
+    "ann-index": "knn_ivf_grid",
     "ann-eval": "ann_recall_eval",
     "graph": "graph_pagerank_copurchase",
 }
