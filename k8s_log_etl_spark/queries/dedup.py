@@ -1367,3 +1367,184 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: new batch vs a persisted MinHash band index
+# ---------------------------------------------------------------------------
+
+# Same corpus/batch split as the exact-digest delta shape
+# (dedup_incremental_batch) so the two deltas describe one ingest.
+# Import is safe: llmprep pulls only from similarity, never from here.
+from k8s_log_etl_spark.queries.llmprep import CORPUS_MAX_ID  # noqa: E402
+
+_INCR_MH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, b AS band, CASE b {_BAND_CASES} END AS bsig
+          FROM sig, unnest(range({BANDS})) AS t(b)),
+corpusb AS (SELECT * FROM bands WHERE doc_id < {CORPUS_MAX_ID}),
+batchb AS (SELECT * FROM bands WHERE doc_id >= {CORPUS_MAX_ID}),
+cand_c AS (
+  SELECT DISTINCT b.doc_id AS bd, c.doc_id AS cd
+  FROM batchb b JOIN corpusb c ON b.band = c.band AND b.bsig = c.bsig
+),
+ver_c AS (
+  SELECT DISTINCT bd FROM cand_c
+  JOIN sig sa ON bd = sa.doc_id JOIN sig sb ON cd = sb.doc_id
+  WHERE ({_EQ_SUM}) / {NUM_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
+),
+cand_b AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM batchb a JOIN batchb b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+ver_b AS (
+  SELECT DISTINCT db AS bd FROM cand_b
+  JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+  WHERE ({_EQ_SUM}) / {NUM_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
+),
+flagged AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN vc.bd IS NOT NULL THEN 1 ELSE 0 END AS dup_corpus,
+         CASE WHEN vb.bd IS NOT NULL THEN 1 ELSE 0 END AS dup_batch
+  FROM (SELECT doc_id, source FROM documents WHERE doc_id >= {CORPUS_MAX_ID}) d
+  LEFT JOIN ver_c vc ON d.doc_id = vc.bd
+  LEFT JOIN ver_b vb ON d.doc_id = vb.bd
+)
+SELECT source,
+       count(*) AS n_new,
+       CAST(sum(dup_corpus) AS BIGINT) AS n_neardup_vs_corpus,
+       CAST(sum(CASE WHEN dup_corpus = 0 THEN dup_batch ELSE 0 END) AS BIGINT)
+         AS n_neardup_within_batch,
+       CAST(sum(CASE WHEN dup_corpus = 0 AND dup_batch = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unique
+FROM flagged GROUP BY source
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_INCR_MH_SQL,
+    tags=("dedup", "llmprep"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the delta shape a continuously-fed
+    corpus runs for fuzzy duplicates, completing the pair started by
+    dedup_incremental_batch (exact digests): MinHash-sign the NEW
+    batch only, probe a persisted LSH band index of the corpus, verify
+    candidates by signature estimate, and dedup the batch against
+    itself the same way. Per-source counts: new / near-dup-vs-corpus /
+    near-dup-within-batch / unique (a batch doc is within-batch dup if
+    it verifies against an EARLIER batch doc — the min-id-keeps
+    convention).
+
+    Scale shape — why this beats re-running dedup_minhash_lsh on
+    corpus+batch per drop: per-delta work is batch-sized signature
+    build (one shingle scan of the BATCH) plus two keyed equi-joins of
+    batch band rows against (1) the corpus band INDEX — persisted,
+    bucketed by (band, bsig) on a cluster, corpus never re-scanned —
+    and (2) the batch's own bands. Verification touches candidate
+    pairs only, joined back to the signature frames by doc id. Here
+    the index is derived then checkpointed (the driver tables are
+    static), same modeling discipline as dedup_incremental_batch's
+    "the corpus hash column lives as its own index table".
+    tests/test_incremental_minhash.py pins index-probe equivalence:
+    batch-vs-index verdicts == the full-recompute pair set restricted
+    to (batch, corpus) pairs."""
+    sh = _shingles(spark, sf_dir)
+    h = X.md5_long(F.col("s"))
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}")
+                    for i, (a, b) in enumerate(SEEDS)
+                ]
+            ).alias("mh")
+        )
+        .localCheckpoint(eager=True)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("mh")[b * 4 + r] for r in range(4)]
+                ).alias("bsig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "mh", F.explode(band_structs).alias("bs")
+    ).select("doc_id", "mh", "bs.band", "bs.bsig")
+    # the persisted corpus index (band rows carry the signature so the
+    # verify needs no join-back — same plan-reuse discipline as
+    # dedup_minhash_lsh)
+    index = bands.filter(F.col("doc_id") < CORPUS_MAX_ID).localCheckpoint(
+        eager=True
+    )
+    batchb = bands.filter(F.col("doc_id") >= CORPUS_MAX_ID)
+
+    est = (
+        sum(
+            F.when(
+                F.col("a.mh")[i] == F.col("b.mh")[i], 1
+            ).otherwise(0)
+            for i in range(NUM_HASHES)
+        )
+        / float(NUM_HASHES)
+    )
+    ver_c = (
+        batchb.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .filter(est >= MINHASH_EST_THRESHOLD)
+        .select(F.col("a.doc_id").alias("bd"))
+        .distinct()
+        .withColumn("dup_corpus", F.lit(1))
+    )
+    ver_b = (
+        batchb.alias("a")
+        .join(
+            batchb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(est >= MINHASH_EST_THRESHOLD)
+        .select(F.col("b.doc_id").alias("bd"))
+        .distinct()
+        .withColumn("dup_batch", F.lit(1))
+    )
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    batch_docs = d.filter(F.col("doc_id") >= CORPUS_MAX_ID).select(
+        F.col("doc_id").alias("bd"), "source"
+    )
+    flagged = (
+        batch_docs.join(ver_c, "bd", "left")
+        .join(ver_b, "bd", "left")
+        .select(
+            "source",
+            F.coalesce("dup_corpus", F.lit(0)).alias("dup_corpus"),
+            F.coalesce("dup_batch", F.lit(0)).alias("dup_batch"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("dup_corpus").alias("n_neardup_vs_corpus"),
+        F.sum(
+            F.when(F.col("dup_corpus") == 0, F.col("dup_batch")).otherwise(0)
+        ).alias("n_neardup_within_batch"),
+        F.sum(
+            F.when(
+                (F.col("dup_corpus") == 0) & (F.col("dup_batch") == 0), 1
+            ).otherwise(0)
+        ).alias("n_unique"),
+    )
+

@@ -55,6 +55,10 @@ CONTRACTS = {
     # perceptual near-dup: signatures materialized once (checkpoint),
     # candidates via the keyed (band, value) equi-join — never all-pairs
     "dedup_perceptual_ahash": (["Scan ExistingRDD"], ["NestedLoop"]),
+    # incremental near-dup: the corpus band INDEX and the signature
+    # frame are materialized once (checkpoints); both probe joins are
+    # keyed equi-joins
+    "dedup_minhash_incremental": (["Scan ExistingRDD"], ["NestedLoop"]),
     "dedup_embedding_lsh": ([], ["NestedLoop"]),
     "knn_lsh_hyperplane": (["BroadcastHashJoin"], ["NestedLoop"]),
     "knn_ivf_grid": (["BroadcastHashJoin"], ["NestedLoop"]),
