@@ -2027,3 +2027,97 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle (the training-loader's global order)
+# ---------------------------------------------------------------------------
+
+EPOCHS = 3
+EPOCH_SHARDS = 8
+SHUF_PREFIX = 1  # hex chars of the key cutting it into 16 contiguous ranges
+
+_EPOCH_SQL = f"""
+WITH e AS (
+  SELECT doc_id, CAST(t.ep AS BIGINT) AS epoch,
+         md5(CAST(t.ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents, unnest(range({EPOCHS})) AS t(ep)
+)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+         AS BIGINT) AS pos,
+       CAST((row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1)
+         % {EPOCH_SHARDS} AS BIGINT) AS shard
+FROM e
+"""
+
+
+@register("epoch_shuffle_order", oracle=_EPOCH_SQL, tags=("llmprep",))
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training epochs — the loader-
+    side operator every pretraining run needs: each epoch reads the
+    corpus in a DIFFERENT pseudorandom order, the order is seeded (a
+    re-run reproduces it exactly, so a crashed epoch resumes at a
+    position instead of a random state), and every doc gets a global
+    position + round-robin shard assignment within its epoch.
+
+    Order key = md5(epoch:doc_id) — per-epoch independent permutations
+    from one deterministic function, no RNG state to ship (the
+    sample_bernoulli_seeded discipline applied to ordering).
+
+    Distributed global rank, NOT one sorted partition per epoch (the
+    pack_chunks_budget prefix-sum discipline on a HASH key): the md5
+    key space is cut into 16 contiguous ranges by hex prefix (prefix
+    order == full-key order), each (epoch, range) computes a LOCAL
+    row_number in parallel, and a tiny per-range count frame supplies
+    each range's global starting rank via its own prefix sum +
+    broadcast join back: pos = range_start + local_rank. At 100 TB
+    this is exactly how the physical shuffle runs — a range exchange
+    on the key with per-partition local sorts — expressed so the heavy
+    window never collapses to |epochs| tasks. Identical output to the
+    single-window oracle (hash-checked) and to the single-window Spark
+    form (tests/test_llmprep_properties.py)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    e = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(EPOCHS - 1))).alias("ep"),
+    ).select(
+        "doc_id", F.col("ep").cast("bigint").alias("epoch")
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    ranged = e.withColumn("rb", F.substring("k", 1, SHUF_PREFIX))
+    rb_w = (
+        Window.partitionBy("epoch")
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    range_starts = (
+        ranged.groupBy("epoch", "rb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "epoch",
+            "rb",
+            F.coalesce(F.sum("n").over(rb_w), F.lit(0)).alias("range_start"),
+        )
+    )
+    local_w = Window.partitionBy("epoch", "rb").orderBy("k", "doc_id")
+    pos = F.col("range_start") + F.row_number().over(local_w)
+    return (
+        ranged.join(F.broadcast(range_starts), ["epoch", "rb"])
+        .withColumn("pos", pos.cast("bigint"))
+        .select(
+            "epoch",
+            "doc_id",
+            "pos",
+            ((F.col("pos") - 1) % EPOCH_SHARDS).cast("bigint").alias("shard"),
+        )
+    )

@@ -284,3 +284,55 @@ def test_bpe_encode_matches_python_model(spark, tmp_path):
         (r["term"], r["token_seq"], r["n_tokens"], r["freq"], r["corpus_tokens"])
         for r in got
     ] == expect
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark, tmp_path):
+    """epoch_shuffle_order == the single-window form, each epoch's
+    positions are exactly the permutation 1..N, epochs order the
+    corpus differently, shards are round-robin balanced, and a re-run
+    reproduces the same order (seeded, no RNG state)."""
+    texts = [(i, f"doc number {i}", "en", "src", 10) for i in range(1, 101)]
+    spark.createDataFrame(
+        texts, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    got = llmprep.epoch_shuffle_order(spark, sf).collect()
+    n = len(texts)
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in got:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+        assert r["shard"] == (r["pos"] - 1) % llmprep.EPOCH_SHARDS
+    assert set(by_epoch) == set(range(llmprep.EPOCHS))
+    for ep, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, n + 1))  # a permutation
+    orders = [
+        tuple(sorted(m, key=m.get)) for ep, m in sorted(by_epoch.items())
+    ]
+    assert len(set(orders)) == llmprep.EPOCHS  # epochs differ
+
+    # single-window reference form (the oracle's shape, in Spark)
+    from pyspark.sql import Window as W
+
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    e = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(llmprep.EPOCHS - 1))).alias("ep")
+    ).select(
+        "doc_id",
+        F.col("ep").cast("bigint").alias("epoch"),
+        F.md5(
+            F.concat(F.col("ep").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    ref = e.withColumn(
+        "pos", F.row_number().over(W.partitionBy("epoch").orderBy("k", "doc_id"))
+    )
+    ref_map = {(r["epoch"], r["doc_id"]): r["pos"] for r in ref.collect()}
+    assert {(r["epoch"], r["doc_id"]): r["pos"] for r in got} == ref_map
+
+    # deterministic re-run
+    again = {
+        (r["epoch"], r["doc_id"]): r["pos"]
+        for r in llmprep.epoch_shuffle_order(spark, sf).collect()
+    }
+    assert again == ref_map
