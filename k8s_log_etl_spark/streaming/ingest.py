@@ -211,3 +211,158 @@ def forget_ingested(
         "index_rows_deleted": i["rows_deleted"],
         "partitions_rewritten": c["partitions"] + i["partitions"],
     }
+
+
+# ---------------------------------------------------------------------------
+# near-dup-suppressing ingest (the streaming face of
+# dedup_minhash_incremental)
+# ---------------------------------------------------------------------------
+
+
+def ingest_batch_neardup(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    index_dir: str,
+) -> None:
+    """Per-micro-batch NEAR-dup suppression: gate, MinHash-sign the
+    batch, and drop any doc with a verified banded match (estimate >=
+    MINHASH_EST_THRESHOLD) against (a) the persistent BAND index of
+    every previously ingested doc or (b) an earlier doc_id in the same
+    batch. Survivors append to the batch-partitioned corpus; ALL gated
+    docs' band rows (with their full signatures) append to the index —
+    suppressed docs are indexed too, so the suppression criterion is
+    simply "a verified pair with ANY smaller ingested doc_id exists",
+    which makes the kept set INDEPENDENT of micro-batch boundaries
+    (tests/test_neardup_ingest.py streams the same corpus in 1/3/7
+    batches and pins identical corpora, equal to the batch-mode rule
+    derived from dedup_minhash_lsh's pair set).
+
+    Replay safety (same dynamic-partition-overwrite discipline as
+    ingest_batch, plus one addition): the index read filters
+    ingest_batch < batch_id, so a replayed batch never sees its own
+    crashed attempt's signatures (self-match est = 1.0 would suppress
+    the whole batch); partition pruning makes the filter free. Writes
+    go corpus first, index second — a crash between them leaves the
+    replay re-deriving the identical kept set and overwriting both
+    partitions with identical rows.
+
+    Scale shape: signature build is batch-sized (one shingle explode +
+    16-way min hash-agg, map-side partials); both suppression probes
+    are keyed (band, bsig) equi-joins with verification on candidate
+    rows only (index rows carry signatures — no join-back); the index
+    grows one band-row set per ingested doc and is the ONLY thing the
+    accumulated corpus contributes per batch."""
+    from k8s_log_etl_spark.functions import xengine as X
+    from k8s_log_etl_spark.queries.dedup import (
+        BANDS,
+        MINHASH_EST_THRESHOLD,
+        NUM_HASHES,
+        SEEDS,
+        _shingle_array,
+    )
+
+    gated = _gate(batch_df)
+    sh = gated.select("doc_id", F.explode(_shingle_array()).alias("s"))
+    h = X.md5_long(F.col("s"))
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(X.minhash_perm(h, a, b)) for a, b in SEEDS]
+        ).alias("mh")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("mh")[b * 4 + r] for r in range(4)]
+                ).alias("bsig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", "mh", F.explode(band_structs).alias("bs"))
+        .select("doc_id", "mh", "bs.band", "bs.bsig")
+        .localCheckpoint(eager=True)
+    )
+
+    est = (
+        sum(
+            F.when(F.col("a.mh")[i] == F.col("b.mh")[i], 1).otherwise(0)
+            for i in range(NUM_HASHES)
+        )
+        / float(NUM_HASHES)
+    )
+    sup = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(est >= MINHASH_EST_THRESHOLD)
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    if os.path.exists(index_dir):
+        idx = spark.read.parquet(index_dir).filter(
+            F.col("ingest_batch") < int(batch_id)
+        )
+        vs_index = (
+            bands.alias("b")
+            .join(
+                idx.alias("a"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig")),
+            )
+            .filter(est >= MINHASH_EST_THRESHOLD)
+            .select(F.col("b.doc_id").alias("doc_id"))
+        )
+        sup = sup.unionByName(vs_index)
+    suppressed = sup.distinct()
+
+    kept = (
+        gated.join(suppressed, "doc_id", "left_anti")
+        .withColumn("ingest_batch", F.lit(int(batch_id)))
+        .localCheckpoint(eager=True)
+    )
+    all_bands = bands.withColumn(
+        "ingest_batch", F.lit(int(batch_id))
+    ).localCheckpoint(eager=True)
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(corpus_dir)
+    )
+    (
+        all_bands.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(index_dir)
+    )
+
+
+def ingest_corpus_neardup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous near-dup-suppressing ingestion over a document
+    stream (columns: doc_id, text, + metadata) — foreachBatch wiring
+    for ingest_batch_neardup, availableNow-drained like
+    ingest_corpus."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch_neardup(spark, batch_df, batch_id, corpus_dir, index_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
