@@ -53,9 +53,8 @@ def register(
 # OLDEST-green refresh, which this round reaches ALL of them: every
 # r1-latest query (10) and every oracled r2-latest query (31 — the
 # no-oracle agg_approx_events stays out of the window with
-# agg_countmin_events, both bounded in tests/test_approx.py instead),
-# plus the two oldest r3 log-ETL-core rows (agg_by_level,
-# transform_chain). (f) Families whose members are all r4/r5-latest
+# agg_countmin_events, both bounded in tests/test_approx.py instead).
+# (f) Families whose members are all r4/r5-latest
 # keep a hard driver signal through their reps
 # (tests/test_registry_order.py): training_mix_pipeline (capstone),
 # corpus_snapshot_diff (warehouse), ann_recall_eval (ann-eval),
@@ -64,8 +63,10 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-6 additions (2) ---
+    # --- (a) round-6 additions (6) ---
     "bpe_encode_corpus", "dedup_perceptual_ahash",
+    "dedup_minhash_incremental", "epoch_shuffle_order",
+    "knn_hard_negatives", "retrieval_eval_ndcg",
     # --- (b) round-6 modified implementations (1) ---
     "dedup_prefix_filter_jaccard",
     # --- (c) oldest-green refresh: all 10 r1-latest ---
@@ -73,13 +74,17 @@ _CHECKED_FIRST = [
     "agg_minmax_by", "agg_stats_events", "join_anti_customers",
     "join_full_outer_nations", "join_semi_customers",
     "pivot_status_by_year", "set_ops_customers",
-    # --- (d) oldest-green refresh: all 31 oracled r2-latest ---
-    "agg_rollup_orders", "correlated_not_exists",
+    # --- (d) oldest-green refresh: 29 of the 31 oracled r2-latest
+    # (agg_rollup_orders and q13_order_distribution yield their slots
+    # to the last two round-6 additions — their agg/relational
+    # families keep multiple in-window members and both stay covered
+    # by the full-surface pytest oracle run) ---
+    "correlated_not_exists",
     "dedup_embedding_cosine", "dedup_exact", "embedding_centroids",
     "events_props_typed", "events_resample_1h", "having_large_orders",
     "join_asof_last_purchase", "knn_brute_cosine", "knn_ivf_grid",
     "multimodal_blob_meta", "multimodal_frame_sample",
-    "multimodal_resize_stats", "q13_order_distribution",
+    "multimodal_resize_stats",
     "q1_pricing_summary", "q3_top_unshipped", "q5_regional_revenue",
     "sample_stratified_topk", "scalar_subquery_outliers",
     "stream_session_windows", "stream_tumbling_counts",
@@ -87,10 +92,10 @@ _CHECKED_FIRST = [
     "text_quality_score", "text_token_bpeish", "text_token_stats",
     "text_top_bigrams", "tfidf_top_terms", "window_running_total",
     "window_topk_per_customer",
-    # --- (e) oldest r3 rows: the log-ETL regression core's two
-    # oldest (the rest of the core is r3-latest too and rotates in
-    # next round) ---
-    "agg_by_level", "transform_chain",
+    # (the two r3 log-core slots from the first round-6 cut yielded to
+    # the later round-6 additions above; the log family keeps its hard
+    # signal through agg_by_service (r1, slot (c)) and the r3 core
+    # rotates in next round) —
     # --- (f) family representatives whose families are wholly
     # r4/r5-latest (capstone, warehouse, ann-eval, graph) ---
     "training_mix_pipeline", "corpus_snapshot_diff",

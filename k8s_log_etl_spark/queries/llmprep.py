@@ -15,6 +15,8 @@ packing is integer window arithmetic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2120,4 +2122,150 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             ((F.col("pos") - 1) % EPOCH_SHARDS).cast("bigint").alias("shard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval quality evaluation (NDCG / MRR over the RAG pipeline)
+# ---------------------------------------------------------------------------
+
+# Integer-quantized DCG position weights: round(1e6 / log2(r + 1)) for
+# rank r — CONSTANTS (K = 3), so both engines sum exact integers and
+# the only float op is the final round(dcg/idcg, 6). The
+# text_perplexity_proxy discipline applied to ranking metrics.
+_NDCG_Q = 1_000_000
+_NDCG_W = {r: round(_NDCG_Q / math.log2(r + 1)) for r in (1, 2, 3)}
+
+_EVAL_REL_SQL = (
+    "CASE WHEN qd.source = cd.source THEN "
+    "(1 + CASE WHEN qd.lang = cd.lang THEN 1 ELSE 0 END) ELSE 0 END"
+)
+
+_EVAL_SQL = f"""
+WITH ret AS ({{rag}}),
+rel AS (
+  SELECT r.query_doc, r.rnk, {_EVAL_REL_SQL} AS rel
+  FROM ret r
+  JOIN documents qd ON qd.doc_id = r.query_doc
+  JOIN documents cd ON cd.doc_id = r.doc_id
+),
+flat AS (
+  SELECT query_doc,
+         CAST(count(*) AS BIGINT) AS n_retrieved,
+         coalesce(max(CASE WHEN rnk = 1 THEN rel END), 0) AS r1,
+         coalesce(max(CASE WHEN rnk = 2 THEN rel END), 0) AS r2,
+         coalesce(max(CASE WHEN rnk = 3 THEN rel END), 0) AS r3
+  FROM rel GROUP BY query_doc
+),
+scored AS (
+  SELECT query_doc, n_retrieved,
+         CAST(r1 * {_NDCG_W[1]} + r2 * {_NDCG_W[2]} + r3 * {_NDCG_W[3]}
+           AS BIGINT) AS dcg_q,
+         CAST(greatest(r1, r2, r3) * {_NDCG_W[1]}
+           + (r1 + r2 + r3 - greatest(r1, r2, r3) - least(r1, r2, r3))
+             * {_NDCG_W[2]}
+           + least(r1, r2, r3) * {_NDCG_W[3]} AS BIGINT) AS idcg_q,
+         CAST(CASE WHEN r1 > 0 THEN {round(_NDCG_Q / 1)}
+                   WHEN r2 > 0 THEN {round(_NDCG_Q / 2)}
+                   WHEN r3 > 0 THEN {round(_NDCG_Q / 3)}
+                   ELSE 0 END AS BIGINT) AS rr_q
+  FROM flat
+)
+SELECT query_doc, n_retrieved, dcg_q, idcg_q,
+       CASE WHEN idcg_q = 0 THEN 0.0
+            ELSE round(dcg_q * 1.0 / idcg_q, 6) END AS ndcg,
+       rr_q
+FROM scored
+"""
+
+
+@register(
+    "retrieval_eval_ndcg",
+    oracle=_EVAL_SQL.replace("{rag}", _RAG_SQL),
+    tags=("llmprep", "similarity"),
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over the RAG capstone's ranked
+    lists — the eval loop a retrieval system ships with (the
+    ann_recall_eval discipline applied to GRADED relevance): per
+    query, DCG@3 / ideal-DCG / NDCG and quantized reciprocal rank.
+    Relevance labels are deterministic from the data (retrieved doc
+    shares the query doc's source -> rel 1, plus its lang -> rel 2),
+    so the whole metric chain is derivable in both engines without a
+    judgment file.
+
+    Exactness: position weights are integer-quantized constants
+    (round(1e6/log2(r+1))), relevance grades are integers, and the
+    3-element ideal ordering is closed-form (greatest/middle/least),
+    so DCG and IDCG are exact BIGINT sums; the only float is the final
+    rounded ratio. Queries whose LSH bucket retrieved nothing are
+    absent (the pipeline's documented recall miss — visible here as
+    missing rows, the honest accounting).
+
+    Scale shape: rides the pipeline's own output (bounded: queries x
+    K rows), two broadcast-able keyed joins onto documents for labels,
+    one hash-agg per query — evaluation cost is O(|queries| * K)
+    regardless of corpus size."""
+    ret = rag_retrieval_pipeline(spark, sf_dir)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    qd = d.select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("source").alias("q_source"),
+        F.col("lang").alias("q_lang"),
+    )
+    cd = d.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("source").alias("c_source"),
+        F.col("lang").alias("c_lang"),
+    )
+    rel = (
+        ret.join(F.broadcast(qd), "query_doc")
+        .join(F.broadcast(cd), "doc_id")
+        .select(
+            "query_doc",
+            "rnk",
+            F.when(
+                F.col("q_source") == F.col("c_source"),
+                1 + F.when(F.col("q_lang") == F.col("c_lang"), 1).otherwise(0),
+            )
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    flat = rel.groupBy("query_doc").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == r, F.col("rel"))), F.lit(0)
+            ).alias(f"r{r}")
+            for r in (1, 2, 3)
+        ],
+    )
+    hi = F.greatest("r1", "r2", "r3")
+    lo = F.least("r1", "r2", "r3")
+    mid = F.col("r1") + F.col("r2") + F.col("r3") - hi - lo
+    dcg = (
+        F.col("r1") * _NDCG_W[1]
+        + F.col("r2") * _NDCG_W[2]
+        + F.col("r3") * _NDCG_W[3]
+    ).cast("bigint")
+    idcg = (hi * _NDCG_W[1] + mid * _NDCG_W[2] + lo * _NDCG_W[3]).cast("bigint")
+    rr = (
+        F.when(F.col("r1") > 0, F.lit(round(_NDCG_Q / 1)))
+        .when(F.col("r2") > 0, F.lit(round(_NDCG_Q / 2)))
+        .when(F.col("r3") > 0, F.lit(round(_NDCG_Q / 3)))
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return (
+        flat.withColumn("dcg_q", dcg)
+        .withColumn("idcg_q", idcg)
+        .withColumn(
+            "ndcg",
+            F.when(F.col("idcg_q") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("dcg_q") / F.col("idcg_q"), 6)
+            ),
+        )
+        .withColumn("rr_q", rr)
+        .select("query_doc", "n_retrieved", "dcg_q", "idcg_q", "ndcg", "rr_q")
     )

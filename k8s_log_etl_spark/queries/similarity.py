@@ -1331,3 +1331,108 @@ def _refine_search(
             "query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+HN_LO = 0.10   # hard-negative band: similar enough to be informative...
+HN_HI = 0.30   # ...but below the near-dup/positive threshold
+HN_K = 5
+
+_HN_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding,
+         {_cell_sql('embedding', 0)} AS c0, {_cell_sql('embedding', 1)} AS c1
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {_cell_sql('embedding', 0)} + dx.v AS c0, {_cell_sql('embedding', 1)} + dy.v AS c1
+  FROM embeddings,
+       (SELECT unnest([-1, 0, 1]) AS v) dx,
+       (SELECT unnest([-1, 0, 1]) AS v) dy
+  WHERE vec_id < {N_QUERIES}
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_raw DESC, vec_id
+         ) AS rnk
+  FROM (
+    SELECT q.query_id, c.vec_id,
+           {X.cosine_sql('q.q_emb', 'c.embedding')} AS cos_raw,
+           round({X.cosine_sql('q.q_emb', 'c.embedding')}, 6) AS cos_sim
+    FROM q JOIN corpus c ON q.c0 = c.c0 AND q.c1 = c.c1
+  ) WHERE cos_raw >= {HN_LO} AND cos_raw < {HN_HI}
+) WHERE rnk <= {HN_K}
+"""
+
+
+@register("knn_hard_negatives", oracle=_HN_SQL, tags=("similarity", "llmprep"))
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data-prep step
+    (embedding/retrieval model training wants, per anchor, negatives
+    that are NEAR misses, not random draws): for each anchor vector,
+    the top-HN_K corpus vectors whose cosine falls in [HN_LO, HN_HI) —
+    similar enough to be informative, strictly below the
+    near-dup/positive threshold (HN_HI == dedup's
+    COSINE_DUP_THRESHOLD, so the mined set and the dup set partition
+    the neighborhood).
+
+    Scale shape: candidates come from the SAME deterministic IVF grid
+    probe join as knn_ivf_grid (keyed equi-join on cell ids — never
+    brute), and the similarity BAND filter prunes candidates BEFORE
+    the per-anchor window, so the ranked set is a fraction of the
+    probed set (mining is cheaper than top-k search: most probed
+    candidates fall outside the band and never reach the shuffle).
+    WindowGroupLimit caps per-anchor state at HN_K. The oracle
+    replicates probe cells, band, and ranking exactly — the lossy
+    probe set is part of the contract (the knn_ivfpq_adc discipline),
+    with the exactness of the band boundaries guaranteed by the
+    sequential-fold cosine both engines share (xengine convention)."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id",
+        "embedding",
+        _cell_spark(F.col("embedding"), 0).alias("c0"),
+        _cell_spark(F.col("embedding"), 1).alias("c1"),
+    )
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _cell_spark(F.col("embedding"), 0).alias("q0"),
+            _cell_spark(F.col("embedding"), 1).alias("q1"),
+            probes.alias("p"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            (F.col("q0") + F.col("p.dx")).alias("c0"),
+            (F.col("q1") + F.col("p.dy")).alias("c1"),
+        )
+    )
+    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        corpus.join(F.broadcast(q), ["c0", "c1"])
+        .select("query_id", "vec_id", cos.alias("cos_raw"))
+        .filter((F.col("cos_raw") >= HN_LO) & (F.col("cos_raw") < HN_HI))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HN_K)
+        .select(
+            "query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"
+        )
+    )

@@ -336,3 +336,32 @@ def test_epoch_shuffle_is_seeded_permutation(spark, tmp_path):
         for r in llmprep.epoch_shuffle_order(spark, sf).collect()
     }
     assert again == ref_map
+
+
+def test_retrieval_eval_metric_invariants(spark):
+    """NDCG in [0, 1] with dcg <= idcg (ideal re-ordering can only
+    help), rr_q only from the quantized {1e6, 5e5, 333333, 0} set, and
+    one row per query that retrieved anything."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        _pytest.skip("sf0.01 testdata not present")
+    rows = llmprep.retrieval_eval_ndcg(spark, sf).collect()
+    assert rows
+    retrieved = {
+        r["query_doc"]
+        for r in llmprep.rag_retrieval_pipeline(spark, sf)
+        .select("query_doc")
+        .distinct()
+        .collect()
+    }
+    assert {r["query_doc"] for r in rows} == retrieved
+    allowed_rr = {0, 1_000_000, 500_000, 333_333}
+    for r in rows:
+        assert 0 <= r["dcg_q"] <= r["idcg_q"] or r["idcg_q"] == 0
+        assert 0.0 <= r["ndcg"] <= 1.0
+        assert r["rr_q"] in allowed_rr
+        assert 1 <= r["n_retrieved"] <= 3

@@ -62,6 +62,14 @@ CONTRACTS = {
     "dedup_embedding_lsh": ([], ["NestedLoop"]),
     "knn_lsh_hyperplane": (["BroadcastHashJoin"], ["NestedLoop"]),
     "knn_ivf_grid": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # hard-negative mining: same probed-cell equi-join as knn_ivf_grid,
+    # band filter before the per-anchor window, top-k prunes map-side
+    "knn_hard_negatives": (
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["NestedLoop"],
+    ),
+    # retrieval eval: rides the RAG output; label joins broadcast
+    "retrieval_eval_ndcg": (["BroadcastHashJoin"], ["NestedLoop"]),
     # the brute baselines: broadcast NLJ is the only acceptable shape
     "knn_brute_cosine": (["BroadcastNestedLoopJoin"], []),
     # small-dim joins broadcast
