@@ -46,14 +46,15 @@ def register(
 # Round 6 rotation: after round 5, the union of r1-r5 driver rows
 # covers every registered query except the by-design no-oracle
 # agg_countmin_events, with all 50 r5 slots green — so round 6 spends
-# the window on (a) the two round-6 ADDITIONS (BPE encode, perceptual
-# near-dup), (b) the one round-6 MODIFIED implementation
-# (dedup_prefix_filter_jaccard — PPJoin length+positional filters; a
-# green r5 row says nothing about new code), and (c)-(e) the
-# OLDEST-green refresh, which this round reaches ALL of them: every
-# r1-latest query (10) and every oracled r2-latest query (31 — the
-# no-oracle agg_approx_events stays out of the window with
-# agg_countmin_events, both bounded in tests/test_approx.py instead).
+# the window on (a) the eight round-6 ADDITIONS (BPE encode,
+# perceptual near-dup, incremental near-dup, epoch shuffle, hard
+# negatives, retrieval NDCG, skew profiler, leakage guard), (b) the
+# one round-6 MODIFIED implementation (dedup_prefix_filter_jaccard —
+# PPJoin length+positional filters; a green r5 row says nothing about
+# new code), and (c)-(d) the OLDEST-green refresh: every r1-latest
+# query (10) and 27 of the 31 oracled r2-latest (the no-oracle
+# agg_approx_events stays out of the window with agg_countmin_events,
+# both bounded in tests/test_approx.py instead).
 # (f) Families whose members are all r4/r5-latest
 # keep a hard driver signal through their reps
 # (tests/test_registry_order.py): training_mix_pipeline (capstone),
@@ -63,10 +64,11 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-6 additions (6) ---
+    # --- (a) round-6 additions (8) ---
     "bpe_encode_corpus", "dedup_perceptual_ahash",
     "dedup_minhash_incremental", "epoch_shuffle_order",
     "knn_hard_negatives", "retrieval_eval_ndcg",
+    "profile_key_skew", "eval_holdout_decontaminated",
     # --- (b) round-6 modified implementations (1) ---
     "dedup_prefix_filter_jaccard",
     # --- (c) oldest-green refresh: all 10 r1-latest ---
@@ -74,14 +76,15 @@ _CHECKED_FIRST = [
     "agg_minmax_by", "agg_stats_events", "join_anti_customers",
     "join_full_outer_nations", "join_semi_customers",
     "pivot_status_by_year", "set_ops_customers",
-    # --- (d) oldest-green refresh: 29 of the 31 oracled r2-latest
-    # (agg_rollup_orders and q13_order_distribution yield their slots
-    # to the last two round-6 additions — their agg/relational
-    # families keep multiple in-window members and both stay covered
-    # by the full-surface pytest oracle run) ---
+    # --- (d) oldest-green refresh: 27 of the 31 oracled r2-latest
+    # (agg_rollup_orders, q13_order_distribution, having_large_orders
+    # and window_running_total yield their slots to the last four
+    # round-6 additions — their agg/relational/window families keep
+    # multiple in-window members and all four stay covered by the
+    # full-surface pytest oracle run) ---
     "correlated_not_exists",
     "dedup_embedding_cosine", "dedup_exact", "embedding_centroids",
-    "events_props_typed", "events_resample_1h", "having_large_orders",
+    "events_props_typed", "events_resample_1h",
     "join_asof_last_purchase", "knn_brute_cosine", "knn_ivf_grid",
     "multimodal_blob_meta", "multimodal_frame_sample",
     "multimodal_resize_stats",
@@ -90,8 +93,7 @@ _CHECKED_FIRST = [
     "stream_session_windows", "stream_tumbling_counts",
     "text_fingerprint_clusters", "text_langid_confusion",
     "text_quality_score", "text_token_bpeish", "text_token_stats",
-    "text_top_bigrams", "tfidf_top_terms", "window_running_total",
-    "window_topk_per_customer",
+    "text_top_bigrams", "tfidf_top_terms", "window_topk_per_customer",
     # (the two r3 log-core slots from the first round-6 cut yielded to
     # the later round-6 additions above; the log family keeps its hard
     # signal through agg_by_service (r1, slot (c)) and the r3 core

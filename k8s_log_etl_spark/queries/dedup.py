@@ -1376,7 +1376,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same corpus/batch split as the exact-digest delta shape
 # (dedup_incremental_batch) so the two deltas describe one ingest.
 # Import is safe: llmprep pulls only from similarity, never from here.
-from k8s_log_etl_spark.queries.llmprep import CORPUS_MAX_ID  # noqa: E402
+from k8s_log_etl_spark.queries.llmprep import (  # noqa: E402
+    CORPUS_MAX_ID,
+    TRAIN_PCT,
+    VAL_PCT,
+)
 
 _INCR_MH_SQL = f"""
 WITH {_SHINGLES_CTE},
@@ -1546,5 +1550,105 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dup_corpus") == 0) & (F.col("dup_batch") == 0), 1
             ).otherwise(0)
         ).alias("n_unique"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# eval-set leakage guard: holdout minus near-dups of train
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {X.md5_long_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
+    f"{TRAIN_PCT} THEN 'train' WHEN "
+    f"{X.md5_long_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
+    f"{VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+_HOLDOUT_SQL = f"""
+WITH pairs AS ({_MINHASH_SQL}),
+splits AS (
+  SELECT doc_id, lang, {_SPLIT_CASE_SQL} AS split FROM documents
+),
+leaked AS (
+  SELECT DISTINCT h.doc_id
+  FROM splits h
+  JOIN (
+    SELECT doc_a AS h_id, doc_b AS t_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS h_id, doc_a AS t_id FROM pairs
+  ) p ON p.h_id = h.doc_id
+  JOIN splits t ON t.doc_id = p.t_id
+  WHERE h.split <> 'train' AND t.split = 'train'
+)
+SELECT s.split, s.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean
+FROM splits s LEFT JOIN leaked l ON s.doc_id = l.doc_id
+WHERE s.split <> 'train'
+GROUP BY s.split, s.lang
+"""
+
+
+@register(
+    "eval_holdout_decontaminated",
+    oracle=_HOLDOUT_SQL,
+    tags=("dedup", "llmprep"),
+)
+def eval_holdout_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage guard — the step between splitting and
+    evaluating that keeps the holdout honest: a val/test document that
+    NEAR-duplicates any train document leaks training signal into the
+    metric (Lee et al. 2021 measure exactly this inflation), and exact
+    dedup can't see it. Composes the deterministic md5 split
+    (split_train_holdout's assignment) with the MinHash-verified
+    near-dup pair set (dedup_minhash_lsh's machinery): a holdout doc
+    is LEAKED if any verified pair connects it to a train doc, in
+    either pair orientation. Reports per-(split, lang) doc / leaked /
+    clean counts — the clean set is what an honest eval runs on.
+
+    Scale shape: the pair set is the sub-quadratic banded join (built
+    once, here reused via the registered query); split assignment is a
+    pure map-side hash predicate; leak detection is two keyed joins of
+    the (small) pair list against the split frame and one hash-agg.
+    Nothing new shuffles at corpus scale beyond what the pair build
+    already paid."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    bucket = X.md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    splits = d.select("doc_id", "lang", split.alias("split"))
+    sym = pairs.select(
+        F.col("doc_a").alias("h_id"), F.col("doc_b").alias("t_id")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("h_id"), F.col("doc_a").alias("t_id"))
+    )
+    train_ids = splits.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("t_id")
+    )
+    leaked = (
+        sym.join(train_ids, "t_id", "leftsemi")
+        .select(F.col("h_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_leaked", F.lit(1))
+    )
+    holdout = splits.filter(F.col("split") != "train")
+    return (
+        holdout.join(leaked, "doc_id", "left")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_leaked", F.lit(0))).alias("n_leaked"),
+            F.sum(
+                F.when(F.col("is_leaked").isNull(), 1).otherwise(0)
+            ).alias("n_clean"),
+        )
     )
 

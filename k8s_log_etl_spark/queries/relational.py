@@ -2948,3 +2948,68 @@ def q20_recent_demand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnostics (run BEFORE you shuffle 100 TB on a key)
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+_SKEW_SQL = f"""
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
+         user_id, cnt,
+         cnt * 1000000 // t.n_rows AS share_ppm,
+         (cnt * t.n_keys * 1000000) // t.n_rows AS hot_ratio_ppm,
+         t.n_rows, t.n_keys
+  FROM c, t
+) WHERE rank <= {SKEW_TOP}
+"""
+
+
+@register("profile_key_skew", oracle=_SKEW_SQL, tags=("agg", "relational"))
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the profiling pass a 100 TB
+    pipeline runs BEFORE shuffling on a key (join_skew_salted is the
+    remedy; this is the instrument that tells you whether you need
+    it): per-key frequency tally, then the SKEW_TOP hottest keys with
+    integer-exact shares — share_ppm (key's fraction of all rows, in
+    parts per million) and hot_ratio_ppm (key count over the MEAN key
+    count, in ppm — 1_000_000 means perfectly uniform; a straggler
+    task at ratio R takes ~R× the mean task's time, so this column IS
+    the salting-factor estimate).
+
+    Scale shape: one map-side-partial hash-agg over the fact table
+    (the only pass over data), a 1-row totals frame broadcast back,
+    global top-k via TakeOrderedAndProject (per-partition heaps, no
+    global sort), and the rank window runs AFTER the limit — over
+    SKEW_TOP rows, never the key space. All ratios are BIGINT
+    divisions — exact cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    top = (
+        c.crossJoin(F.broadcast(t))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(SKEW_TOP)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "rank",
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div n_rows").alias("share_ppm"),
+            F.expr("(cnt * n_keys * 1000000) div n_rows").alias("hot_ratio_ppm"),
+            "n_rows",
+            "n_keys",
+        )
+    )

@@ -70,6 +70,16 @@ CONTRACTS = {
     ),
     # retrieval eval: rides the RAG output; label joins broadcast
     "retrieval_eval_ndcg": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # skew profiler: one hash-agg over the fact table, top-k via
+    # per-partition heaps, totals as a broadcast one-row frame (the
+    # only NLJ), rank window AFTER the limit
+    "profile_key_skew": (
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+        [],
+    ),
+    # leakage guard: pair set materialized once, split predicates
+    # map-side, leak joins keyed
+    "eval_holdout_decontaminated": (["Scan ExistingRDD"], ["NestedLoop"]),
     # the brute baselines: broadcast NLJ is the only acceptable shape
     "knn_brute_cosine": (["BroadcastNestedLoopJoin"], []),
     # small-dim joins broadcast
