@@ -1037,17 +1037,18 @@ BPE_ENCODE_TOP = 50
 _BPE_D1, _BPE_D2 = "\x01", "\x02"
 
 
-def _bpe_unrolled_sql() -> str:
-    """DuckDB oracle: the same N merge rounds unrolled as CTEs (the
-    kmeans_ivf_train discipline — each round is a deterministic
-    recurrence: pair-count hash-agg, argmax with (weight DESC, a, b)
-    tie-break, one literal replace). Binary string collation on both
-    engines makes the tie-break identical."""
+def _bpe_cte_chain() -> str:
+    """The unrolled BPE merge recurrence as a CTE chain ending in
+    `final(term, freq, s)` — shared by the encode oracle and the
+    tokenizer-aware packing oracle (the kmeans_ivf_train discipline —
+    each round is a deterministic recurrence: pair-count hash-agg,
+    argmax with (weight DESC, a, b) tie-break, one literal replace).
+    Binary string collation on both engines makes the tie-break
+    identical."""
     d1, d2 = "chr(1)", "chr(2)"
     sep = f"{d2} || {d1}"
     syms = f"string_split(substr(enc, 2, length(enc) - 2), {sep})"
-    sql = f"""
-WITH toks AS (
+    sql = f"""toks AS (
   SELECT lower(unnest({_WORDS_SQL})) AS term FROM documents
 ),
 vocab AS (
@@ -1081,14 +1082,19 @@ enc{r + 1} AS (
 )"""
     n = BPE_MERGE_ROUNDS
     sql += f""",
-final AS (SELECT term, freq, {syms} AS s FROM enc{n}),
+final AS (SELECT term, freq, {syms} AS s FROM enc{n})"""
+    return sql
+
+
+def _bpe_unrolled_sql() -> str:
+    return f"""
+WITH {_bpe_cte_chain()},
 tot AS (SELECT CAST(sum(freq * len(s)) AS BIGINT) AS corpus_tokens FROM final)
 SELECT term, array_to_string(s, ' ') AS token_seq,
        CAST(len(s) AS BIGINT) AS n_tokens, freq, corpus_tokens
 FROM final, tot
 ORDER BY freq DESC, term
 LIMIT {BPE_ENCODE_TOP}"""
-    return sql
 
 
 def _bpe_syms() -> F.Column:
@@ -1127,6 +1133,29 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized frame instead of recomputing k rounds of lineage.
     Final corpus_tokens is one scalar agg broadcast back onto the
     top-K projection."""
+    final = _bpe_encoded_vocab(spark, sf_dir)
+    tot = final.agg(
+        F.sum(F.col("freq") * F.size("s")).alias("corpus_tokens")
+    )
+    return (
+        final.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.array_join("s", " ").alias("token_seq"),
+            F.size("s").cast("bigint").alias("n_tokens"),
+            "freq",
+            "corpus_tokens",
+        )
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(BPE_ENCODE_TOP)
+    )
+
+
+def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE_MERGE_ROUNDS merges and return the encoded vocabulary
+    frame (term, freq, s = final symbol array) — the Spark twin of the
+    oracle's `final` CTE, shared by bpe_encode_corpus and
+    pack_chunks_bpe_budget."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     toks = d.select(F.explode(_words()).alias("raw")).select(
         F.lower(F.col("raw")).alias("term")
@@ -1178,22 +1207,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_BPE_D1 + a + b + _BPE_D2),
             ),
         )
-    final = enc.select("term", "freq", _bpe_syms().alias("s"))
-    tot = final.agg(
-        F.sum(F.col("freq") * F.size("s")).alias("corpus_tokens")
-    )
-    return (
-        final.crossJoin(F.broadcast(tot))
-        .select(
-            "term",
-            F.array_join("s", " ").alias("token_seq"),
-            F.size("s").cast("bigint").alias("n_tokens"),
-            "freq",
-            "corpus_tokens",
-        )
-        .orderBy(F.desc("freq"), F.asc("term"))
-        .limit(BPE_ENCODE_TOP)
-    )
+    return enc.select("term", "freq", _bpe_syms().alias("s"))
 
 
 # ---------------------------------------------------------------------------
@@ -2268,4 +2282,97 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rr_q", rr)
         .select("query_doc", "n_retrieved", "dcg_q", "idcg_q", "ndcg", "rr_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-aware packing (pack by BPE token counts, not whitespace)
+# ---------------------------------------------------------------------------
+
+_PACK_BPE_SQL = f"""
+WITH {_bpe_cte_chain()},
+vocabtok AS (SELECT term, CAST(len(s) AS BIGINT) AS wtok FROM final),
+doc_words AS (
+  SELECT d.doc_id, d.lang, lower(t.w) AS term
+  FROM documents d, unnest({_WORDS_SQL}) AS t(w)
+),
+doctok AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce((
+           SELECT sum(coalesce(v.wtok, 0))
+           FROM doc_words dw LEFT JOIN vocabtok v USING (term)
+           WHERE dw.doc_id = d.doc_id
+         ), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+),
+offsets AS (
+  SELECT lang, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM doctok
+)
+SELECT lang, CAST(floor(off / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM offsets
+GROUP BY 1, 2
+"""
+
+
+@register("pack_chunks_bpe_budget", oracle=_PACK_BPE_SQL, tags=("llmprep", "text"))
+def pack_chunks_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing — pack_chunks_budget driven by
+    the TRAINED tokenizer's token counts instead of whitespace words,
+    which is what a real pretraining loader packs by (a 2048-TOKEN
+    budget, where token means BPE token): train the merges
+    (bpe_encode_corpus's recurrence via the shared _bpe_encoded_vocab),
+    price every word once at the VOCABULARY level (len of its final
+    symbol sequence), roll doc token counts up from word prices, then
+    assign each doc its running-offset chunk exactly as
+    pack_chunks_budget does.
+
+    Why vocabulary-priced: re-encoding every corpus token would be
+    linear in corpus tokens per merge round; pricing the distinct-word
+    vocabulary once and joining prices back (one keyed join of the
+    exploded word stream against the |vocab|-sized price frame —
+    broadcast at realistic vocab sizes) keeps the corpus-sized work to
+    a single scan + hash-agg, the same two-level-aggregation argument
+    that makes BPE training itself tractable at 100 TB. Words outside
+    the priced vocabulary (none in practice — the only exclusions are
+    framing-byte terms) price at 0 in both engines.
+
+    Per-lang packing here uses the single-window form (the oracle's
+    shape); the PACK_RANGES distributed-prefix-sum rewrite
+    pack_chunks_budget carries applies verbatim when per-lang volume
+    needs it."""
+    vocab = _bpe_encoded_vocab(spark, sf_dir).select(
+        "term", F.size("s").cast("bigint").alias("wtok")
+    )
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    dw = d.select(
+        "doc_id", "lang", F.explode_outer(_words()).alias("raw")
+    ).select("doc_id", "lang", F.lower("raw").alias("term"))
+    doctok = (
+        dw.join(vocab, "term", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.coalesce(F.sum(F.coalesce("wtok", F.lit(0))), F.lit(0)).alias(
+                "n_tokens"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        doctok.withColumn("chunk_id", F.floor(off / PACK_BUDGET))
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
     )

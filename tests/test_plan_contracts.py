@@ -80,6 +80,9 @@ CONTRACTS = {
     # leakage guard: pair set materialized once, split predicates
     # map-side, leak joins keyed
     "eval_holdout_decontaminated": (["Scan ExistingRDD"], ["NestedLoop"]),
+    # tokenizer-aware packing: word prices come off the checkpointed
+    # encoded vocabulary; the corpus-sized work is one scan + hash-agg
+    "pack_chunks_bpe_budget": (["Scan ExistingRDD"], []),
     # the brute baselines: broadcast NLJ is the only acceptable shape
     "knn_brute_cosine": (["BroadcastNestedLoopJoin"], []),
     # small-dim joins broadcast
