@@ -365,3 +365,42 @@ def test_retrieval_eval_metric_invariants(spark):
         assert 0.0 <= r["ndcg"] <= 1.0
         assert r["rr_q"] in allowed_rr
         assert 1 <= r["n_retrieved"] <= 3
+
+
+def test_pack_bpe_budget_matches_python_model(spark, tmp_path):
+    """pack_chunks_bpe_budget == a pure-Python model: train merges
+    with _py_bpe, price each word by its final symbol count, pack docs
+    per lang in doc_id order by running-offset chunks."""
+    texts = [
+        (1, "aaaa aaaa banana band bandana", "en"),
+        (2, "ababab abab banana nation", "en"),
+        (3, "internationalization nation national aaaa", "en"),
+        (4, "banana banana banana aaaa ab", "de"),
+        (5, "band bandana international", "de"),
+    ]
+    rows = [(i, t, lang, "src", len(t)) for i, t, lang in texts]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["lang"], r["chunk_id"]): (r["n_docs"], r["n_tokens"])
+        for r in llmprep.pack_chunks_bpe_budget(spark, str(tmp_path)).collect()
+    }
+
+    vocab, seqs = _py_bpe([t for _, t, _ in texts], llmprep.BPE_MERGE_ROUNDS)
+    price = {t: len(s) for t, s in seqs.items()}
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for i, t, lang in texts:
+        n_tok = sum(price[w.lower()] for w in t.split() if w)
+        by_lang.setdefault(lang, []).append((i, n_tok))
+    expect: dict[tuple[str, int], list[int]] = {}
+    for lang, docs in by_lang.items():
+        off = 0
+        for _i, n_tok in sorted(docs):
+            chunk = off // llmprep.PACK_BUDGET
+            agg = expect.setdefault((lang, chunk), [0, 0])
+            agg[0] += 1
+            agg[1] += n_tok
+            off += n_tok
+    assert got == {k: tuple(v) for k, v in expect.items()}
