@@ -1351,12 +1351,26 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("da"), "s")
-    b = sh.select(F.col("doc_id").alias("db"), "s")
+    # Verify via per-doc shingle ARRAYS + map-side array_intersect
+    # (round-6 same-session A/B): the exploded verify (join candidates
+    # back onto both shingle streams, then a (da, db) hash-agg) pays a
+    # candidate-x-shingles blow-up and a counting shuffle; grouping
+    # each doc's (already distinct) shingles once and intersecting
+    # arrays per candidate pair does the same exact count inside
+    # codegen with NO post-join shuffle. Measured (matched, one
+    # session): synth-sf1 21.2 -> 11.6 s (1.8x), scaling on 10x data
+    # 5.2x -> ~2.3x; sf0.1 pays 4.0 -> 5.1 s (collect_list over all
+    # docs dominates at fixed-overhead scale) — the data-linear regime
+    # is the design target, the crossover is documented in BASELINE.md.
+    # Building arrays only for candidate docs (semi-join + checkpoint)
+    # measured WORSE at both scales (negative result, PLANS.md).
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("s").alias("arr"))
+    aa = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
+    bb = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
     common = (
-        cand.join(a, "da").join(b, ["db", "s"]).groupBy("da", "db", "sza", "szb").agg(
-            F.count(F.lit(1)).alias("c")
-        )
+        cand.join(aa, "da")
+        .join(bb, "db")
+        .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b")))
     )
     jac = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
     return (
