@@ -46,14 +46,15 @@ def register(
 # Round 6 rotation: after round 5, the union of r1-r5 driver rows
 # covers every registered query except the by-design no-oracle
 # agg_countmin_events, with all 50 r5 slots green — so round 6 spends
-# the window on (a) the nine round-6 ADDITIONS (BPE encode,
+# the window on (a) the eleven round-6 ADDITIONS (BPE encode,
 # perceptual near-dup, incremental near-dup, epoch shuffle, hard
 # negatives, retrieval NDCG, skew profiler, leakage guard,
-# tokenizer-aware packing), (b) the
+# tokenizer-aware packing, interval-overlap sweep, record linkage),
+# (b) the
 # one round-6 MODIFIED implementation (dedup_prefix_filter_jaccard —
 # PPJoin length+positional filters; a green r5 row says nothing about
 # new code), and (c)-(d) the OLDEST-green refresh: every r1-latest
-# query (10) and 26 of the 31 oracled r2-latest (the no-oracle
+# query (10) and 24 of the 31 oracled r2-latest (the no-oracle
 # agg_approx_events stays out of the window with agg_countmin_events,
 # both bounded in tests/test_approx.py instead).
 # (f) Families whose members are all r4/r5-latest
@@ -65,12 +66,13 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-6 additions (9) ---
+    # --- (a) round-6 additions (11) ---
     "bpe_encode_corpus", "dedup_perceptual_ahash",
     "dedup_minhash_incremental", "epoch_shuffle_order",
     "knn_hard_negatives", "retrieval_eval_ndcg",
     "profile_key_skew", "eval_holdout_decontaminated",
-    "pack_chunks_bpe_budget",
+    "pack_chunks_bpe_budget", "supplier_shipment_overlap",
+    "entity_resolve_parts",
     # --- (b) round-6 modified implementations (1) ---
     "dedup_prefix_filter_jaccard",
     # --- (c) oldest-green refresh: all 10 r1-latest ---
@@ -78,19 +80,20 @@ _CHECKED_FIRST = [
     "agg_minmax_by", "agg_stats_events", "join_anti_customers",
     "join_full_outer_nations", "join_semi_customers",
     "pivot_status_by_year", "set_ops_customers",
-    # --- (d) oldest-green refresh: 26 of the 31 oracled r2-latest
+    # --- (d) oldest-green refresh: 24 of the 31 oracled r2-latest
     # (agg_rollup_orders, q13_order_distribution, having_large_orders,
-    # window_running_total and correlated_not_exists yield their slots
-    # to the last five round-6 additions — their agg/relational/window
-    # families keep multiple in-window members and all five stay
+    # window_running_total, correlated_not_exists, events_props_typed
+    # and scalar_subquery_outliers yield their slots to the last seven
+    # round-6 additions — their agg/relational/window/multimodal
+    # families keep multiple in-window members and all seven stay
     # covered by the full-surface pytest oracle run) ---
     "dedup_embedding_cosine", "dedup_exact", "embedding_centroids",
-    "events_props_typed", "events_resample_1h",
+    "events_resample_1h",
     "join_asof_last_purchase", "knn_brute_cosine", "knn_ivf_grid",
     "multimodal_blob_meta", "multimodal_frame_sample",
     "multimodal_resize_stats",
     "q1_pricing_summary", "q3_top_unshipped", "q5_regional_revenue",
-    "sample_stratified_topk", "scalar_subquery_outliers",
+    "sample_stratified_topk",
     "stream_session_windows", "stream_tumbling_counts",
     "text_fingerprint_clusters", "text_langid_confusion",
     "text_quality_score", "text_token_bpeish", "text_token_stats",

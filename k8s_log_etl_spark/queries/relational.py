@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.tables import load_table
 
@@ -3011,5 +3012,287 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt * n_keys * 1000000) div n_rows").alias("hot_ratio_ppm"),
             "n_rows",
             "n_keys",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval overlap timeline (boundary sweep, no interval self-join)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT l.l_suppkey AS suppkey, o.o_orderdate AS lo, l.l_shipdate AS hi
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+bounds AS (
+  SELECT suppkey, lo AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT suppkey, hi + INTERVAL 1 DAY, -1 FROM iv
+),
+daily AS (
+  SELECT suppkey, CAST(d AS DATE) AS d, CAST(sum(delta) AS BIGINT) AS delta
+  FROM bounds GROUP BY 1, 2
+),
+runs AS (
+  SELECT suppkey, d, delta,
+         sum(delta) OVER (PARTITION BY suppkey ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run,
+         lead(d) OVER (PARTITION BY suppkey ORDER BY d) AS nxt
+  FROM daily
+),
+peaked AS (
+  SELECT suppkey, d, run, nxt,
+         max(run) OVER (PARTITION BY suppkey) AS peak
+  FROM runs
+)
+SELECT suppkey,
+       CAST(max(peak) AS BIGINT) AS peak_concurrent,
+       min(CASE WHEN run = peak THEN d END) AS first_peak_date,
+       CAST(sum(CASE WHEN run > 0 AND nxt IS NOT NULL
+                     THEN date_diff('day', d, nxt) ELSE 0 END) AS BIGINT)
+         AS covered_days
+FROM peaked GROUP BY suppkey
+"""
+
+
+@register("supplier_shipment_overlap", oracle=_OVERLAP_SQL, tags=("temporal", "relational"))
+def supplier_shipment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap timeline per supplier — the boundary-sweep
+    primitive behind "how many X are active at time t" questions
+    (concurrent open order-lines here — ordered but not yet shipped;
+    concurrent sessions, leases, or training jobs elsewhere): each
+    [order date, ship date] interval becomes a
+    +1/-1 boundary pair, a per-key running sum walks the merged
+    boundary timeline, and the flattened disjoint segments yield the
+    peak concurrency, its first date, and total covered days — WITHOUT
+    ever joining intervals against intervals.
+
+    Scale shape: the naive formulation is an interval self-join
+    (O(n^2) per key and a NestedLoop plan — forbidden here by the
+    global contract); the sweep is 2 boundary rows per interval, ONE
+    hash-agg collapsing same-day boundaries, and one partitioned
+    window pass (per-supplier state only). Dates stay DATE-typed
+    integers end to end — no float, engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("o_orderdate").alias("lo"),
+        F.col("l_shipdate").alias("hi"),
+    )
+    bounds = iv.select(
+        "suppkey", F.col("lo").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "suppkey", F.date_add("hi", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = bounds.groupBy("suppkey", "d").agg(
+        F.sum("delta").cast("bigint").alias("delta")
+    )
+    w = Window.partitionBy("suppkey").orderBy("d")
+    runs = daily.select(
+        "suppkey",
+        "d",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.lead("d").over(w).alias("nxt"),
+    ).withColumn("peak", F.max("run").over(Window.partitionBy("suppkey")))
+    return runs.groupBy("suppkey").agg(
+        F.max("peak").cast("bigint").alias("peak_concurrent"),
+        F.min(F.when(F.col("run") == F.col("peak"), F.col("d"))).alias(
+            "first_peak_date"
+        ),
+        F.sum(
+            F.when(
+                (F.col("run") > 0) & F.col("nxt").isNotNull(),
+                F.datediff("nxt", "d"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("covered_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution (record linkage): dirty catalog -> canonical parts
+# ---------------------------------------------------------------------------
+
+ER_OFFSET = 5_000_000  # dirty-record ids = source partkey + offset
+
+# corrupt(x, pk): drop ONE character — position 2..len (1-based), chosen
+# by pk — so the first character always survives (the blocking key
+# depends on it). Words shorter than 2 chars pass through unchanged.
+_ER_CORRUPT = (
+    "CASE WHEN length({x}) < 2 THEN {x} ELSE "
+    "substr({x}, 1, CAST(1 + pk % (length({x}) - 1) AS INTEGER)) || "
+    "substr({x}, CAST(1 + pk % (length({x}) - 1) AS INTEGER) + 2) END"
+)
+
+_ER_TRI = (
+    "list_distinct(list_transform(range(1, greatest(length({nm}) - 1, 1)), "
+    "i -> substr({nm}, CAST(i AS INTEGER), 3)))"
+)
+
+_ER_SQL = f"""
+WITH pw AS (
+  SELECT p_partkey AS pk, string_split(p_name, ' ') AS w FROM part
+),
+dirty AS (
+  SELECT pk + {ER_OFFSET} AS did, pk AS src,
+         CASE WHEN pk % 2 = 0
+              THEN {_ER_CORRUPT.format(x='w[1]')} || ' ' || w[2]
+              ELSE w[1] || ' ' || {_ER_CORRUPT.format(x='w[2]')} END AS nm,
+         CASE WHEN pk % 2 = 0
+              THEN [{_ER_CORRUPT.format(x='w[1]')}, w[2]]
+              ELSE [w[1], {_ER_CORRUPT.format(x='w[2]')}] END AS dw
+  FROM pw
+),
+cb AS (
+  SELECT pk, p_name AS nm, bg FROM (
+    SELECT p_partkey AS pk, p_name,
+           unnest([w[1] || '|' || substr(w[2], 1, 1),
+                   w[2] || '|' || substr(w[1], 1, 1)]) AS bg
+    FROM part, (SELECT 1) _x
+    , LATERAL (SELECT string_split(p_name, ' ') AS w) _w
+  )
+),
+db_ AS (
+  SELECT did, src, nm,
+         unnest([dw[1] || '|' || substr(dw[2], 1, 1),
+                 dw[2] || '|' || substr(dw[1], 1, 1)]) AS bg
+  FROM dirty
+),
+cand AS (
+  SELECT DISTINCT d.did, d.src, d.nm AS dnm, c.pk, c.nm AS cnm
+  FROM db_ d JOIN cb c USING (bg)
+),
+scored AS (
+  SELECT did, src, pk,
+         len(list_intersect({_ER_TRI.format(nm='dnm')}, {_ER_TRI.format(nm='cnm')})) * 1.0
+           / len(list_distinct(list_concat({_ER_TRI.format(nm='dnm')}, {_ER_TRI.format(nm='cnm')})))
+           AS score
+  FROM cand
+),
+ranked AS (
+  SELECT did, src, pk, score,
+         row_number() OVER (PARTITION BY did ORDER BY score DESC, pk) AS rn
+  FROM scored
+)
+SELECT r.did AS dirty_id, r.pk AS matched_partkey,
+       round(r.score, 6) AS score,
+       (p1.p_name = p2.p_name) AS is_true
+FROM ranked r
+JOIN part p1 ON r.pk = p1.p_partkey
+JOIN part p2 ON r.src = p2.p_partkey
+WHERE r.rn = 1
+"""
+
+
+def _er_corrupt(x: F.Column, pk: F.Column) -> F.Column:
+    dp = (F.lit(1) + pk % (F.length(x) - 1)).cast("int")
+    dropped = F.concat(
+        x.substr(F.lit(1), dp), x.substr(dp + 2, F.length(x))
+    )
+    return F.when(F.length(x) < 2, x).otherwise(dropped)
+
+
+@register("entity_resolve_parts", oracle=_ER_SQL, tags=("relational", "dedup"))
+def entity_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage — the catalog-merge operator
+    (dirty product feed -> canonical catalog; metadata reconciliation
+    for a training-data registry): a manufactured DIRTY catalog (every
+    2-word part name suffers one deterministic character-drop typo in
+    one word, never the word's first character — the re-encoded-twin
+    discipline applied to records) is matched back to the canonical
+    parts by blocking + scoring + best-match selection.
+
+    Shape (the standard sub-quadratic linkage pipeline):
+      1. BLOCK on (full word, first char of the other word), both
+         orientations — LOSSLESS for this corruption model (one word
+         is always intact and the typo never eats a first character),
+         and 26x rarer than bare-word blocking, which on a fixed
+         product vocabulary degrades to quadratic candidate volume.
+      2. SCORE candidates by character-trigram Jaccard over the whole
+         name (typo-tolerant where word-equality is not), all inside
+         codegen via array intersect/union on distinct trigram sets.
+      3. RESOLVE best match per dirty record via a per-key window,
+         ties (score DESC, partkey ASC) — WindowGroupLimit prunes
+         map-side.
+    is_true reports ENTITY-level resolution accuracy: the matched
+    record carries the same canonical name as the true source (the
+    synthetic catalog reuses names across partkeys, so row-identity
+    would punish ties between identical entities — the match is
+    correct if it lands on the right NAME). An eval the operator
+    carries for free because the corruption is manufactured;
+    production linkage reports score distributions instead.
+    tests/test_llmprep_properties.py pins the accuracy floor."""
+    pw = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("nm"),
+        F.split("p_name", " ").alias("w"),
+    )
+    w1, w2 = F.col("w")[0], F.col("w")[1]
+    c1 = _er_corrupt(w1, F.col("pk"))
+    c2 = _er_corrupt(w2, F.col("pk"))
+    dw = F.when(
+        F.col("pk") % 2 == 0, F.array(c1, w2)
+    ).otherwise(F.array(w1, c2))
+    dirty = pw.select(
+        (F.col("pk") + ER_OFFSET).alias("did"),
+        F.col("pk").alias("src"),
+        dw.alias("dw"),
+    ).withColumn("nm", F.array_join("dw", " "))
+
+    def blocked(df, wcol, *keep):
+        a, b = F.col(wcol)[0], F.col(wcol)[1]
+        keys = F.array(
+            F.concat(a, F.lit("|"), F.substring(b, 1, 1)),
+            F.concat(b, F.lit("|"), F.substring(a, 1, 1)),
+        )
+        return df.select(*keep, "nm", F.explode(keys).alias("bg"))
+
+    cb = blocked(pw, "w", "pk")
+    db = blocked(dirty, "dw", "did", "src")
+    cand = (
+        db.alias("d")
+        .join(cb.alias("c"), "bg")
+        .select(
+            F.col("d.did").alias("did"),
+            F.col("d.src").alias("src"),
+            F.col("d.nm").alias("dnm"),
+            F.col("c.pk").alias("pk"),
+            F.col("c.nm").alias("cnm"),
+        )
+        .distinct()
+    )
+
+    def tri(nm: str) -> F.Column:
+        c = F.col(nm)
+        idx = F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: c.substr(i, F.lit(3)))
+        )
+
+    inter = F.size(F.array_intersect(tri("dnm"), tri("cnm")))
+    union = F.size(F.array_distinct(F.concat(tri("dnm"), tri("cnm"))))
+    scored = cand.select("did", "src", "pk", (inter / union).alias("score"))
+    w_best = Window.partitionBy("did").orderBy(F.desc("score"), F.asc("pk"))
+    names = pw.select("pk", "nm")
+    n1 = names.select(F.col("pk"), F.col("nm").alias("m_nm"))
+    n2 = names.select(
+        F.col("pk").alias("src"), F.col("nm").alias("s_nm")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .join(n1, "pk")
+        .join(n2, "src")
+        .select(
+            F.col("did").alias("dirty_id"),
+            F.col("pk").alias("matched_partkey"),
+            F.round("score", 6).alias("score"),
+            (F.col("m_nm") == F.col("s_nm")).alias("is_true"),
         )
     )

@@ -404,3 +404,26 @@ def test_pack_bpe_budget_matches_python_model(spark, tmp_path):
             agg[1] += n_tok
             off += n_tok
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_entity_resolution_accuracy_floor(spark):
+    """entity_resolve_parts: every dirty record resolves (lossless
+    blocking for the corruption model), and entity-level accuracy
+    (matched name == source name) clears a 0.9 floor — char-trigram
+    scoring must recover one-character typos against a catalog with
+    heavy name reuse."""
+    import os
+
+    import pytest as _pytest
+
+    from k8s_log_etl_spark.queries.relational import entity_resolve_parts
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "part.parquet")):
+        _pytest.skip("sf0.01 testdata not present")
+    n_parts = spark.read.parquet(os.path.join(sf, "part.parquet")).count()
+    rows = entity_resolve_parts(spark, sf).collect()
+    assert len(rows) == n_parts  # every dirty record found a block
+    acc = sum(1 for r in rows if r["is_true"]) / len(rows)
+    assert acc >= 0.9, acc
+    assert all(0.0 < r["score"] <= 1.0 for r in rows)

@@ -83,6 +83,11 @@ CONTRACTS = {
     # tokenizer-aware packing: word prices come off the checkpointed
     # encoded vocabulary; the corpus-sized work is one scan + hash-agg
     "pack_chunks_bpe_budget": (["Scan ExistingRDD"], []),
+    # interval overlap: boundary sweep + per-key window — NEVER an
+    # interval-vs-interval join
+    "supplier_shipment_overlap": (["Window"], ["NestedLoop"]),
+    # record linkage: keyed block join + per-dirty-record top-1
+    "entity_resolve_parts": (["WindowGroupLimit"], ["NestedLoop"]),
     # the brute baselines: broadcast NLJ is the only acceptable shape
     "knn_brute_cosine": (["BroadcastNestedLoopJoin"], []),
     # small-dim joins broadcast
