@@ -107,11 +107,12 @@ _CHECKED_FIRST = [
     "training_mix_pipeline", "corpus_snapshot_diff",
     "ann_recall_eval", "graph_pagerank_copurchase",
 ]
-# agg_countmin_events is sketch-only (no oracle by construction,
-# bounded against exact answers in tests/test_approx.py) — it never
-# takes a checked slot. agg_approx_events likewise has no oracle (its
-# r2 CORRECTNESS row is a dead `no_oracle` artifact, not a failure —
-# the query is bounded against exact answers in tests/test_approx.py).
+# agg_countmin_events and agg_heavyhitters_events are sketch-only (no
+# oracle by construction, bounded against exact answers in
+# tests/test_approx.py) — they never take checked slots.
+# agg_approx_events likewise has no oracle (its r2 CORRECTNESS row is
+# a dead `no_oracle` artifact, not a failure — the query is bounded
+# against exact answers in tests/test_approx.py).
 
 
 def load_all() -> dict[str, QuerySpec]:

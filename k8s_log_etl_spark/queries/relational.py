@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
 
 def _dec(col: str) -> F.Column:
@@ -3296,3 +3296,71 @@ def entity_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_nm") == F.col("s_nm")).alias("is_true"),
         )
     )
+
+
+HH_K = 50  # Misra-Gries counter budget: error <= n / HH_K
+
+
+@register("agg_heavyhitters_events", tags=("agg", "approx"))
+def agg_heavyhitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries / SpaceSaving heavy hitters — the fourth mergeable
+    sketch beside HLL++, the percentile digest and count-min: one
+    Arrow-batched pass builds a k-counter Misra-Gries summary PER
+    PARTITION (O(1) amortized per element, k counters of state — the
+    fixed-size summary is the whole point), the per-key counter sums
+    merge associatively, and the merged summary is reduced back to k
+    counters by subtracting the (k+1)-th largest combined count
+    (Agarwal et al. 2012, "Mergeable Summaries" — the merge that makes
+    the sketch distributable). Guarantees, bounded in
+    tests/test_approx.py: estimates never exceed the true count,
+    undershoot by at most n/k, and every key with true frequency
+    > n/k is reported. No DuckDB oracle by construction (sketch
+    contents depend on partition layout); the driver records the
+    rows-only check, same policy as agg_countmin_events.
+
+    At 100 TB: the summary is k rows per partition regardless of data
+    volume, the merge shuffles P*k rows, and the final trim handles a
+    frame small enough to collect — the shape of every streaming
+    top-k/trending pipeline."""
+    from collections.abc import Iterator
+
+    ev = ensure_min_parallelism(load_table(spark, sf_dir, "events"), spark).select(
+        "event_type"
+    )
+
+    def mg(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["event_type"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < HH_K:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame(
+            {"event_type": list(counters), "cnt": list(counters.values())}
+        )
+
+    summaries = ev.mapInPandas(mg, "event_type string, cnt long")
+    combined = (
+        summaries.groupBy("event_type")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .collect()
+    )
+    thresh = combined[HH_K]["cnt"] if len(combined) > HH_K else 0
+    out = [
+        (r["event_type"], int(r["cnt"] - thresh))
+        for r in combined[:HH_K]
+        if r["cnt"] - thresh > 0
+    ]
+    return spark.createDataFrame(out, "event_type string, est_count long")

@@ -364,3 +364,38 @@ def test_ann_recall_policy_midpoint_near_random(spark):
           f"refine={r_refine:.2f} (K={cells},nprobe={nprobe},shortlist={shortlist})")
     assert r_lsh >= 0.5
     assert r_refine >= 0.5
+
+
+def test_heavy_hitters_misra_gries_bounds(spark):
+    """agg_heavyhitters_events: estimates never exceed true counts,
+    undershoot by at most n/k, and every key with true frequency
+    > n/k is reported — the Misra-Gries guarantee surviving the
+    per-partition build + mergeable-summaries merge."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from k8s_log_etl_spark.queries.relational import HH_K, agg_heavyhitters_events
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        _pytest.skip("sf0.01 testdata not present")
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in agg_heavyhitters_events(spark, sf).collect()
+    }
+    assert est  # non-degenerate at this SF
+    bound = n / HH_K
+    for k, e in est.items():
+        assert e <= exact[k], (k, e, exact[k])
+        assert e >= exact[k] - bound, (k, e, exact[k], bound)
+    for k, c in exact.items():
+        if c > bound:
+            assert k in est, (k, c, bound)
