@@ -785,3 +785,117 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-score calibration (reliability diagram of score vs gate)
+# ---------------------------------------------------------------------------
+
+CALIB_Q = 1_000_000  # per-doc score quantized to integer micro-units
+
+_CALIB_SQL = f"""
+WITH per_doc AS (
+  SELECT len({_WORDS_SQL}) AS n_words,
+         list_aggregate(list_transform({_WORDS_SQL}, x -> len(x)), 'sum')
+           AS word_chars,
+         len(list_filter({_WORDS_SQL}, x -> len(x) <= 2)) AS n_short,
+         len(list_filter({_WORDS_SQL},
+             x -> list_contains({list(STOPWORDS)!r}, lower(x)))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT CASE WHEN n_words = 0 THEN 0
+              ELSE least(n_stop * 10 // n_words, 9) END AS bin,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE n_stop * {CALIB_Q} // n_words END AS score_q,
+         CASE WHEN NOT (
+                (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
+             OR (n_words = 0
+                 OR word_chars * 1.0 / n_words < {GOPHER_MIN_MEAN_LEN}
+                 OR word_chars * 1.0 / n_words > {GOPHER_MAX_MEAN_LEN})
+             OR (n_words > 0 AND n_short * 1.0 / n_words > {GOPHER_MAX_SHORT_FRAC})
+             OR (n_stop < {GOPHER_MIN_STOPWORDS})
+           ) THEN 1 ELSE 0 END AS pass_
+  FROM per_doc
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pass_) AS BIGINT) AS n_pass,
+       round(sum(pass_) * 1.0 / count(*), 6) AS pass_rate,
+       round(sum(score_q) * 1.0 / count(*) / {CALIB_Q}, 6) AS mean_score,
+       round(abs(sum(score_q) * 1.0 / count(*) / {CALIB_Q}
+                 - sum(pass_) * 1.0 / count(*)), 6) AS calib_gap
+FROM scored GROUP BY bin
+"""
+
+
+@register("quality_score_calibration", oracle=_CALIB_SQL, tags=("text", "llmprep"))
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a quality score — the calibration eval
+    a score-driven keep/drop pipeline runs before trusting thresholds
+    (does the score's value actually predict gate outcomes?): per-doc
+    stopword ratio (a standard fluency proxy) binned into value
+    deciles, each bin reporting observed Gopher-gate pass rate, mean
+    score, and the calibration gap |mean score - pass rate| (the
+    per-bin term of expected calibration error).
+
+    Exactness discipline: bin = 10*n_stop div n_words and the score
+    sum are INTEGER arithmetic (micro-unit quantization, the
+    perplexity-proxy pattern), so bin assignment and aggregates are
+    order-free and engine-exact — only the final display ratios are
+    floats, computed from identical integers in both engines. One
+    narrow pass over the words array (no explode, no Python) + one
+    10-key hash-agg: evaluation cost is the scan, nothing else, at
+    any scale."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    n = F.size(w)
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_short = F.size(F.filter(w, lambda x: F.length(x) <= 2))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    counted = d.select(
+        n.cast("long").alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_short.cast("long").alias("n_short"),
+        n_stop.cast("long").alias("n_stop"),
+    )
+    scored = counted.select(
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0"
+            " ELSE least(n_stop * 10 div n_words, 9) END"
+        ).alias("bin"),
+        F.expr(
+            f"CASE WHEN n_words = 0 THEN 0"
+            f" ELSE n_stop * {CALIB_Q} div n_words END"
+        ).alias("score_q"),
+        F.expr(
+            f"CASE WHEN NOT ("
+            f"(n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})"
+            f" OR (n_words = 0"
+            f"     OR word_chars * 1.0 / n_words < {GOPHER_MIN_MEAN_LEN}"
+            f"     OR word_chars * 1.0 / n_words > {GOPHER_MAX_MEAN_LEN})"
+            f" OR (n_words > 0 AND n_short * 1.0 / n_words > {GOPHER_MAX_SHORT_FRAC})"
+            f" OR (n_stop < {GOPHER_MIN_STOPWORDS})"
+            f") THEN 1 ELSE 0 END"
+        ).alias("pass_"),
+    )
+    return scored.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass_").alias("n_pass"),
+        F.round(F.sum("pass_") / F.count(F.lit(1)), 6).alias("pass_rate"),
+        F.round(F.sum("score_q") / F.count(F.lit(1)) / CALIB_Q, 6).alias(
+            "mean_score"
+        ),
+        F.round(
+            F.abs(
+                F.sum("score_q") / F.count(F.lit(1)) / CALIB_Q
+                - F.sum("pass_") / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("calib_gap"),
+    )
