@@ -3139,54 +3139,59 @@ _ER_SQL = f"""
 WITH pw AS (
   SELECT p_partkey AS pk, string_split(p_name, ' ') AS w FROM part
 ),
+cnames AS (
+  SELECT p_name AS cnm, string_split(p_name, ' ') AS w,
+         min(p_partkey) AS rep_pk
+  FROM part GROUP BY p_name
+),
 dirty AS (
   SELECT pk + {ER_OFFSET} AS did, pk AS src,
          CASE WHEN pk % 2 = 0
               THEN {_ER_CORRUPT.format(x='w[1]')} || ' ' || w[2]
-              ELSE w[1] || ' ' || {_ER_CORRUPT.format(x='w[2]')} END AS nm,
+              ELSE w[1] || ' ' || {_ER_CORRUPT.format(x='w[2]')} END AS dnm,
          CASE WHEN pk % 2 = 0
               THEN [{_ER_CORRUPT.format(x='w[1]')}, w[2]]
               ELSE [w[1], {_ER_CORRUPT.format(x='w[2]')}] END AS dw
   FROM pw
 ),
+dnames AS (
+  SELECT dnm, string_split(dnm, ' ') AS dw
+  FROM (SELECT DISTINCT dnm FROM dirty)
+),
 cb AS (
-  SELECT pk, p_name AS nm, bg FROM (
-    SELECT p_partkey AS pk, p_name,
-           unnest([w[1] || '|' || substr(w[2], 1, 1),
-                   w[2] || '|' || substr(w[1], 1, 1)]) AS bg
-    FROM part, (SELECT 1) _x
-    , LATERAL (SELECT string_split(p_name, ' ') AS w) _w
-  )
+  SELECT cnm, unnest([w[1] || '|' || substr(w[2], 1, 1),
+                      w[2] || '|' || substr(w[1], 1, 1)]) AS bg
+  FROM cnames
 ),
 db_ AS (
-  SELECT did, src, nm,
-         unnest([dw[1] || '|' || substr(dw[2], 1, 1),
-                 dw[2] || '|' || substr(dw[1], 1, 1)]) AS bg
-  FROM dirty
+  SELECT dnm, unnest([dw[1] || '|' || substr(dw[2], 1, 1),
+                      dw[2] || '|' || substr(dw[1], 1, 1)]) AS bg
+  FROM dnames
 ),
 cand AS (
-  SELECT DISTINCT d.did, d.src, d.nm AS dnm, c.pk, c.nm AS cnm
-  FROM db_ d JOIN cb c USING (bg)
+  SELECT DISTINCT d.dnm, c.cnm FROM db_ d JOIN cb c USING (bg)
 ),
 scored AS (
-  SELECT did, src, pk,
+  SELECT dnm, cnm,
          len(list_intersect({_ER_TRI.format(nm='dnm')}, {_ER_TRI.format(nm='cnm')})) * 1.0
            / len(list_distinct(list_concat({_ER_TRI.format(nm='dnm')}, {_ER_TRI.format(nm='cnm')})))
            AS score
   FROM cand
 ),
-ranked AS (
-  SELECT did, src, pk, score,
-         row_number() OVER (PARTITION BY did ORDER BY score DESC, pk) AS rn
-  FROM scored
+best AS (
+  SELECT dnm, cnm, score FROM (
+    SELECT dnm, cnm, score,
+           row_number() OVER (PARTITION BY dnm ORDER BY score DESC, cnm) AS rn
+    FROM scored
+  ) WHERE rn = 1
 )
-SELECT r.did AS dirty_id, r.pk AS matched_partkey,
-       round(r.score, 6) AS score,
-       (p1.p_name = p2.p_name) AS is_true
-FROM ranked r
-JOIN part p1 ON r.pk = p1.p_partkey
-JOIN part p2 ON r.src = p2.p_partkey
-WHERE r.rn = 1
+SELECT d.did AS dirty_id, cn.rep_pk AS matched_partkey,
+       round(b.score, 6) AS score,
+       (b.cnm = p2.p_name) AS is_true
+FROM dirty d
+JOIN best b ON d.dnm = b.dnm
+JOIN cnames cn ON b.cnm = cn.cnm
+JOIN part p2 ON d.src = p2.p_partkey
 """
 
 
@@ -3233,6 +3238,11 @@ def entity_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("nm"),
         F.split("p_name", " ").alias("w"),
     )
+    cnames = (
+        pw.groupBy(F.col("nm").alias("cnm"))
+        .agg(F.min("pk").alias("rep_pk"))
+        .withColumn("w", F.split("cnm", " "))
+    )
     w1, w2 = F.col("w")[0], F.col("w")[1]
     c1 = _er_corrupt(w1, F.col("pk"))
     c2 = _er_corrupt(w2, F.col("pk"))
@@ -3242,29 +3252,24 @@ def entity_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = pw.select(
         (F.col("pk") + ER_OFFSET).alias("did"),
         F.col("pk").alias("src"),
-        dw.alias("dw"),
-    ).withColumn("nm", F.array_join("dw", " "))
+        F.array_join(dw, " ").alias("dnm"),
+    )
+    dnames = dirty.select("dnm").distinct().withColumn(
+        "dw", F.split("dnm", " ")
+    )
 
-    def blocked(df, wcol, *keep):
-        a, b = F.col(wcol)[0], F.col(wcol)[1]
+    def blocked(df, wcol, name_col):
+        a_, b_ = F.col(wcol)[0], F.col(wcol)[1]
         keys = F.array(
-            F.concat(a, F.lit("|"), F.substring(b, 1, 1)),
-            F.concat(b, F.lit("|"), F.substring(a, 1, 1)),
+            F.concat(a_, F.lit("|"), F.substring(b_, 1, 1)),
+            F.concat(b_, F.lit("|"), F.substring(a_, 1, 1)),
         )
-        return df.select(*keep, "nm", F.explode(keys).alias("bg"))
+        return df.select(name_col, F.explode(keys).alias("bg"))
 
-    cb = blocked(pw, "w", "pk")
-    db = blocked(dirty, "dw", "did", "src")
     cand = (
-        db.alias("d")
-        .join(cb.alias("c"), "bg")
-        .select(
-            F.col("d.did").alias("did"),
-            F.col("d.src").alias("src"),
-            F.col("d.nm").alias("dnm"),
-            F.col("c.pk").alias("pk"),
-            F.col("c.nm").alias("cnm"),
-        )
+        blocked(dnames, "dw", "dnm")
+        .join(blocked(cnames, "w", "cnm"), "bg")
+        .select("dnm", "cnm")
         .distinct()
     )
 
@@ -3277,23 +3282,25 @@ def entity_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = F.size(F.array_intersect(tri("dnm"), tri("cnm")))
     union = F.size(F.array_distinct(F.concat(tri("dnm"), tri("cnm"))))
-    scored = cand.select("did", "src", "pk", (inter / union).alias("score"))
-    w_best = Window.partitionBy("did").orderBy(F.desc("score"), F.asc("pk"))
-    names = pw.select("pk", "nm")
-    n1 = names.select(F.col("pk"), F.col("nm").alias("m_nm"))
-    n2 = names.select(
+    scored = cand.select("dnm", "cnm", (inter / union).alias("score"))
+    w_best = Window.partitionBy("dnm").orderBy(F.desc("score"), F.asc("cnm"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("dnm", "cnm", "score")
+    )
+    src_names = pw.select(
         F.col("pk").alias("src"), F.col("nm").alias("s_nm")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
-        .join(n1, "pk")
-        .join(n2, "src")
+        dirty.join(F.broadcast(best), "dnm")
+        .join(F.broadcast(cnames.select("cnm", "rep_pk")), "cnm")
+        .join(src_names, "src")
         .select(
             F.col("did").alias("dirty_id"),
-            F.col("pk").alias("matched_partkey"),
+            F.col("rep_pk").alias("matched_partkey"),
             F.round("score", 6).alias("score"),
-            (F.col("m_nm") == F.col("s_nm")).alias("is_true"),
+            (F.col("cnm") == F.col("s_nm")).alias("is_true"),
         )
     )
 
