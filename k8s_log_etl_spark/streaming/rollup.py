@@ -184,3 +184,44 @@ def distinct_users_range(
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+def heavy_hitters_range(
+    spark: SparkSession,
+    rollup_dir: str,
+    start_ts: str,
+    end_ts: str,
+    k: int = 50,
+) -> DataFrame:
+    """Heavy hitters over [start_ts, end_ts) from the materialized
+    rollup alone — the streaming face of agg_heavyhitters_events: the
+    per-hour (event_type, n_events) rows ARE mergeable frequency
+    summaries, so the range query is a partition-pruned read of the
+    covered hours, one per-type counter sum, and the mergeable-
+    summaries reduction (subtract the (k+1)-th largest combined count,
+    drop non-positive — Agarwal et al. 2012). At this event-type
+    cardinality the stored hourly rows are ZERO-error summaries and
+    the merge returns exact counts; at unbounded key cardinality each
+    hour's rows would be trimmed to k at write time by the identical
+    subtraction, and this same merge preserves the n/k undershoot
+    bound — which is exactly why the reduction is applied here even
+    when it is a no-op. Cost: hours x k rows read, never the raw
+    events (tests/test_rollup.py pins exactness on the maintained
+    store and the bound on an over-cardinality store)."""
+    k0 = F.date_format(F.lit(start_ts).cast("timestamp"), HOUR_KEY_FMT)
+    k1 = F.date_format(F.lit(end_ts).cast("timestamp"), HOUR_KEY_FMT)
+    combined = (
+        spark.read.parquet(rollup_dir)
+        .filter((F.col("hour_key") >= k0) & (F.col("hour_key") < k1))
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .collect()
+    )
+    thresh = combined[k]["cnt"] if len(combined) > k else 0
+    out = [
+        (r["event_type"], int(r["cnt"] - thresh))
+        for r in combined[:k]
+        if r["cnt"] - thresh > 0
+    ]
+    return spark.createDataFrame(out, "event_type string, est_count long")

@@ -433,3 +433,62 @@ def test_ingest_compaction_sf01_content_identical_and_pruned(spark, tmp_path):
     assert not os.path.exists(os.path.join(corpus, "ingest_batch=3")) or (
         spark.read.parquet(corpus).filter(F.col("ingest_batch") == 3).count() == 0
     )
+
+
+def test_heavy_hitters_range_from_rollup(spark, tmp_path):
+    """heavy_hitters_range over the streamed rollup: exact counts at
+    this type cardinality (zero-error summaries, no trim), range
+    filtering honored; and on an over-cardinality store the
+    mergeable-summaries trim keeps the n/k undershoot bound."""
+    in_dir = str(tmp_path / "in")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    rows = (
+        [("2024-03-01 10:%02d:00" % m, "click", 1.0) for m in range(30)]
+        + [("2024-03-01 10:%02d:00" % m, "view", 1.0) for m in range(10)]
+        + [("2024-03-01 11:%02d:00" % m, "click", 1.0) for m in range(20)]
+        + [("2024-03-01 11:00:00", "buy", 1.0)]
+        # sentinel far ahead so the watermark finalizes the hours above
+        + [("2024-03-02 12:00:00", "late", 1.0)]
+    )
+    _write(in_dir, "a.jsonl", rows)
+    _run_maintenance(spark, in_dir, rollup_dir, ckpt)
+
+    full = {
+        r["event_type"]: r["est_count"]
+        for r in RU.heavy_hitters_range(
+            spark, rollup_dir, "2024-03-01 00:00:00", "2024-03-02 00:00:00", k=50
+        ).collect()
+    }
+    assert full == {"click": 50, "view": 10, "buy": 1}
+    # range restriction: only hour 10
+    hour10 = {
+        r["event_type"]: r["est_count"]
+        for r in RU.heavy_hitters_range(
+            spark, rollup_dir, "2024-03-01 10:00:00", "2024-03-01 11:00:00", k=50
+        ).collect()
+    }
+    assert hour10 == {"click": 30, "view": 10}
+
+    # over-cardinality store: 60 types, k=10 — bound check
+    many_dir = str(tmp_path / "many")
+    hand = [
+        ("2024-04-01-00", f"t{i:02d}", (60 - i) * 5) for i in range(60)
+    ]
+    spark.createDataFrame(
+        hand, "hour_key string, event_type string, n_events long"
+    ).write.partitionBy("hour_key").parquet(many_dir)
+    k = 10
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in RU.heavy_hitters_range(
+            spark, many_dir, "2024-04-01 00:00:00", "2024-04-02 00:00:00", k=k
+        ).collect()
+    }
+    exact = {f"t{i:02d}": (60 - i) * 5 for i in range(60)}
+    n = sum(exact.values())
+    assert 0 < len(est) <= k
+    for key, e in est.items():
+        assert e <= exact[key]
+        assert e >= exact[key] - n / k
