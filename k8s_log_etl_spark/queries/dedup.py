@@ -1666,3 +1666,78 @@ def eval_holdout_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# keeper remap table (the rewrite artifact downstream joins consume)
+# ---------------------------------------------------------------------------
+
+_REMAP_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_SIMHASH_BANDED_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lbl AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+scored AS (
+  SELECT l.cluster, l.node,
+         row_number() OVER (
+           PARTITION BY l.cluster ORDER BY d.n_chars DESC, l.node
+         ) AS rn
+  FROM lbl l JOIN documents d ON d.doc_id = l.node
+),
+keeper AS (SELECT cluster, node AS keeper_id FROM scored WHERE rn = 1)
+SELECT l.node AS doc_id, k.keeper_id, (l.node = k.keeper_id) AS is_keeper
+FROM lbl l JOIN keeper k ON l.cluster = k.cluster
+"""
+
+
+@register("dedup_keeper_remap", oracle=_REMAP_SQL, tags=("dedup", "llmprep"))
+def dedup_keeper_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMAP table — what downstream actually consumes after
+    cluster dedup (dedup_keep_best names the keepers; this maps every
+    clustered document to its keeper so references, citations, and
+    derived tables can be rewritten with one join): (doc_id,
+    keeper_id, is_keeper) for every doc in any near-dup cluster, the
+    keeper chosen by the same longest-then-lowest-id policy.
+
+    Deliberately SPARSE: unclustered documents are absent (they are
+    trivially their own keeper), so the table is |clustered docs|
+    rows — at 100 TB a remap that enumerated every doc would itself
+    be a corpus-sized artifact, while the sparse form is
+    delta-sized and broadcastable into the rewrite joins that use it
+    (left join + coalesce(keeper_id, doc_id)).
+
+    Scale shape: inherits cc_star's O(log n) rounds off the banded
+    pair set; adds one keyed join for the policy column, one
+    per-cluster WindowGroupLimit, and one keyed join mapping members
+    to keepers."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_star(pairs)
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("node"))
+    keeper = (
+        labels.join(d.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+        .select(F.col("lbl").alias("cluster"), "node", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("node").alias("keeper_id"))
+    )
+    return (
+        labels.select(F.col("lbl").alias("cluster"), F.col("node").alias("doc_id"))
+        .join(keeper, "cluster")
+        .select(
+            "doc_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )

@@ -83,6 +83,12 @@ CONTRACTS = {
     # tokenizer-aware packing: word prices come off the checkpointed
     # encoded vocabulary; the corpus-sized work is one scan + hash-agg
     "pack_chunks_bpe_budget": (["Scan ExistingRDD"], []),
+    # keeper remap: labels off the checkpointed cc rounds, one
+    # WindowGroupLimit for the policy, keyed joins only
+    "dedup_keeper_remap": (
+        ["WindowGroupLimit", "Scan ExistingRDD"],
+        ["NestedLoop"],
+    ),
     # interval overlap: boundary sweep + per-key window — NEVER an
     # interval-vs-interval join
     "supplier_shipment_overlap": (["Window"], ["NestedLoop"]),
