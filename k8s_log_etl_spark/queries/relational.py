@@ -3371,3 +3371,100 @@ def agg_heavyhitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r["cnt"] - thresh > 0
     ]
     return spark.createDataFrame(out, "event_type string, est_count long")
+
+
+_RI_SQL = """
+WITH checks AS (
+  SELECT 'orders.o_custkey->customer' AS fk,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'nation.n_regionkey->region',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT fk, n_rows, n_orphans,
+       CAST(n_rows - n_orphans AS BIGINT) AS n_valid
+FROM checks
+"""
+
+
+@register("dq_referential_integrity", oracle=_RI_SQL, tags=("relational", "agg"))
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's entire FK
+    graph — the DQ companion to dq_constraint_checks (which validates
+    COLUMNS; this validates RELATIONSHIPS): per foreign key, total
+    rows, orphans (child keys with no parent), and valid rows. A
+    pipeline runs this after every load; a training-data registry runs
+    the same shape over doc->source, chunk->doc, embedding->chunk
+    edges.
+
+    Scale shape: each check is one LEFT join keyed on the FK with the
+    parent side reduced to its KEY column only (dimension parents
+    broadcast; the orders parent of lineitem is the one genuinely big
+    side and shuffles keys, not rows), aggregated to a single row
+    before the union — the output is |edges| rows regardless of data
+    volume. Counting orphans via left-join-null rather than anti-join
+    keeps rows+orphans in ONE pass per edge."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("orders", "customer", "lineitem", "part", "supplier", "nation", "region")}
+
+    def check(name, child, ckey, parent, pkey):
+        p = t[parent].select(F.col(pkey).alias("_pk")).distinct()
+        joined = t[child].select(F.col(ckey).alias("_ck")).join(
+            p, F.col("_ck") == F.col("_pk"), "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias(
+                "n_orphans"
+            ),
+        )
+
+    frames = [
+        check("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        check("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        check("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        check("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        check("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        check("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        check("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "fk",
+        "n_rows",
+        "n_orphans",
+        (F.col("n_rows") - F.col("n_orphans")).cast("bigint").alias("n_valid"),
+    )

@@ -89,6 +89,9 @@ CONTRACTS = {
         ["WindowGroupLimit", "Scan ExistingRDD"],
         ["NestedLoop"],
     ),
+    # FK audit: every edge one keyed left join, dimension parents
+    # broadcast, no all-pairs anywhere
+    "dq_referential_integrity": (["BroadcastHashJoin"], ["NestedLoop"]),
     # interval overlap: boundary sweep + per-key window — NEVER an
     # interval-vs-interval join
     "supplier_shipment_overlap": (["Window"], ["NestedLoop"]),
