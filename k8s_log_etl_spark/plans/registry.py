@@ -46,15 +46,16 @@ def register(
 # Round 6 rotation: after round 5, the union of r1-r5 driver rows
 # covers every registered query except the by-design no-oracle
 # agg_countmin_events, with all 50 r5 slots green — so round 6 spends
-# the window on (a) the fourteen round-6 ADDITIONS (BPE encode,
+# the window on (a) the fifteen round-6 ADDITIONS (BPE encode,
 # perceptual near-dup, incremental near-dup, epoch shuffle, hard
 # negatives, retrieval NDCG, skew profiler, leakage guard,
 # tokenizer-aware packing, interval-overlap sweep, record linkage,
-# score calibration, keeper remap, FK-integrity audit), (b) the
+# score calibration, keeper remap, FK-integrity audit, mixture
+# drift), (b) the
 # one round-6 MODIFIED implementation (dedup_prefix_filter_jaccard —
 # PPJoin length+positional filters; a green r5 row says nothing about
 # new code), and (c)-(d) the OLDEST-green refresh: every r1-latest
-# query (10) and 21 of the 31 oracled r2-latest (the no-oracle
+# query (10) and 20 of the 31 oracled r2-latest (the no-oracle
 # agg_approx_events stays out of the window with agg_countmin_events,
 # both bounded in tests/test_approx.py instead).
 # (f) Families whose members are all r4/r5-latest
@@ -66,7 +67,7 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-6 additions (14) ---
+    # --- (a) round-6 additions (15) ---
     "bpe_encode_corpus", "dedup_perceptual_ahash",
     "dedup_minhash_incremental", "epoch_shuffle_order",
     "knn_hard_negatives", "retrieval_eval_ndcg",
@@ -74,6 +75,7 @@ _CHECKED_FIRST = [
     "pack_chunks_bpe_budget", "supplier_shipment_overlap",
     "entity_resolve_parts", "quality_score_calibration",
     "dedup_keeper_remap", "dq_referential_integrity",
+    "corpus_mix_drift",
     # --- (b) round-6 modified implementations (1) ---
     "dedup_prefix_filter_jaccard",
     # --- (c) oldest-green refresh: all 10 r1-latest ---
@@ -81,18 +83,19 @@ _CHECKED_FIRST = [
     "agg_minmax_by", "agg_stats_events", "join_anti_customers",
     "join_full_outer_nations", "join_semi_customers",
     "pivot_status_by_year", "set_ops_customers",
-    # --- (d) oldest-green refresh: 21 of the 31 oracled r2-latest
+    # --- (d) oldest-green refresh: 20 of the 31 oracled r2-latest
     # (agg_rollup_orders, q13_order_distribution, having_large_orders,
     # window_running_total, correlated_not_exists, events_props_typed,
     # scalar_subquery_outliers, embedding_centroids,
     # dedup_embedding_cosine — the documented brute baseline — and
-    # join_asof_last_purchase yield their slots to the last ten
-    # round-6 additions; their families keep multiple in-window
-    # members and all ten stay covered by the full-surface pytest
-    # oracle run) ---
+    # join_asof_last_purchase and knn_brute_cosine (the other brute
+    # baseline; ann-index family keeps knn_ivf_grid) yield their slots
+    # to the last eleven round-6 additions; their families keep
+    # multiple in-window members and all eleven stay covered by the
+    # full-surface pytest oracle run) ---
     "dedup_exact",
     "events_resample_1h",
-    "knn_brute_cosine", "knn_ivf_grid",
+    "knn_ivf_grid",
     "multimodal_blob_meta", "multimodal_frame_sample",
     "multimodal_resize_stats",
     "q1_pricing_summary", "q3_top_unshipped", "q5_regional_revenue",

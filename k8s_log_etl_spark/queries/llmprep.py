@@ -2376,3 +2376,109 @@ def pack_chunks_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture drift (distribution monitoring between drops)
+# ---------------------------------------------------------------------------
+
+DRIFT_Q = 1_000_000          # shares in parts-per-million (integer)
+DRIFT_KL_Q = 1_000_000_000   # KL terms quantized to nano-nats
+
+_DRIFT_SQL = f"""
+WITH a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_a
+  FROM documents WHERE doc_id < {DIFF_OLD_MAX} GROUP BY lang
+),
+b AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_b
+  FROM documents WHERE doc_id >= {DIFF_NEW_MIN} GROUP BY lang
+),
+tot AS (
+  SELECT CAST((SELECT sum(n_a) FROM a) AS BIGINT) AS ta,
+         CAST((SELECT sum(n_b) FROM b) AS BIGINT) AS tb
+),
+shares AS (
+  SELECT coalesce(a.lang, b.lang) AS lang,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+         CAST(coalesce(n_a, 0) * {DRIFT_Q} // t.ta AS BIGINT) AS share_a_ppm,
+         CAST(coalesce(n_b, 0) * {DRIFT_Q} // t.tb AS BIGINT) AS share_b_ppm
+  FROM a FULL OUTER JOIN b ON a.lang = b.lang, tot t
+)
+SELECT lang, n_a, n_b, share_a_ppm, share_b_ppm,
+       CAST(abs(share_a_ppm - share_b_ppm) AS BIGINT) AS drift_ppm,
+       CASE WHEN share_a_ppm = 0 OR share_b_ppm = 0 THEN NULL
+            ELSE CAST(round((share_a_ppm * 1.0 / {DRIFT_Q})
+                  * ln(share_a_ppm * 1.0 / share_b_ppm) * {DRIFT_KL_Q})
+                  AS BIGINT) END AS kl_term_nano
+FROM shares
+"""
+
+
+@register("corpus_mix_drift", oracle=_DRIFT_SQL, tags=("llmprep", "text"))
+def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift monitor between two corpus drops — the alert a
+    training pipeline fires before a shifted language (or domain) mix
+    silently changes model behavior: per-language document shares of
+    the old vs new drop (the corpus_snapshot_diff split), absolute
+    drift in ppm, and each language's per-term contribution to
+    KL(old || new) in nano-nats. Sum of kl_term_nano over rows = the
+    corpus-level divergence; a NULL term marks a language appearing in
+    only one drop (KL undefined — exactly the case worth alerting on
+    loudest).
+
+    Exactness: shares are integer ppm (BIGINT division); the only
+    float is ln over a ratio of those integers, quantized to integer
+    nano-nats per ROW before any cross-row use (the perplexity-proxy
+    ln discipline — both engines evaluate ln on bit-identical doubles
+    derived from identical integers). Two scans with pushed doc_id
+    predicates, two tiny hash-aggs, one |langs|-row full-outer join —
+    cost is the scans, nothing else, at any scale."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    a = (
+        d.filter(F.col("doc_id") < DIFF_OLD_MAX)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        d.filter(F.col("doc_id") >= DIFF_NEW_MIN)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    both = (
+        a.join(b, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = both.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    shares = both.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_a",
+        "n_b",
+        F.expr(f"n_a * {DRIFT_Q} div ta").alias("share_a_ppm"),
+        F.expr(f"n_b * {DRIFT_Q} div tb").alias("share_b_ppm"),
+    )
+    kl = F.when(
+        (F.col("share_a_ppm") == 0) | (F.col("share_b_ppm") == 0),
+        F.lit(None).cast("bigint"),
+    ).otherwise(
+        F.round(
+            (F.col("share_a_ppm") / DRIFT_Q)
+            * F.log(F.col("share_a_ppm") / F.col("share_b_ppm"))
+            * DRIFT_KL_Q
+        ).cast("bigint")
+    )
+    return shares.select(
+        "lang",
+        "n_a",
+        "n_b",
+        "share_a_ppm",
+        "share_b_ppm",
+        F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).alias("drift_ppm"),
+        kl.alias("kl_term_nano"),
+    )

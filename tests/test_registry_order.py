@@ -15,10 +15,10 @@ DRIVER_CAP = 50
 # warehouse, ann-eval, graph) hold explicit slots via their reps.
 # Rotated-out greens stay covered by the full pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "transform_chain",
+    "log": "agg_by_service",
     "dedup": "dedup_exact",
     "multimodal": "multimodal_blob_meta",
-    "knn": "knn_brute_cosine",
+    "knn": "knn_ivf_grid",
     "text": "text_quality_score",
     "capstone": "training_mix_pipeline",
     "relational": "q1_pricing_summary",
