@@ -1741,3 +1741,187 @@ def dedup_keeper_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (C4 / RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 10        # fixed segmentation width (the corpus has no newlines)
+LINE_DUP_MIN_DOCS = 2  # a line present in this many distinct docs is boilerplate
+
+_LINES_SQL = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wa
+           FROM documents),
+l AS (SELECT doc_id, t.i AS ln,
+             array_to_string(
+               wa[(t.i*{LINE_WORDS}+1):(t.i*{LINE_WORDS}+{LINE_WORDS})],
+               ' ') AS line
+      FROM w, unnest(range((len(wa) - 1) // {LINE_WORDS} + 1)) AS t(i)),
+dup AS (SELECT line FROM l
+        GROUP BY line HAVING count(DISTINCT doc_id) >= {LINE_DUP_MIN_DOCS}),
+m AS (SELECT l.*, (d.line IS NOT NULL) AS is_dup
+      FROM l LEFT JOIN dup d USING (line))
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines,
+  md5(coalesce(
+    string_agg(CASE WHEN NOT is_dup THEN line END, ' ' ORDER BY ln),
+    '')) AS cleaned_hash
+FROM m GROUP BY doc_id
+"""
+
+
+@register("dedup_lines_corpus", oracle=_LINES_SQL, tags=("dedup", "llmprep"))
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 / RefinedWeb-style CROSS-DOCUMENT line dedup — detect and
+    apply in one pass: segment every document into fixed 10-word
+    lines (the corpus has no newlines, so segmentation is positional
+    and deterministic), mark any line that appears in >= 2 distinct
+    documents as corpus boilerplate, and emit the per-document rewrite
+    receipt: total/removed line counts plus md5 of the text rebuilt
+    from the surviving lines in order (the byte-stream-hash oracle
+    discipline of dedup_excise_spans).
+
+    Distinct from dedup_substring_spans: spans find per-PAIR shared
+    substrings; this finds corpus-FREQUENT segments (headers, footers,
+    navigation chrome — the thing C4's "three-sentence span" rule and
+    RefinedWeb's line-dedup target) with one frequency aggregate, no
+    pair join at all.
+
+    Scale shape (100 TB): the segmentation is a map-side JVM HOF
+    (sequence + slice + array_join — no explode needed to build
+    lines); the frequency count is ONE hash-aggregate keyed on the
+    line string; the dup set is boilerplate-sized (<< corpus), so AQE
+    turns the marker join into a broadcast at runtime; the rebuild is
+    one groupBy(doc_id) whose per-group state is the document itself.
+    Two data-sized shuffles total (line-key, doc-key), both with
+    map-side partial aggregation."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(w) - F.lit(1)) / LINE_WORDS).cast("int")
+        ),
+        lambda i: F.array_join(F.slice(w, i * LINE_WORDS + 1, LINE_WORDS), " "),
+    )
+    ex = d.select("doc_id", F.posexplode(lines).alias("ln", "line"))
+    dup = (
+        ex.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= LINE_DUP_MIN_DOCS)
+        .select("line", F.lit(True).alias("is_dup"))
+    )
+    kept_struct = F.when(F.col("is_dup").isNull(), F.struct("ln", "line"))
+    return (
+        ex.join(dup, "line", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("removed_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-aware split: near-dup clusters never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+_GROUP_SPLIT_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_SIMHASH_BANDED_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lbl AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+g AS (
+  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS gk, l.cluster
+  FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+),
+a AS (
+  SELECT CASE WHEN {X.md5_long_sql("CAST(gk AS VARCHAR)")} % 100 < {TRAIN_PCT}
+                THEN 'train'
+              WHEN {X.md5_long_sql("CAST(gk AS VARCHAR)")} % 100 < {VAL_PCT}
+                THEN 'val'
+              ELSE 'test' END AS split,
+         gk, cluster
+  FROM g
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN cluster IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clustered_docs
+FROM a GROUP BY split
+"""
+
+
+def group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment keyed on the near-dup GROUP, not
+    the doc: every document's group key is its connected-component
+    label under the banded-SimHash near-dup graph (its own doc_id if
+    unclustered), and the md5 split bucket is computed on that key —
+    so two near-duplicates CANNOT land in different splits; the
+    leakage eval_holdout_decontaminated detects is structurally
+    impossible here. Returns (doc_id, gk, cluster, split)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_star(pairs).withColumnRenamed("node", "doc_id")
+    g = d.select("doc_id").join(labels, "doc_id", "left")
+    gk = F.coalesce(F.col("lbl"), F.col("doc_id"))
+    bucket = X.md5_long(gk.cast("string")) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return g.select(
+        "doc_id",
+        gk.alias("gk"),
+        F.col("lbl").alias("cluster"),
+        split.alias("split"),
+    )
+
+
+@register("split_group_aware", oracle=_GROUP_SPLIT_SQL, tags=("dedup", "llmprep"))
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-PREVENTING train/val/test split — the structural
+    complement of eval_holdout_decontaminated (which DETECTS leakage
+    under the naive per-doc split after the fact): hash the near-dup
+    cluster label instead of the doc_id, so a cluster moves between
+    splits as a unit and no near-duplicate pair ever straddles the
+    train/holdout boundary (the contamination mechanism of Lee et al.
+    2021). Unclustered docs hash their own id — identical to
+    split_train_holdout for them, so the 90/5/5 proportions hold.
+    Reports per-split doc / group / clustered-doc counts.
+
+    Scale shape: inherits cc_star's O(log n) rounds over the
+    banded pair set (delta-sized, not corpus-sized); the split is then
+    a pure map-side hash of the group key after ONE left join of the
+    sparse label frame (broadcastable at 100 TB, same shape as
+    dedup_keeper_remap's rewrite join); final agg keys on 3 splits."""
+    return group_splits(spark, sf_dir).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gk").alias("n_groups"),
+        F.sum(
+            F.when(F.col("cluster").isNotNull(), 1).otherwise(0)
+        ).alias("n_clustered_docs"),
+    )

@@ -1676,6 +1676,90 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MERGE INTO: apply an upsert+delete change batch to a corpus version
+# ---------------------------------------------------------------------------
+
+MERGE_DELETE_MOD = 11  # every 11th change-batch doc is a delete marker
+
+_MERGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id < {DIFF_OLD_MAX}
+),
+s AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % {DIFF_MUTATE_MOD} = 0 THEN upper(lang) ELSE lang END AS lang,
+         source,
+         (doc_id % {MERGE_DELETE_MOD} = 0) AS is_delete
+  FROM documents WHERE doc_id >= {DIFF_NEW_MIN}
+),
+j AS (
+  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+         t.doc_id IS NOT NULL AS in_t, s.doc_id IS NOT NULL AS in_s,
+         coalesce(s.is_delete, FALSE) AS is_del,
+         t.text AS t_text, t.lang AS t_lang, t.source AS t_source,
+         s.text AS s_text, s.lang AS s_lang, s.source AS s_source
+  FROM t FULL OUTER JOIN s ON t.doc_id = s.doc_id
+)
+SELECT doc_id,
+  CASE WHEN in_t AND in_s AND is_del THEN 'deleted'
+       WHEN in_t AND in_s THEN 'updated'
+       WHEN in_s AND NOT is_del THEN 'inserted'
+       ELSE 'kept' END AS action,
+  CASE WHEN in_t AND in_s AND is_del THEN NULL
+       WHEN in_s THEN s_lang ELSE t_lang END AS lang,
+  CASE WHEN in_t AND in_s AND is_del THEN NULL
+       WHEN in_s THEN s_source ELSE t_source END AS source,
+  CASE WHEN in_t AND in_s AND is_del THEN NULL
+       WHEN in_s THEN md5(s_text) ELSE md5(t_text) END AS content_hash
+FROM j
+WHERE NOT (in_s AND NOT in_t AND is_del)
+"""
+
+
+@register("corpus_merge_upsert", oracle=_MERGE_SQL, tags=("llmprep",))
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO between dataset drops — the warehouse MUTATION
+    primitive completing the snapshot family (snapshot_diff describes
+    drift, the SCD2 fold keeps history; this one APPLIES a change
+    batch): the old drop is the target, the shifted drop becomes an
+    upsert/delete batch (every {MERGE_DELETE_MOD}th doc a delete
+    marker, every {DIFF_MUTATE_MOD}th a lang re-tag), and
+    operators.merge.merge_upsert produces the next corpus version in
+    one pass, annotated per row with kept/updated/inserted/deleted.
+    Content equality travels as md5(text) so the audit row stays
+    scalar and the oracle hash-checks the merged BYTES, not just the
+    row count.
+
+    Scale shape: ONE full-outer equi-join on the merge key (the
+    change batch is delta-sized → AQE broadcast or skew-split), then a
+    map-side CASE projection. Identical plan to what Delta/Iceberg
+    MERGE INTO lowers to; no window, no second scan of the target."""
+    from k8s_log_etl_spark.operators.merge import merge_upsert
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    target = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
+        "doc_id", "text", "lang", "source"
+    )
+    changes = d.filter(F.col("doc_id") >= DIFF_NEW_MIN).select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % DIFF_MUTATE_MOD == 0, F.upper(F.col("lang"))
+        ).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        (F.col("doc_id") % MERGE_DELETE_MOD == 0).alias("is_delete"),
+    )
+    merged = merge_upsert(target, changes, ["doc_id"])
+    return merged.select(
+        "doc_id",
+        "action",
+        "lang",
+        "source",
+        F.md5("text").alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 history fold between dataset drops
 # ---------------------------------------------------------------------------
 
