@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
@@ -1291,6 +1292,234 @@ def agg_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in types.collect()
     ]
     return spark.createDataFrame(rows, "event_type string, est_count long")
+
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog: the ORACLED sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 12                    # 2^12 = 4096 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# scaled numerator: alpha * m^2 * 2^49 (registers are summed as exact
+# integers scaled by 2^49, so the estimate is ONE double division)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)
+
+_HLL_H = X.md5_long_sql("CAST(user_id AS VARCHAR)")
+
+_HLL_SQL = f"""
+WITH hb AS (
+  SELECT event_type,
+         {_HLL_H} % {HLL_M} AS b,
+         {_HLL_H} // {HLL_M} AS t
+  FROM events
+),
+r AS (
+  SELECT event_type, b,
+         max(CASE WHEN t = 0 THEN 49 ELSE 49 - length(bin(t)) END) AS reg
+  FROM hb GROUP BY event_type, b
+),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS used_buckets,
+         CAST(sum(1::BIGINT << CAST(49 - reg AS INT)) AS BIGINT) AS dp
+  FROM r GROUP BY event_type
+),
+e AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, used_buckets,
+       dp + ({HLL_M} - used_buckets) * (1::BIGINT << 49) AS denom_scaled,
+       exact_distinct,
+       round({HLL_NUM!r} / (dp + ({HLL_M} - used_buckets) * (1::BIGINT << 49)), 3)
+         AS est_raw
+FROM a JOIN e ON a.event_type = e.event_type
+"""
+
+
+def hll_registers(df: DataFrame, keys: list[str], value: F.Column) -> DataFrame:
+    """Deterministic HLL register table over `value` per key group:
+    bucket = md5_long(value) mod 2^p, rho = leading-zero count of the
+    remaining 48 hash bits + 1 (computed EXACTLY via length(bin(t)) —
+    no float log), register = max(rho). Returns one row per
+    (keys..., used_buckets, denom_scaled): the harmonic denominator is
+    kept as the exact integer sum of 2^(49-rho) (scaled by 2^49, max
+    4096 * 2^49 = 2^61 < 2^63), so the sketch state is engine-exact
+    and mergeable by construction (max over registers, sum rewritten
+    from merged registers)."""
+    h = X.md5_long(value.cast("string"))
+    bucket = (h % HLL_M).alias("b")
+    t = F.floor((h - h % HLL_M) / HLL_M).cast("bigint")
+    rho = F.when(t == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(t)))
+    regs = (
+        df.select(*keys, bucket, rho.alias("rho"))
+        .groupBy(*keys, "b")
+        .agg(F.max("rho").alias("reg"))
+    )
+    return regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - reg AS INT))"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 49)
+        ).alias("denom_scaled"),
+    )
+
+
+@register("agg_hll_events", oracle=_HLL_SQL, tags=("agg", "approx"))
+def agg_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog distinct-user sketch per event type —
+    the ORACLED sketch: unlike agg_approx_events / agg_countmin_events
+    / agg_heavyhitters_events (engine-specific internals, bounded in
+    tests only), these registers are a deterministic pure function of
+    the input under the cross-engine md5_long hash, so the ENTIRE
+    sketch state hash-matches DuckDB: bucket = low p=12 hash bits,
+    rho = leading-zero rank of the remaining 48 bits via exact integer
+    length(bin(t)) arithmetic, harmonic denominator as the exact
+    integer sum of 2^(49-rho). est_raw is the one double division
+    (alpha·m²/denominator); the small-range linear-counting correction
+    uses ln() whose last-ulp behavior is libm-specific, so it is
+    asserted in tests/test_approx.py (err <= 5%) rather than oracled.
+
+    Scale shape (100 TB): registers are the canonical mergeable
+    distinct-count state — per-partition partial max per (key, bucket)
+    means the shuffle carries at most |keys|·4096 rows regardless of
+    input volume; the exact_distinct column (for error audit) is the
+    only corpus-cardinality aggregate, and a production pipeline
+    drops it."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = hll_registers(ev, ["event_type"], F.col("user_id"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "used_buckets",
+        "denom_scaled",
+        "exact_distinct",
+        F.round(F.lit(HLL_NUM) / F.col("denom_scaled"), 3).alias("est_raw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z-order layout: multi-dimension scan pruning vs a single-sort layout
+# ---------------------------------------------------------------------------
+
+ZO_BITS = 8                  # 8 bits per dimension -> 16-bit Morton code
+ZO_FILES = 64                # files per layout (z // 1024, x // 4)
+ZO_X_LO, ZO_X_HI = 40, 47    # probe predicate on the user dimension
+ZO_Y_LO, ZO_Y_HI = 96, 103   # probe predicate on the time dimension
+
+# x = user_id mod 256; y = 4-hour bucket since 2024-01-01 (720 h / 4 =
+# 180 < 256, monotone, no wrap). Interleave terms are generated once
+# and spelled identically (integer shifts) in both engines.
+_ZO_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+_ZO_SPARK_X = "CAST(user_id % 256 AS BIGINT)"
+_ZO_SPARK_Y = f"CAST(floor((unix_timestamp(ts) - {_ZO_EPOCH0}) / 14400) % 256 AS BIGINT)"
+_ZO_DUCK_X = "CAST(user_id % 256 AS BIGINT)"
+_ZO_DUCK_Y = f"CAST(floor((epoch(ts) - {_ZO_EPOCH0}) / 14400) % 256 AS BIGINT)"
+
+
+def _morton_spark(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZO_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+def _morton_duck(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZO_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZO_SQL = f"""
+WITH dims AS (
+  SELECT {_ZO_DUCK_X} AS x, {_ZO_DUCK_Y} AS y FROM events
+),
+placed AS (
+  SELECT 'zorder' AS layout,
+         ({_morton_duck('x', 'y')}) // 1024 AS fid, x, y FROM dims
+  UNION ALL
+  SELECT 'linear_x' AS layout, x // 4 AS fid, x, y FROM dims
+),
+files AS (
+  SELECT layout, fid,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM placed GROUP BY layout, fid
+)
+SELECT layout,
+  CAST(count(*) AS BIGINT) AS files_total,
+  CAST(sum(CASE WHEN max_x >= {ZO_X_LO} AND min_x <= {ZO_X_HI} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_x,
+  CAST(sum(CASE WHEN max_y >= {ZO_Y_LO} AND min_y <= {ZO_Y_HI} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_y,
+  CAST(sum(CASE WHEN max_x >= {ZO_X_LO} AND min_x <= {ZO_X_HI} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_x,
+  CAST(sum(CASE WHEN max_y >= {ZO_Y_LO} AND min_y <= {ZO_Y_HI} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_y
+FROM files GROUP BY layout
+"""
+
+
+@register("layout_zorder_stats", oracle=_ZO_SQL, tags=("warehouse", "layout"))
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-LAYOUT operator: compare Z-ORDER (Morton-interleaved
+    user × time-bucket) file clustering against a single-column sort
+    layout by the min/max zone maps each produces — the mechanism
+    behind Delta/Iceberg OPTIMIZE ZORDER and parquet row-group
+    skipping. Every event is assigned a file under both layouts
+    (z-order: 16-bit Morton code split into 64 equal-width z ranges —
+    pure map-side integer shifts, NO global sort; linear: x // 4), the
+    per-file min/max zone maps are one hash-agg, and two probe
+    predicates (a user slice, a time slice) are evaluated against the
+    zone maps alone. The z-order layout prunes on BOTH dimensions;
+    the linear layout prunes only on its sort key and must scan every
+    file for the time predicate — the measured rows_scanned_y gap IS
+    the reason multi-dimensional clustering exists at 100 TB.
+
+    Scale shape: dimension extraction and Morton interleave are
+    map-side integer expressions; the only shuffles are the
+    (layout, fid) zone-map hash-agg (≤ 2·64 groups after partial
+    aggregation) and the final 2-row layout tally. A production
+    writer would follow the fid assignment with repartitionByRange on
+    z before write — the stats here cost nothing at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    dims = ev.select(
+        F.expr(_ZO_SPARK_X).alias("x"), F.expr(_ZO_SPARK_Y).alias("y")
+    )
+    z = F.expr(_morton_spark("x", "y"))
+    placed = dims.select(
+        F.lit("zorder").alias("layout"),
+        F.floor(z / 1024).cast("bigint").alias("fid"),
+        "x",
+        "y",
+    ).unionByName(
+        dims.select(
+            F.lit("linear_x").alias("layout"),
+            F.floor(F.col("x") / 4).cast("bigint").alias("fid"),
+            "x",
+            "y",
+        )
+    )
+    files = placed.groupBy("layout", "fid").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    hit_x = (F.col("max_x") >= ZO_X_LO) & (F.col("min_x") <= ZO_X_HI)
+    hit_y = (F.col("max_y") >= ZO_Y_LO) & (F.col("min_y") <= ZO_Y_HI)
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(F.when(hit_x, 1).otherwise(0)).alias("files_scanned_x"),
+        F.sum(F.when(hit_y, 1).otherwise(0)).alias("files_scanned_y"),
+        F.sum(F.when(hit_x, F.col("n_rows")).otherwise(0)).alias("rows_scanned_x"),
+        F.sum(F.when(hit_y, F.col("n_rows")).otherwise(0)).alias("rows_scanned_y"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -399,3 +399,71 @@ def test_heavy_hitters_misra_gries_bounds(spark):
     for k, c in exact.items():
         if c > bound:
             assert k in est, (k, c, bound)
+
+
+def test_hll_corrected_estimate_within_5pct(spark, sf_dir):
+    """The oracled HLL registers feed a corrected estimate (raw HLL
+    above 2.5m, linear counting below): assert <=5% relative error
+    against the exact distinct count — ~3 sigma for p=12
+    (1.04/sqrt(4096) ~ 1.6%), and far tighter in the linear regime."""
+    import math
+
+    from k8s_log_etl_spark.queries.relational import (
+        HLL_M,
+        HLL_NUM,
+        agg_hll_events,
+    )
+
+    rows = agg_hll_events(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        est = HLL_NUM / r["denom_scaled"]
+        if est <= 2.5 * HLL_M and r["used_buckets"] < HLL_M:
+            est = HLL_M * math.log(HLL_M / (HLL_M - r["used_buckets"]))
+        assert est == pytest.approx(r["exact_distinct"], rel=0.05)
+
+
+def test_hll_registers_merge_associatively(spark, sf_dir):
+    """Mergeability: registers of (A union B) == merge of registers(A)
+    and registers(B) — split events by id parity, recombine via max per
+    bucket, and require the IDENTICAL (used_buckets, denom_scaled)
+    state the single-pass build produces. This is the property that
+    lets 1000 executors sketch independently at 100 TB."""
+    from k8s_log_etl_spark.queries.relational import HLL_M, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    whole = {
+        r["event_type"]: (r["used_buckets"], r["denom_scaled"])
+        for r in hll_registers(ev, ["event_type"], F.col("user_id")).collect()
+    }
+    # rebuild per-half register tables, then merge by max(reg)
+    h = ev.select("event_type", "half", "user_id")
+    from k8s_log_etl_spark.functions import xengine as X
+
+    hh = X.md5_long(F.col("user_id").cast("string"))
+    t = F.floor((hh - hh % HLL_M) / HLL_M).cast("bigint")
+    rho = F.when(t == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(t)))
+    per_half = (
+        h.select("event_type", "half", (hh % HLL_M).alias("b"), rho.alias("rho"))
+        .groupBy("event_type", "half", "b")
+        .agg(F.max("rho").alias("reg"))
+    )
+    merged = (
+        per_half.groupBy("event_type", "b")
+        .agg(F.max("reg").alias("reg"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("used_buckets"),
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - reg AS INT))"))
+                + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 49)
+            ).alias("denom_scaled"),
+        )
+    )
+    got = {
+        r["event_type"]: (r["used_buckets"], r["denom_scaled"])
+        for r in merged.collect()
+    }
+    assert got == whole
