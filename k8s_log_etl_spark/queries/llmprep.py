@@ -2566,3 +2566,124 @@ def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).alias("drift_ppm"),
         kl.alias("kl_term_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum: equi-depth difficulty bins by mean token rarity
+# ---------------------------------------------------------------------------
+
+CURR_BINS = 4            # quartile curriculum
+IDF_QUANT = 1_000_000    # per-token idf quantized to integer micro-nats
+# per-doc difficulty coarsened to micro-nats // DIFF_COARSE: bounds the
+# distinct-value set the cumulative window runs over (idf <= ln(N)
+# nats -> at most a few hundred thousand distinct quantized values at
+# ANY corpus size, while keeping bins near-equi-depth)
+DIFF_COARSE = 100
+
+_CURR_SQL = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS word FROM words
+),
+df AS (
+  SELECT word, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(n.n_docs * 1.0 / d.dfreq) * {IDF_QUANT}) AS BIGINT) AS idfq
+  FROM tok t JOIN df d USING (word) CROSS JOIN n
+),
+docdiff AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(idfq) // (count(*) * {DIFF_COARSE}) AS BIGINT) AS diff_q
+  FROM scored GROUP BY doc_id
+),
+vals AS (
+  SELECT diff_q, count(*) AS cnt, sum(n_tokens) AS toks
+  FROM docdiff GROUP BY diff_q
+),
+cum AS (
+  SELECT diff_q, cnt, toks,
+         coalesce(sum(cnt) OVER (ORDER BY diff_q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM vals
+),
+binned AS (
+  SELECT least({CURR_BINS - 1},
+               CAST(({CURR_BINS} * before) // (SELECT n_docs FROM n) AS BIGINT))
+           AS bin,
+         diff_q, cnt, toks
+  FROM cum
+)
+SELECT bin,
+  CAST(sum(cnt) AS BIGINT) AS n_docs,
+  min(diff_q) AS min_diff_q,
+  max(diff_q) AS max_diff_q,
+  CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM binned GROUP BY bin
+"""
+
+
+@register("curriculum_difficulty_bins", oracle=_CURR_SQL, tags=("llmprep",))
+def curriculum_difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: rank every document by DIFFICULTY —
+    mean token rarity (average idf over token occurrences, the classic
+    lexical-difficulty proxy) — and cut the corpus into equi-depth
+    quartile bins, easy → hard, the ordering curriculum-learning
+    schedules consume. All arithmetic engine-exact: per-token idf is
+    quantized to integer micro-nats (the text_zipf_slope discipline),
+    per-doc difficulty is the integer mean coarsened to milli-nats,
+    and bin boundaries come from an exact cumulative count over the
+    DISTINCT difficulty values (ties share a bin, so no per-doc rank
+    is ever materialized).
+
+    Scale shape: df is one word-keyed hash-agg; scoring is the
+    token-stream join against it (shuffle on word, the tf-idf shape);
+    per-doc reduce is one doc-keyed agg. The only window runs over
+    distinct MILLI-NAT difficulty values — bounded by the idf value
+    range (a few thousand rows at ANY corpus size, the reason for the
+    coarsening), never by document count. No global sort, no
+    corpus-sized single-partition stage."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    tok = d.select("doc_id", F.explode(_words()).alias("word"))
+    df_tbl = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n_docs = d.count()  # driver scalar: one count, reused as a literal
+    idfq = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("dfreq").cast("double")) * IDF_QUANT
+    ).cast("bigint")
+    docdiff = (
+        tok.join(df_tbl, "word")
+        .select("doc_id", idfq.alias("idfq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(F.sum("idfq") / (F.count(F.lit(1)) * DIFF_COARSE)).alias(
+                "diff_q"
+            ),
+        )
+    )
+    vals = docdiff.groupBy("diff_q").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_tokens").alias("toks")
+    )
+    w = (
+        Window.orderBy("diff_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.withColumn("before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    binned = cum.withColumn(
+        "bin",
+        F.least(
+            F.lit(CURR_BINS - 1),
+            F.floor((CURR_BINS * F.col("before")) / n_docs),
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.min("diff_q").alias("min_diff_q"),
+        F.max("diff_q").alias("max_diff_q"),
+        F.sum("toks").alias("total_tokens"),
+    )

@@ -48,9 +48,17 @@ def _versions(store_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    """The current table state: the newest version, or None if empty."""
+def read_store(
+    spark: SparkSession, store_dir: str, as_of: int | None = None
+) -> DataFrame | None:
+    """The table state: the newest version, or — TIME TRAVEL — the
+    newest version at or below `as_of` (a batch id). Versions are
+    immutable once written, so an as-of read is a plain scan of one
+    directory; retention bounds how far back travel reaches (the
+    parent of the head is always kept)."""
     vs = _versions(store_dir)
+    if as_of is not None:
+        vs = [v for v in vs if v <= as_of]
     if not vs:
         return None
     return spark.read.parquet(os.path.join(store_dir, f"v={vs[-1]}"))

@@ -102,3 +102,20 @@ def test_retention_keeps_parent_and_head_only(spark, tmp_path):
         int(n.split("=")[1]) for n in os.listdir(store) if n.startswith("v=")
     )
     assert vs == [1, 2]
+
+
+def test_time_travel_reads_prior_version(spark, tmp_path):
+    store = str(tmp_path / "store")
+    for i, batch in enumerate(BATCHES):
+        bdf = spark.createDataFrame(
+            [(r["k"], r["v"], r["is_delete"]) for r in batch], SCHEMA
+        )
+        merge_batch(spark, bdf, i, store, keys=["k"])
+    # as-of the middle batch: 1 updated, 2 deleted, 4 inserted
+    at1 = {
+        (r["k"], r["v"]) for r in read_store(spark, store, as_of=1).collect()
+    }
+    assert at1 == {(1, "a2"), (3, "c1"), (4, "d1")}
+    # head unchanged; as-of before retention horizon yields nothing
+    assert _store_rows(spark, store) == EXPECTED
+    assert read_store(spark, store, as_of=0) is None
