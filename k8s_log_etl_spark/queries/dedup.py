@@ -1901,7 +1901,15 @@ def group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("split_group_aware", oracle=_GROUP_SPLIT_SQL, tags=("dedup", "llmprep"))
+@register(
+    "split_group_aware",
+    oracle=_GROUP_SPLIT_SQL,
+    tags=("dedup", "llmprep"),
+    # heaviest round-6 addition at sf0.1 (~8 s: banded pairs + cc_star
+    # fixpoint) — promoted so regressions in the clustering path stay
+    # visible to BENCH_r{N} comparisons (round-5 verdict #3 principle)
+    bench=True,
+)
 def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-PREVENTING train/val/test split — the structural
     complement of eval_holdout_decontaminated (which DETECTS leakage

@@ -3697,3 +3697,113 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphans",
         (F.col("n_rows") - F.col("n_orphans")).cast("bigint").alias("n_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI value-drift monitor (numeric-feature companion of corpus_mix_drift)
+# ---------------------------------------------------------------------------
+
+PSI_SPLIT_TS = "2024-01-16 00:00:00"  # old = first half-month, new = second
+PSI_BINS = 10
+PSI_BIN_K = 1.6              # log-width bins: floor(ln(value+1) * K), capped
+PSI_Q = 1_000_000            # shares in parts-per-million (integer)
+PSI_NANO = 1_000_000_000     # PSI terms quantized to nano-nats
+
+_PSI_BIN_SQL = f"least({PSI_BINS - 1}, CAST(floor(ln(value + 1.0) * {PSI_BIN_K}) AS BIGINT))"
+
+_PSI_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         {_PSI_BIN_SQL} AS bin,
+         (ts < TIMESTAMP '{PSI_SPLIT_TS}') AS is_old
+  FROM events
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new
+  FROM cells GROUP BY event_type
+),
+shares AS (
+  SELECT c.event_type, c.bin, c.n_old, c.n_new,
+         CAST(c.n_old * {PSI_Q} // t.t_old AS BIGINT) AS share_old_ppm,
+         CAST(c.n_new * {PSI_Q} // t.t_new AS BIGINT) AS share_new_ppm
+  FROM cells c JOIN tot t ON c.event_type = t.event_type
+)
+SELECT event_type, bin, n_old, n_new, share_old_ppm, share_new_ppm,
+       CASE WHEN share_old_ppm = 0 OR share_new_ppm = 0 THEN NULL
+            ELSE CAST(round(
+                   ((share_new_ppm - share_old_ppm) * 1.0 / {PSI_Q})
+                   * ln(share_new_ppm * 1.0 / share_old_ppm) * {PSI_NANO})
+                 AS BIGINT) END AS psi_term_nano
+FROM shares
+"""
+
+
+@register("dq_psi_value_drift", oracle=_PSI_SQL, tags=("agg", "events"))
+def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor over a NUMERIC feature
+    — the companion of corpus_mix_drift (categorical shares) for the
+    other half of production distribution monitoring: per event type,
+    `value` is cut into log-width bins (the feature is heavy-tailed;
+    equal-width would pile everything into bin 0), the first and
+    second half-month populations are compared bin-by-bin, and each
+    bin's PSI term (Δshare · ln(share ratio)) is emitted in exact
+    nano-nat integers — sum of psi_term_nano per event_type = the PSI
+    a monitoring gate thresholds (0.1 watch / 0.25 alarm in common
+    practice). A NULL term marks a bin populated on only one side —
+    the loudest drift signal of all. Shares are integer ppm
+    (floor-division), ln quantized per the established micro-nat
+    discipline, so every row is engine-exact.
+
+    Scale shape: ONE scan, bin assignment map-side, one
+    (type, bin) hash-agg (≤ |types|·10 groups after partials), one
+    broadcast-sized totals join. Nothing grows with volume."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.lit(PSI_BINS - 1),
+        F.floor(F.log(F.col("value") + 1.0) * PSI_BIN_K).cast("bigint"),
+    )
+    cells = (
+        ev.select(
+            "event_type",
+            bin_col.alias("bin"),
+            (F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")).alias("is_old"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    shares = cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "n_old",
+        "n_new",
+        F.expr(f"CAST(n_old * {PSI_Q} DIV t_old AS BIGINT)").alias("share_old_ppm"),
+        F.expr(f"CAST(n_new * {PSI_Q} DIV t_new AS BIGINT)").alias("share_new_ppm"),
+    )
+    psi = F.when(
+        (F.col("share_old_ppm") == 0) | (F.col("share_new_ppm") == 0),
+        F.lit(None).cast("bigint"),
+    ).otherwise(
+        F.round(
+            ((F.col("share_new_ppm") - F.col("share_old_ppm")) / PSI_Q)
+            * F.log(F.col("share_new_ppm") / F.col("share_old_ppm"))
+            * PSI_NANO
+        ).cast("bigint")
+    )
+    return shares.select(
+        "event_type", "bin", "n_old", "n_new",
+        "share_old_ppm", "share_new_ppm", psi.alias("psi_term_nano"),
+    )

@@ -93,6 +93,21 @@ def dedup_within_watermark(df: DataFrame, watermark: str = "1 hour") -> DataFram
     return ok.withWatermark("ts", watermark).dropDuplicates(["trace_id", "ts"])
 
 
+def dedup_key_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """KEY-ONLY streaming dedup via dropDuplicatesWithinWatermark:
+    retries of the same logical record arrive with DIFFERENT event
+    times (a re-sent log line is restamped), so the (key, ts) exact
+    dedup above never catches them — this keeps the first arrival per
+    key and suppresses any later arrival whose event time lands within
+    the watermark horizon, with per-key state evicted once the
+    watermark passes it. The bounded-state shape every at-least-once
+    delivery pipeline needs at 100 TB: state is |live keys in the
+    horizon|, never |stream|."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, key: str = "service") -> DataFrame:
     """Stream-static enrichment join: every micro-batch hash-joins
     against the (batch) dimension — Spark re-plans the static side per
