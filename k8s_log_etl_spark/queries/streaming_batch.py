@@ -1047,3 +1047,92 @@ def quantile_sketch_frame(ev: DataFrame) -> DataFrame:
         est(0.9).alias("est_p90"),
         est(0.99).alias("est_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # credit window: 24 h in microseconds
+
+_ATTR_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS tus,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_tus
+  FROM events
+),
+credited AS (
+  SELECT CASE WHEN touch_tus IS NOT NULL
+                   AND tus - touch_tus <= {ATTR_WINDOW_US}
+              THEN touch_type ELSE 'unattributed' END AS channel,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM credited GROUP BY channel
+"""
+
+
+@register("events_attribution_last_touch", oracle=_ATTR_SQL, tags=("events",))
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH revenue attribution — the marketing-analytics
+    companion of events_time_to_convert (which measures latency;
+    this assigns CREDIT): every purchase is attributed to the user's
+    most recent preceding non-purchase event, but only if it happened
+    within a 24 h window; otherwise the revenue lands in the
+    'unattributed' bucket. Revenue travels as exact integer cents and
+    the window ordering ties break on event_id, so the credit
+    assignment is engine-exact. One carry-forward window per user (the
+    LOCF shape of events_gap_fill_locf, applied to a conditional
+    column) — no self-join of purchases against candidate touches.
+
+    Scale shape: ONE shuffle on user_id for the ordered carry-forward
+    window (linear per-user state, the sessionize discipline), then a
+    map-side credit CASE and a ≤|event types|-group hash-agg. An
+    interval self-join (purchase × prior events) would shuffle the
+    square of the touch density; the carry-forward form never
+    materializes a pair."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.unix_micros(F.col("ts"))), ignorenulls=True)
+        .over(w)
+        .alias("touch_tus"),
+    )
+    credited = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_tus").isNotNull()
+            & (F.col("tus") - F.col("touch_tus") <= ATTR_WINDOW_US),
+            F.col("touch_type"),
+        )
+        .otherwise("unattributed")
+        .alias("channel"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
