@@ -1792,11 +1792,17 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the segmentation is a map-side JVM HOF
     (sequence + slice + array_join — no explode needed to build
     lines); the frequency count is ONE hash-aggregate keyed on the
-    line string; the dup set is boilerplate-sized (<< corpus), so AQE
-    turns the marker join into a broadcast at runtime; the rebuild is
-    one groupBy(doc_id) whose per-group state is the document itself.
-    Two data-sized shuffles total (line-key, doc-key), both with
-    map-side partial aggregation."""
+    60-bit md5_long of the line, NOT the ~60-byte line string itself —
+    the frequency shuffle and the marker join carry 8-byte keys
+    (measured A/B in PLANS.md: 0.77x at the data-linear point, output
+    identical; the ORACLE still groups on the raw line, so a hash
+    collision — P ~ n²/2^61 — would surface as a driver hash mismatch,
+    the snapshot-fingerprint discipline); the dup set is
+    boilerplate-sized (<< corpus), so AQE turns the marker join into a
+    broadcast at runtime; the rebuild is one groupBy(doc_id) whose
+    per-group state is the document itself. Two data-sized shuffles
+    total (line-hash, doc-key), both with map-side partial
+    aggregation."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = F.split(F.trim(F.col("text")), r"\s+")
     lines = F.transform(
@@ -1805,16 +1811,18 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda i: F.array_join(F.slice(w, i * LINE_WORDS + 1, LINE_WORDS), " "),
     )
-    ex = d.select("doc_id", F.posexplode(lines).alias("ln", "line"))
+    ex = d.select("doc_id", F.posexplode(lines).alias("ln", "line")).withColumn(
+        "lh", X.md5_long(F.col("line"))
+    )
     dup = (
-        ex.groupBy("line")
+        ex.groupBy("lh")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= LINE_DUP_MIN_DOCS)
-        .select("line", F.lit(True).alias("is_dup"))
+        .select("lh", F.lit(True).alias("is_dup"))
     )
     kept_struct = F.when(F.col("is_dup").isNull(), F.struct("ln", "line"))
     return (
-        ex.join(dup, "line", "left")
+        ex.join(dup, "lh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
