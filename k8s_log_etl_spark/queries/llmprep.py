@@ -2687,3 +2687,124 @@ def curriculum_difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("diff_q").alias("max_diff_q"),
         F.sum("toks").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM: train on the train split, score the held-out split
+# ---------------------------------------------------------------------------
+
+BIGRAM_NLL_QUANT = 1_000_000  # per-bigram nll in integer micro-nats
+
+_BIGRAM_SQL = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_SQL} AS w,
+         ({X.md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT})
+           AS is_train
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, is_train, w[t.i+1] AS w1, w[t.i+2] AS w2
+  FROM words, unnest(range(greatest(len(w) - 1, 0))) AS t(i)
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bg WHERE is_train GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM bg WHERE is_train GROUP BY w1
+),
+v AS (
+  SELECT CAST(count(DISTINCT w1) AS BIGINT) AS vocab
+  FROM (SELECT w1 FROM bg WHERE is_train
+        UNION ALL SELECT w2 FROM bg WHERE is_train)
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln((coalesce(c1.c1, 0) + v.vocab) * 1.0
+                       / (coalesce(c2.c2, 0) + 1))
+                    * {BIGRAM_NLL_QUANT}) AS BIGINT) AS nll_q
+  FROM bg t
+  LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+  LEFT JOIN c1 ON t.w1 = c1.w1
+  CROSS JOIN v
+  WHERE NOT t.is_train
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(nll_q) * 1.0 / count(*) / {BIGRAM_NLL_QUANT}, 6) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_lm_score", oracle=_BIGRAM_SQL, tags=("llmprep", "text"))
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with a REAL train/apply split — what a production
+    KenLM-style quality filter actually does, which the unigram
+    text_perplexity_proxy (self-scored on the whole corpus) stands in
+    for: add-one-smoothed bigram counts are TRAINED on the 90% md5
+    train split only, then every HELD-OUT document is scored under
+    that model — unseen contexts degrade to ln(V) exactly as add-one
+    smoothing prescribes, so out-of-vocabulary text scores high nll
+    instead of crashing. Per-bigram nll is quantized to integer
+    micro-nats before the document sum (the established exactness
+    discipline), so engine sums are order-free.
+
+    Scale shape: two hash-aggregates over the train bigram stream
+    (model build), then the held-out stream joins the model — both
+    joins keyed on (w1[, w2]) and SHUFFLED, never broadcast, because a
+    real bigram model is billions of rows at 100 TB; the vocab scalar
+    is the only broadcast. The held-out side is 10% of the corpus by
+    construction, so scoring is the small side of the pipeline."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
+    pairs = F.transform(
+        ngram_indices(w, 2),
+        lambda i: F.struct(w[i].alias("w1"), w[i + 1].alias("w2")),
+    )
+    bg = (
+        d.select("doc_id", is_train.alias("is_train"), F.explode(pairs).alias("p"))
+        .select("doc_id", "is_train", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    train = bg.filter(F.col("is_train"))
+    # ONE shuffle of the raw train bigram stream builds the model;
+    # the context counts and the vocabulary both derive from the
+    # aggregated (and checkpointed — three consumers) model table:
+    # c1(w1) = sum_w2 c2(w1, w2), vocab = |distinct w1 ∪ w2 of c2|.
+    c2 = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = (
+        c2.select(F.col("w1").alias("t"))
+        .unionAll(c2.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").alias("vocab"))
+    )
+    test = bg.filter(~F.col("is_train"))
+    nll_q = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+                / (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+            )
+            * BIGRAM_NLL_QUANT
+        )
+        .cast("bigint")
+        .alias("nll_q")
+    )
+    return (
+        test.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll_q)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("nll_q") / F.count(F.lit(1)) / BIGRAM_NLL_QUANT, 6
+            ).alias("avg_nll"),
+        )
+    )

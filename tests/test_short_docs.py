@@ -48,6 +48,10 @@ NGRAM_QUERIES = [
     # round-4c tokenizing additions
     "dedup_substring_spans",
     "rag_retrieval_pipeline",
+    # round-6 tokenizing additions
+    "dedup_lines_corpus",
+    "curriculum_difficulty_bins",
+    "text_bigram_lm_score",
 ]
 
 
