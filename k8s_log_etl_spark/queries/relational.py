@@ -3807,3 +3807,82 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bin", "n_old", "n_new",
         "share_old_ppm", "share_new_ppm", psi.alias("psi_term_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch: deterministic distinct estimate + uniform sample
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SPACE = float(1 << 60)  # md5_long hash space
+
+_KMV_H = X.md5_long_sql("CAST(user_id AS VARCHAR)")
+
+_KMV_SQL = f"""
+WITH hh AS (
+  SELECT DISTINCT event_type, {_KMV_H} AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM hh
+),
+bot AS (SELECT * FROM ranked WHERE rn <= {KMV_K})
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS k_used,
+  max(h) AS kth_hash,
+  CAST(max(nd) AS BIGINT) AS exact_distinct,
+  CASE WHEN max(nd) <= {KMV_K} THEN CAST(max(nd) AS DOUBLE)
+       ELSE round(({KMV_K} - 1) * {KMV_SPACE!r} / max(h), 3) END AS est_distinct,
+  md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sample_md5
+FROM bot GROUP BY event_type
+"""
+
+
+@register("sample_kmv_bottomk", oracle=_KMV_SQL, tags=("agg", "approx", "sampling"))
+def sample_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values bottom-k sketch — the second fully-ORACLED
+    sketch beside agg_hll_events, and the one that doubles as a
+    SAMPLE: the k smallest md5_long hashes per event type are (a) a
+    mergeable distinct-count estimator ((k-1)·H / h_k once more than
+    k values exist, exact below) and (b) a uniform without-replacement
+    sample of the distinct users whose identity travels as ONE scalar
+    (md5 of the ordered hash list) so the driver hash-checks the
+    sample itself, not just its size. Everything is a deterministic
+    pure function of the input under the cross-engine hash.
+
+    Scale shape: the hash dedup is one (type, h) hash-agg; bottom-k
+    rides WindowGroupLimit (rank <= k pushed below the sort — at most
+    k rows per type survive each partition, the window_topk
+    discipline), so the sketch state shuffled is O(|types|·k).
+    Mergeability (bottom-k of a union == bottom-k of concatenated
+    per-shard bottom-ks) is pinned in tests/test_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    hh = ev.select(
+        "event_type", X.md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    nd = hh.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    bot = (
+        hh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .join(F.broadcast(nd), "event_type")
+    )
+    est = F.when(
+        F.max("nd") <= KMV_K, F.max("nd").cast("double")
+    ).otherwise(F.round((KMV_K - 1) * F.lit(KMV_SPACE) / F.max("h"), 3))
+    return bot.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.max("nd").alias("exact_distinct"),
+        est.alias("est_distinct"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("h")), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+        ).alias("sample_md5"),
+    )

@@ -467,3 +467,55 @@ def test_hll_registers_merge_associatively(spark, sf_dir):
         for r in merged.collect()
     }
     assert got == whole
+
+
+def test_kmv_estimate_and_merge(spark, sf_dir):
+    """KMV: estimate within ~3 sigma (rsd ~ 1/sqrt(k-2) ~ 12.6% at
+    k=64) in the estimator regime, exact below k; and MERGEABILITY —
+    bottom-k of the union equals bottom-k of the concatenated
+    per-shard bottom-ks, the property that lets shards sketch
+    independently."""
+    from pyspark.sql import Window
+
+    from k8s_log_etl_spark.functions import xengine as X
+    from k8s_log_etl_spark.queries.relational import (
+        KMV_K,
+        KMV_SPACE,
+        sample_kmv_bottomk,
+    )
+
+    # exact-or-bounded over the registered query (user_id cardinality)
+    for r in sample_kmv_bottomk(spark, sf_dir).collect():
+        if r["exact_distinct"] <= KMV_K:
+            assert r["est_distinct"] == float(r["exact_distinct"])
+        else:
+            assert r["est_distinct"] == pytest.approx(
+                r["exact_distinct"], rel=0.4
+            )
+
+    # estimator regime + merge on a high-cardinality column (event_id)
+    ev = load_table(spark, sf_dir, "events").select(
+        X.md5_long(F.col("event_id").cast("string")).alias("h"),
+        (F.col("event_id") % 2).alias("shard"),
+    )
+    exact = ev.select("h").distinct().count()
+    assert exact > KMV_K
+
+    def bottomk(df):
+        w = Window.orderBy("h")
+        return (
+            df.select("h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .select("h")
+        )
+
+    whole = sorted(r["h"] for r in bottomk(ev).collect())
+    per_shard = bottomk(ev.filter("shard = 0")).unionAll(
+        bottomk(ev.filter("shard = 1"))
+    )
+    merged = sorted(r["h"] for r in bottomk(per_shard).collect())
+    assert merged == whole
+    est = (KMV_K - 1) * KMV_SPACE / whole[-1]
+    assert est == pytest.approx(exact, rel=0.4)
