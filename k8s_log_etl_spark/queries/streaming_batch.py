@@ -1136,3 +1136,130 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential forecast, compiled to a one-pass weighted scan
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_DAYS = 30               # the fixture window: 2024-01-01 .. 01-30
+HOLT_QUANT = 1_000_000       # per-term products quantized to micro-units
+
+
+def _holt_weights() -> tuple[list[float], list[float]]:
+    """Coefficient vectors expressing Holt's level/trend recurrence as
+    LINEAR functionals of the day series: l_t = a·y_t + (1-a)(l+tr),
+    tr_t = b·(l_t - l_prev) + (1-b)·tr, init l_1 = y_1,
+    tr_1 = y_2 - y_1. Because the recurrence is linear with constant
+    smoothing, l_30 and tr_30 are fixed weighted sums over y_1..y_30 —
+    computed ONCE here, so the engines never iterate."""
+    n = HOLT_DAYS
+    lvl = [0.0] * n
+    trd = [0.0] * n
+    lvl[0] = 1.0                       # l_1 = y_1
+    trd[0], trd[1] = -1.0, 1.0         # tr_1 = y_2 - y_1
+    for t in range(1, n):              # steps 2..30 (0-indexed)
+        prev_l, prev_t = lvl[:], trd[:]
+        lvl = [(1 - HOLT_ALPHA) * (pl + pt) for pl, pt in zip(prev_l, prev_t)]
+        lvl[t] += HOLT_ALPHA
+        trd = [
+            HOLT_BETA * (nl - pl) + (1 - HOLT_BETA) * pt
+            for nl, pl, pt in zip(lvl, prev_l, prev_t)
+        ]
+    return lvl, trd
+
+
+_HOLT_LVL, _HOLT_TRD = _holt_weights()
+_HOLT_FC = [lw + tw for lw, tw in zip(_HOLT_LVL, _HOLT_TRD)]  # l_30 + tr_30
+
+
+def _lit_list_sql(ws: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in ws) + "]"
+
+
+_HOLT_SQL = f"""
+WITH spine AS (
+  SELECT t.event_type, d.d
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range({HOLT_DAYS})) AS d) d
+),
+daily AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT s.event_type, s.d, coalesce(daily.y, 0) AS y
+  FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d
+),
+terms AS (
+  SELECT event_type, y,
+         CAST(round({_lit_list_sql(_HOLT_LVL)}[d + 1] * y * {HOLT_QUANT}) AS BIGINT) AS lq,
+         CAST(round({_lit_list_sql(_HOLT_FC)}[d + 1] * y * {HOLT_QUANT}) AS BIGINT) AS fq
+  FROM series
+)
+SELECT event_type,
+       CAST(sum(y) AS BIGINT) AS n_events,
+       round(sum(lq) * 1.0 / {HOLT_QUANT}, 4) AS level_now,
+       round(sum(fq) * 1.0 / {HOLT_QUANT}, 4) AS forecast_next
+FROM terms GROUP BY event_type
+"""
+
+
+@register("events_forecast_holt", oracle=_HOLT_SQL, tags=("events", "temporal"))
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast of next-day event
+    volume per type — with the RECURRENCE COMPILED AWAY: level and
+    trend under constant smoothing are linear functionals of the day
+    series, so the 30-step recurrence collapses at import time into
+    two literal 30-weight vectors and the engines run ONE weighted
+    scan — no driver loop, no per-step sync, no window. Each
+    weight·count product is quantized to integer micro-units before
+    the sum (the micro-nat discipline), so the aggregate is exact and
+    order-free in both engines. Missing days enter as exact zeros via
+    a generated day spine.
+
+    Scale shape: the daily tally is one (type, day) hash-agg that
+    absorbs raw volume map-side; everything after operates on
+    |types|·30 rows. The pattern generalizes: ANY constant-coefficient
+    linear recurrence (EWMA, Holt, discounted returns) should ship as
+    a precomputed weight vector + one quantized dot product, never as
+    an iterative job — iteration count is a compile-time property,
+    not a runtime one."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(HOLT_DAYS).select(F.col("id").cast("int").alias("d"))
+        )
+    )
+    series = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    lvl_arr = F.array(*[F.lit(w) for w in _HOLT_LVL])
+    fc_arr = F.array(*[F.lit(w) for w in _HOLT_FC])
+    terms = series.select(
+        "event_type",
+        "y",
+        F.round(F.element_at(lvl_arr, F.col("d") + 1) * F.col("y") * HOLT_QUANT)
+        .cast("bigint")
+        .alias("lq"),
+        F.round(F.element_at(fc_arr, F.col("d") + 1) * F.col("y") * HOLT_QUANT)
+        .cast("bigint")
+        .alias("fq"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("y").alias("n_events"),
+        F.round(F.sum("lq") / HOLT_QUANT, 4).alias("level_now"),
+        F.round(F.sum("fq") / HOLT_QUANT, 4).alias("forecast_next"),
+    )
