@@ -55,7 +55,7 @@ def register(
 # one round-6 MODIFIED implementation (dedup_prefix_filter_jaccard —
 # PPJoin length+positional filters; a green r5 row says nothing about
 # new code), and (c)-(d) the OLDEST-green refresh: every r1-latest
-# query (10) and 9 of the 31 oracled r2-latest (the no-oracle
+# query (10) and 8 of the 31 oracled r2-latest (the no-oracle
 # agg_approx_events stays out of the window with agg_countmin_events,
 # both bounded in tests/test_approx.py instead).
 # (f) Families whose members are all r4/r5-latest
@@ -76,21 +76,23 @@ _CHECKED_FIRST = [
     "entity_resolve_parts", "quality_score_calibration",
     "dedup_keeper_remap", "dq_referential_integrity",
     "corpus_mix_drift",
-    # --- (a') round-6 late additions (11): these take the slots of
-    # eleven r2-latest refreshes whose families keep other in-window
+    # --- (a') round-6 late additions (12): these take the slots of
+    # twelve r2-latest refreshes whose families keep other in-window
     # members (multimodal_resize_stats, text_top_bigrams,
     # q5_regional_revenue, stream_tumbling_counts,
     # text_langid_confusion, text_token_bpeish,
     # multimodal_frame_sample, q3_top_unshipped,
     # text_fingerprint_clusters, and tfidf_top_terms
-    # + window_topk_per_customer which additionally stay
-    # bench-measured every round — all stay covered by the
-    # full-surface pytest oracle run) ---
+    # + window_topk_per_customer + stream_session_windows which
+    # additionally stay bench-measured every round; the streaming
+    # family also stays equivalence-tested in every pytest run — all
+    # stay covered by the full-surface pytest oracle run) ---
     "dedup_lines_corpus", "split_group_aware", "corpus_merge_upsert",
     "agg_hll_events", "layout_zorder_stats",
     "curriculum_difficulty_bins", "dq_psi_value_drift",
     "events_attribution_last_touch", "text_bigram_lm_score",
     "sample_kmv_bottomk", "events_forecast_holt",
+    "events_ab_test_analysis",
     # --- (b) round-6 modified implementations (1) ---
     "dedup_prefix_filter_jaccard",
     # --- (c) oldest-green refresh: all 10 r1-latest ---
@@ -98,7 +100,7 @@ _CHECKED_FIRST = [
     "agg_minmax_by", "agg_stats_events", "join_anti_customers",
     "join_full_outer_nations", "join_semi_customers",
     "pivot_status_by_year", "set_ops_customers",
-    # --- (d) oldest-green refresh: 9 of the 31 oracled r2-latest
+    # --- (d) oldest-green refresh: 8 of the 31 oracled r2-latest
     # (agg_rollup_orders, q13_order_distribution, having_large_orders,
     # window_running_total, correlated_not_exists, events_props_typed,
     # scalar_subquery_outliers, embedding_centroids,
@@ -114,7 +116,6 @@ _CHECKED_FIRST = [
     "multimodal_blob_meta",
     "q1_pricing_summary",
     "sample_stratified_topk",
-    "stream_session_windows",
     "text_quality_score", "text_token_stats",
     # (the two r3 log-core slots from the first round-6 cut yielded to
     # the later round-6 additions above; the log family keeps its hard

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.tables import load_table
 
@@ -1262,4 +1263,111 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("n_events"),
         F.round(F.sum("lq") / HOLT_QUANT, 4).alias("level_now"),
         F.round(F.sum("fq") / HOLT_QUANT, 4).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: hash-assigned arms, conversion lift, z-stat
+# ---------------------------------------------------------------------------
+
+AB_Q = 1_000_000  # conversion rates in parts-per-million (integer)
+
+_AB_ASSIGN_SQL = '(' + X.md5_long_sql("CAST(user_id AS VARCHAR)") + ' % 2)'
+
+_AB_SQL = f"""
+WITH assigned AS (
+  SELECT user_id, {_AB_ASSIGN_SQL} AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS revenue_cents
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted,
+         CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents
+  FROM assigned GROUP BY arm
+)
+SELECT arm, n_users, n_converted, revenue_cents,
+       CAST(n_converted * {AB_Q} // n_users AS BIGINT) AS conversion_ppm,
+       CASE WHEN (SELECT sum(n_converted) FROM arms) = 0
+              OR (SELECT sum(n_converted) FROM arms)
+                 = (SELECT sum(n_users) FROM arms)
+            THEN NULL
+            ELSE round(
+              (n_converted * 1.0 / n_users
+               - (SELECT sum(n_converted) * 1.0 / sum(n_users) FROM arms))
+              / sqrt(
+                  (SELECT sum(n_converted) * 1.0 / sum(n_users) FROM arms)
+                  * (1 - (SELECT sum(n_converted) * 1.0 / sum(n_users) FROM arms))
+                  / n_users),
+              4) END AS z_vs_pooled
+FROM arms
+"""
+
+
+@register("events_ab_test_analysis", oracle=_AB_SQL, tags=("events", "agg"))
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis readout — the family every product events
+    pipeline ends in: users are hash-assigned to two arms (md5 % 2 —
+    the deterministic assignment discipline of split_train_holdout, so
+    re-ingestion never reshuffles arms), and each arm reports users,
+    converters (>= 1 purchase), exact integer-ppm conversion, integer-
+    cents revenue, and its z-statistic against the pooled conversion
+    rate (the two-proportion test numerator/denominator in one rounded
+    double — every input to it an exact integer ratio, so both engines
+    divide the same numbers).
+
+    Scale shape: one user-keyed hash-agg absorbs the event stream
+    (converted = max of a CASE — no per-user ordering needed), then a
+    2-group tally; the pooled rate is a 1-row broadcast. Nothing
+    scales past the user dimension, and the assignment is a pure
+    map-side hash — the query form of a metrics pipeline that at
+    100 TB runs as one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    assigned = (
+        ev.select(
+            "user_id",
+            (X.md5_long(F.col("user_id").cast("string")) % 2).alias("arm"),
+            F.when(is_purchase, 1).otherwise(0).alias("conv"),
+            F.when(is_purchase, F.round(F.col("value") * 100).cast("bigint"))
+            .otherwise(0)
+            .alias("cents"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.max("conv").alias("converted"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.sum("revenue_cents").alias("revenue_cents"),
+    )
+    pooled = arms.agg(
+        (F.sum("n_converted") / F.sum("n_users")).alias("p_pool")
+    )
+    # a degenerate experiment (nobody or everybody converts) has no
+    # defined z-statistic — NULL, not a divide-by-zero (ANSI mode)
+    z = F.when(
+        (F.col("p_pool") > 0) & (F.col("p_pool") < 1),
+        F.round(
+            (F.col("n_converted") / F.col("n_users") - F.col("p_pool"))
+            / F.sqrt(F.col("p_pool") * (1 - F.col("p_pool")) / F.col("n_users")),
+            4,
+        ),
+    )
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        "n_users",
+        "n_converted",
+        "revenue_cents",
+        F.expr(f"CAST(n_converted * {AB_Q} DIV n_users AS BIGINT)").alias(
+            "conversion_ppm"
+        ),
+        z.alias("z_vs_pooled"),
     )
