@@ -55,7 +55,7 @@ def register(
 # one round-6 MODIFIED implementation (dedup_prefix_filter_jaccard —
 # PPJoin length+positional filters; a green r5 row says nothing about
 # new code), and (c)-(d) the OLDEST-green refresh: every r1-latest
-# query (10) and 8 of the 31 oracled r2-latest (the no-oracle
+# query (10) and 7 of the 31 oracled r2-latest (the no-oracle
 # agg_approx_events stays out of the window with agg_countmin_events,
 # both bounded in tests/test_approx.py instead).
 # (f) Families whose members are all r4/r5-latest
@@ -76,13 +76,13 @@ _CHECKED_FIRST = [
     "entity_resolve_parts", "quality_score_calibration",
     "dedup_keeper_remap", "dq_referential_integrity",
     "corpus_mix_drift",
-    # --- (a') round-6 late additions (12): these take the slots of
-    # twelve r2-latest refreshes whose families keep other in-window
+    # --- (a') round-6 late additions (13): these take the slots of
+    # thirteen r2-latest refreshes whose families keep other in-window
     # members (multimodal_resize_stats, text_top_bigrams,
     # q5_regional_revenue, stream_tumbling_counts,
     # text_langid_confusion, text_token_bpeish,
     # multimodal_frame_sample, q3_top_unshipped,
-    # text_fingerprint_clusters, and tfidf_top_terms
+    # text_fingerprint_clusters, text_token_stats, and tfidf_top_terms
     # + window_topk_per_customer + stream_session_windows which
     # additionally stay bench-measured every round; the streaming
     # family also stays equivalence-tested in every pytest run — all
@@ -92,7 +92,7 @@ _CHECKED_FIRST = [
     "curriculum_difficulty_bins", "dq_psi_value_drift",
     "events_attribution_last_touch", "text_bigram_lm_score",
     "sample_kmv_bottomk", "events_forecast_holt",
-    "events_ab_test_analysis",
+    "events_ab_test_analysis", "graph_triangle_count",
     # --- (b) round-6 modified implementations (1) ---
     "dedup_prefix_filter_jaccard",
     # --- (c) oldest-green refresh: all 10 r1-latest ---
@@ -100,7 +100,7 @@ _CHECKED_FIRST = [
     "agg_minmax_by", "agg_stats_events", "join_anti_customers",
     "join_full_outer_nations", "join_semi_customers",
     "pivot_status_by_year", "set_ops_customers",
-    # --- (d) oldest-green refresh: 8 of the 31 oracled r2-latest
+    # --- (d) oldest-green refresh: 7 of the 31 oracled r2-latest
     # (agg_rollup_orders, q13_order_distribution, having_large_orders,
     # window_running_total, correlated_not_exists, events_props_typed,
     # scalar_subquery_outliers, embedding_centroids,
@@ -116,7 +116,7 @@ _CHECKED_FIRST = [
     "multimodal_blob_meta",
     "q1_pricing_summary",
     "sample_stratified_topk",
-    "text_quality_score", "text_token_stats",
+    "text_quality_score",
     # (the two r3 log-core slots from the first round-6 cut yielded to
     # the later round-6 additions above; the log family keeps its hard
     # signal through agg_by_service (r1, slot (c)) and the r3 core

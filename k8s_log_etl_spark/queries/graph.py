@@ -327,3 +327,112 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part"),
         F.col("d").cast("long").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation) + clustering coefficient
+# ---------------------------------------------------------------------------
+
+_TRI_SQL = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+ori AS (
+  SELECT e.src, e.dst
+  FROM e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+  WHERE (ds.d, e.src) < (dd.d, e.dst)
+),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ori e1 JOIN ori e2 ON e1.dst = e2.src
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM wedges w JOIN ori e3 ON w.a = e3.src AND w.c = e3.dst
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges,
+       CAST(t AS BIGINT) AS n_triangles,
+       round(3.0 * t / n_wedges, 6) AS global_clustering
+FROM stats, tri
+"""
+
+
+@register("graph_triangle_count", oracle=_TRI_SQL, tags=("graph",))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph via DEGREE-ORDERED edge orientation — the
+    standard distributed-triangle trick (each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, so every
+    triangle closes through exactly ONE wedge at its lowest-rank
+    vertex, and wedge fan-out is bounded by out-degrees that are
+    O(sqrt(m)) on any graph — hub nodes never enumerate their
+    neighborhood squares). Wedges come from one oriented self-join,
+    closure from one more keyed join; the clustering denominator
+    (sum d(d-1)/2) comes from the degree table, not the join. All
+    counts exact integers; the coefficient is one rounded division.
+
+    The SPARK side ships the COMPACT-FORWARD form instead of the
+    literal wedge join (the oracle keeps the wedge join to pin
+    equivalence): per-node sorted out-neighbor arrays, then triangles
+    per oriented edge (a, b) = |N+(a) ∩ N+(b)| via map-side
+    array_intersect — the wedge stream (sum of out-degrees squared,
+    13.8M rows at sf0.1) is never shuffled. Same-session A/B in
+    PLANS.md: sf0.1 12.1 -> 8.5 s, synth-sf1 103 -> 54 s (0.52x),
+    output identical.
+
+    Scale shape: 2 keyed equi-joins over the oriented edge list + one
+    degree hash-agg; degree orientation bounds out-degrees (and hence
+    the neighbor arrays the edges carry) by O(sqrt(m)) on any graph —
+    hub nodes never enumerate their neighborhood squares. Runtime is
+    edge-volume-bound: ~linear in data growth, the known price of
+    EXACT triangle enumeration (edge-sampling estimators are the
+    documented cheaper path when exactness can be traded)."""
+    sym = _copurchase_edges(spark, sf_dir)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e = (
+        sym.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        e.join(adj.select(F.col("node").alias("src"), F.col("nbrs").alias("na")), "src")
+        .join(adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nb")), "dst")
+        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
+        .agg(F.sum("k").alias("t"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.floor(F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.floor(F.col("d") * (F.col("d") - 1) / 2)).alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("t").cast("bigint").alias("n_triangles"),
+        F.round(3.0 * F.col("t") / F.col("n_wedges"), 6).alias("global_clustering"),
+    )
