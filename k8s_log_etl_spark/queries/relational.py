@@ -3711,6 +3711,15 @@ PSI_NANO = 1_000_000_000     # PSI terms quantized to nano-nats
 
 _PSI_BIN_SQL = f"least({PSI_BINS - 1}, CAST(floor(ln(value + 1.0) * {PSI_BIN_K}) AS BIGINT))"
 
+
+def PSI_BIN_COL() -> F.Column:
+    """The log-width value bin shared by the batch monitor and the
+    streaming drift twin (streaming/drift.py)."""
+    return F.least(
+        F.lit(PSI_BINS - 1),
+        F.floor(F.log(F.col("value") + 1.0) * PSI_BIN_K).cast("bigint"),
+    )
+
 _PSI_SQL = f"""
 WITH binned AS (
   SELECT event_type,
@@ -3766,10 +3775,7 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, bin) hash-agg (≤ |types|·10 groups after partials), one
     broadcast-sized totals join. Nothing grows with volume."""
     ev = load_table(spark, sf_dir, "events")
-    bin_col = F.least(
-        F.lit(PSI_BINS - 1),
-        F.floor(F.log(F.col("value") + 1.0) * PSI_BIN_K).cast("bigint"),
-    )
+    bin_col = PSI_BIN_COL()
     cells = (
         ev.select(
             "event_type",
