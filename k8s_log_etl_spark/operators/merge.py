@@ -53,12 +53,17 @@ def merge_upsert(
 
     in_t = F.col("t._t_present").isNotNull()
     in_s = F.col("s._s_present").isNotNull()
-    is_del = in_s & F.col(f"s.{delete_col}")
+    # round-6 ADVICE: coalesce the delete flag — a NULL is_delete on an
+    # UNMATCHED change row would otherwise make every branch NULL
+    # (in_s & ~NULL is NULL) and silently DROP the row, while the
+    # registered query's oracle (COALESCE(is_delete, FALSE)) calls it
+    # "inserted". NULL marker == not a delete, matching the oracle.
+    is_del = in_s & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))
 
     action = (
         F.when(in_t & is_del, "deleted")
         .when(in_t & in_s, "updated")
-        .when(in_s & ~F.col(f"s.{delete_col}"), "inserted")
+        .when(in_s & ~is_del, "inserted")
         .when(in_t & ~in_s, "kept")
     )
     merged_vals = [

@@ -1075,10 +1075,19 @@ p{r} AS (
 ),
 m{r} AS (SELECT a, b FROM p{r} ORDER BY w DESC, a, b LIMIT 1),
 enc{r + 1} AS (
+  -- LEFT JOIN + coalesce-to-absent-pattern (round-6 ADVICE): when the
+  -- vocabulary is fully merged before BPE_MERGE_ROUNDS, m{r} is empty
+  -- and a cross join would empty the whole encoding; the Spark twin
+  -- breaks out of its loop instead. {d1}{d1} never occurs in a framed
+  -- encoding, so the coalesced replace is a no-op and the round is a
+  -- fixpoint, mirroring the break.
   SELECT term, freq,
-         replace(enc, {d1} || m.a || {d2} || {d1} || m.b || {d2},
-                 {d1} || m.a || m.b || {d2}) AS enc
-  FROM enc{r}, m{r} m
+         replace(enc,
+                 coalesce({d1} || m.a || {d2} || {d1} || m.b || {d2},
+                          {d1} || {d1}),
+                 coalesce({d1} || m.a || m.b || {d2},
+                          {d1} || {d1})) AS enc
+  FROM enc{r} LEFT JOIN m{r} m ON TRUE
 )"""
     n = BPE_MERGE_ROUNDS
     sql += f""",

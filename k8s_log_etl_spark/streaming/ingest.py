@@ -233,11 +233,17 @@ def ingest_batch_neardup(
     batch. Survivors append to the batch-partitioned corpus; ALL gated
     docs' band rows (with their full signatures) append to the index —
     suppressed docs are indexed too, so the suppression criterion is
-    simply "a verified pair with ANY smaller ingested doc_id exists",
-    which makes the kept set INDEPENDENT of micro-batch boundaries
-    (tests/test_neardup_ingest.py streams the same corpus in 1/3/7
-    batches and pins identical corpora, equal to the batch-mode rule
-    derived from dedup_minhash_lsh's pair set).
+    simply "a verified pair with ANY smaller ingested doc_id exists"
+    — both probes carry the a.doc_id < b.doc_id predicate, so a doc
+    is NEVER suppressed by a larger-id doc regardless of arrival
+    order (round-6 ADVICE). For doc_id-monotone streams the kept set
+    is therefore INDEPENDENT of micro-batch boundaries and equal to
+    the batch-mode rule (tests/test_neardup_ingest.py streams the
+    same corpus in 1/3/7 batches and pins identical corpora, equal
+    to the rule derived from dedup_minhash_lsh's pair set); for
+    out-of-order streams the late smaller-id doc is correctly KEPT
+    (its larger-id twin, already durably ingested, stays — append-only
+    stores cannot retract).
 
     Replay safety (same dynamic-partition-overwrite discipline as
     ingest_batch, plus one addition): the index read filters
@@ -315,7 +321,13 @@ def ingest_batch_neardup(
             .join(
                 idx.alias("a"),
                 (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bsig") == F.col("b.bsig")),
+                & (F.col("a.bsig") == F.col("b.bsig"))
+                # round-6 ADVICE: without this the kept set depends on
+                # batch cuts when doc_ids arrive out of order — a new
+                # SMALLER-id doc would be suppressed against a larger-id
+                # indexed doc, diverging from the batch-mode rule
+                # ("a verified pair with ANY smaller doc_id exists").
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .filter(est >= MINHASH_EST_THRESHOLD)
             .select(F.col("b.doc_id").alias("doc_id"))

@@ -427,3 +427,43 @@ def test_entity_resolution_accuracy_floor(spark):
     acc = sum(1 for r in rows if r["is_true"]) / len(rows)
     assert acc >= 0.9, acc
     assert all(0.0 < r["score"] <= 1.0 for r in rows)
+
+
+def test_bpe_oracle_fixpoint_on_fully_merged_vocab(spark, tmp_path):
+    """Round-6 ADVICE regression: when the vocabulary fully merges
+    before BPE_MERGE_ROUNDS, the oracle's per-round merge table m{r}
+    is EMPTY — a cross join there would empty the whole encoding while
+    the Spark twin breaks out of its loop and keeps it. The LEFT JOIN
+    + coalesce-to-absent-pattern fix must make the exhausted round a
+    fixpoint: both engines agree, non-empty, on a 2-word corpus whose
+    vocab is single-symbol after 2 merges (<< 6 rounds)."""
+    import duckdb
+    import pandas as pd
+
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["ab ab ab cd", "ab cd"],
+            "lang": ["en", "en"],
+            "source": ["unit", "unit"],
+            "n_chars": [11, 5],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    spec = load_all()["bpe_encode_corpus"]
+    s_rows = sorted(
+        (r["term"], r["token_seq"], r["n_tokens"], r["freq"], r["corpus_tokens"])
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    d_rows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    con.close()
+    assert s_rows == d_rows
+    # non-degenerate: both words encode to ONE fully-merged token
+    # (corpus_tokens = sum(freq * len(s)) = 4*1 + 2*1)
+    assert s_rows == [("ab", "ab", 1, 4, 6), ("cd", "cd", 1, 2, 6)]

@@ -54,3 +54,26 @@ def test_merge_is_one_join(spark):
     )
     assert plan.count("Join") == 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_null_delete_marker_is_not_a_delete(spark):
+    """Round-6 ADVICE regression: a NULL is_delete must be treated as
+    FALSE (the oracle's COALESCE semantics). Before the guard, an
+    unmatched change row with NULL is_delete made every action branch
+    NULL (in_s & ~NULL is NULL) and the row was silently DROPPED."""
+    target = spark.createDataFrame([(1, "alpha", 10)], "k long, v string, n long")
+    changes = spark.createDataFrame(
+        [
+            (1, "alpha2", 11, None),  # matched, NULL marker -> updated
+            (9, "nine", 90, None),    # unmatched, NULL marker -> inserted
+        ],
+        "k long, v string, n long, is_delete boolean",
+    )
+    rows = {
+        r["k"]: (r["action"], r["v"], r["n"])
+        for r in merge_upsert(target, changes, ["k"]).collect()
+    }
+    assert rows == {
+        1: ("updated", "alpha2", 11),
+        9: ("inserted", "nine", 90),
+    }

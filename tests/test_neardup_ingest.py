@@ -124,3 +124,32 @@ def test_streaming_wrapper_drains_equivalently(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     )
     assert kept == [1, 3]  # doc 2 is a verbatim near-dup of doc 1
+
+
+def test_out_of_order_doc_ids_keep_smaller_id_doc(spark, tmp_path):
+    """Round-6 ADVICE regression: the vs_index probe must carry the
+    a.doc_id < b.doc_id predicate. If doc 10 (batch 0) and its twin
+    doc 5 (batch 1) arrive out of order, the later-but-SMALLER-id doc 5
+    must be KEPT — suppression is defined against smaller ingested ids
+    only, and without the predicate doc 5 would be suppressed by the
+    indexed doc 10, making the kept set depend on batch cuts."""
+    twin = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely unrelated prose about parquet files and shuffle planning"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    b0 = spark.createDataFrame([(10, twin, "en", "s", 1)], schema)
+    b1 = spark.createDataFrame(
+        [(5, twin, "en", "s", 1), (6, other, "en", "s", 1)], schema
+    )
+    IN.ingest_batch_neardup(spark, b0, 0, corpus, index)
+    IN.ingest_batch_neardup(spark, b1, 1, corpus, index)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    # doc 5 kept (no smaller-id twin); doc 10 stays (already durable);
+    # doc 6 kept (no twin at all)
+    assert kept == [5, 6, 10]
+    # and a LARGER-id twin arriving later is still suppressed by the index
+    b2 = spark.createDataFrame([(42, twin, "en", "s", 1)], schema)
+    IN.ingest_batch_neardup(spark, b2, 2, corpus, index)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept2 == [5, 6, 10]
