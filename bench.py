@@ -33,7 +33,75 @@ R2_CORE_15 = [
 ]
 
 
-def _matched_subtotals(timings: dict[str, float]) -> dict:
+# ---------------------------------------------------------------------------
+# Calibration anchor (round-6 verdict #1): two straight rounds of perf
+# adjudication rested on builder-side reruns inside a documented ±35%
+# cross-session host-throughput band. Every bench run now measures a
+# FIXED synthetic workload (pure JVM-side hash-agg over spark.range —
+# no I/O, no shuffle, codegen'd like the real queries) at START and END
+# of the run, and matched_subtotals carry both raw seconds and seconds
+# normalized to the pinned reference host throughput, so a genuine
+# 1.1-1.2× regression is separable from session drift without reruns.
+# ---------------------------------------------------------------------------
+
+CAL_ROWS_SINGLE = 40_000_000  # one partition: single-core throughput
+CAL_ROWS_WIDE = 40_000_000 * 32  # 32 partitions: full-width throughput
+
+#: Reference host throughput, pinned in the round-7 session that also
+#: established that session's matched subtotals (BASELINE.md round 7,
+#: "Calibration anchor"). Normalization: sec_norm = sec * (ref / measured)
+#: using the wide32 number (bench queries are 32-wide workloads), with
+#: measured = mean(start, end).
+CAL_REF_WIDE32_SEC = 1.24
+
+
+def _calibration(spark) -> dict:
+    """Min-of-3 timing of the fixed single-core and 32-wide hash-agg
+    loops. Min dodges transient spikes but still reflects session-level
+    host slowness (hypervisor tenancy) — exactly the drift to normalize
+    out. The double xxhash64 keeps the loop compute-bound; the tiny
+    warmup run triggers codegen+JIT so the timed runs are steady-state."""
+    from pyspark.sql import functions as F
+    import time as _t
+
+    def loop(parts: int, rows: int):
+        # pmod bounds the summand so the 40M-row sum can't overflow
+        # int64 under ANSI mode; both hashes still run per row.
+        return spark.range(0, rows, 1, parts).select(
+            F.sum(F.pmod(F.xxhash64(F.xxhash64("id")), F.lit(1 << 20))).alias("h")
+        )
+
+    loop(32, 320_000).collect()  # JIT warm (same generated class shape)
+    out = {}
+    for key, parts, rows in (
+        ("single_core_sec", 1, CAL_ROWS_SINGLE),
+        ("wide32_sec", 32, CAL_ROWS_WIDE),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            loop(parts, rows).collect()
+            best = min(best, _t.perf_counter() - t0)
+        out[key] = round(best, 3)
+    return out
+
+
+def _cal_factor(cal: dict | None) -> float | None:
+    """Normalization factor from a calibration block: ref / measured
+    wide32, measured = mean of the start/end samples present."""
+    if not cal:
+        return None
+    vals = [
+        cal[k]["wide32_sec"]
+        for k in ("start", "end")
+        if isinstance(cal.get(k), dict) and "wide32_sec" in cal[k]
+    ]
+    if not vals:
+        return None
+    return CAL_REF_WIDE32_SEC / (sum(vals) / len(vals))
+
+
+def _matched_subtotals(timings: dict[str, float], cal: dict | None = None) -> dict:
     """Machine-checked cross-round comparability: the r2-core-15
     subtotal, plus current-vs-previous-round subtotals over the
     intersection of query sets. "Previous" = the newest BENCH_r*.json
@@ -42,7 +110,15 @@ def _matched_subtotals(timings: dict[str, float]) -> dict:
     newest-file pick would compare the run against its own numbers
     (round-5 ADVICE). Current round comes from $SPARK_GRAFT_ROUND or
     argv[1] when given; otherwise it defaults to newest-round + 1
-    (right whenever this round's file hasn't been written yet)."""
+    (right whenever this round's file hasn't been written yet).
+
+    Each subtotal carries raw seconds AND `sec_norm` (seconds scaled by
+    this run's calibration factor to the pinned reference host
+    throughput); when the previous round's BENCH file carries its own
+    calibration block, `prev_sec_norm` is computed from THAT run's
+    factor, so the normalized pair compares code on a common
+    synthetic-throughput scale (round-6 verdict #1)."""
+    factor = _cal_factor(cal)
     here = os.path.dirname(os.path.abspath(__file__))
     out: dict = {
         "r2_core_15": {
@@ -50,6 +126,8 @@ def _matched_subtotals(timings: dict[str, float]) -> dict:
             "sec": round(sum(timings.get(n, 0.0) for n in R2_CORE_15), 3),
         }
     }
+    if factor is not None:
+        out["r2_core_15"]["sec_norm"] = round(out["r2_core_15"]["sec"] * factor, 3)
     benches = sorted(
         (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.search(r"\d+", f).group()),
@@ -66,15 +144,22 @@ def _matched_subtotals(timings: dict[str, float]) -> dict:
         prev_file = benches[-1]
         try:
             with open(os.path.join(here, prev_file)) as f:
-                prev = json.load(f)["parsed"]["queries"]
+                prev_parsed = json.load(f)["parsed"]
+            prev = prev_parsed["queries"]
         except (KeyError, json.JSONDecodeError, OSError):
             return out
         matched = sorted(set(prev) & set(timings))
-        out["vs_" + prev_file.removesuffix(".json")] = {
+        block = {
             "n": len(matched),
             "sec": round(sum(timings[n] for n in matched), 3),
             "prev_sec": round(sum(prev[n] for n in matched), 3),
         }
+        if factor is not None:
+            block["sec_norm"] = round(block["sec"] * factor, 3)
+        prev_factor = _cal_factor(prev_parsed.get("calibration"))
+        if prev_factor is not None:
+            block["prev_sec_norm"] = round(block["prev_sec"] * prev_factor, 3)
+        out["vs_" + prev_file.removesuffix(".json")] = block
     return out
 
 
@@ -109,6 +194,8 @@ def main() -> None:
     )
     specs = load_all()
     bench_specs = {n: s for n, s in specs.items() if s.bench}
+
+    cal = {"start": _calibration(spark)}
 
     # Input prep (not query work): materialize the JSONL files for the
     # target SF. Then warm codegen+JIT by running every bench query once
@@ -145,6 +232,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    cal["end"] = _calibration(spark)
+    cal["ref_wide32_sec"] = CAL_REF_WIDE32_SEC
+    factor = _cal_factor(cal)
+    if factor is not None:
+        cal["factor"] = round(factor, 4)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -154,7 +247,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "matched_subtotals": _matched_subtotals(timings),
+                "calibration": cal,
+                "matched_subtotals": _matched_subtotals(timings, cal),
             }
         )
     )

@@ -369,7 +369,11 @@ FROM stats, tri
 """
 
 
-@register("graph_triangle_count", oracle=_TRI_SQL, tags=("graph",))
+# bench=True: round-6 verdict #2 — at ~8.5 s sf0.1 this is the heaviest
+# registered query and was invisible to BENCH_r{N} comparisons (set
+# grows 26 -> 27; BASELINE.md round-7 notes the growth per the r4c
+# comparability discipline).
+@register("graph_triangle_count", oracle=_TRI_SQL, tags=("graph",), bench=True)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the
     co-purchase graph via DEGREE-ORDERED edge orientation — the
