@@ -1258,40 +1258,102 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CMS_EPS = 0.001   # over-count bound: eps * stream size
-CMS_CONF = 0.99
+CMS_D = 5       # depth: P(over-count > eps*N) <= e^-D ~ 0.7%
+CMS_W = 2048    # width: eps = e / W ~ 0.00133
+CMS_EPS = 2.718281828459045 / CMS_W   # over-count bound: eps * stream size
+CMS_CONF = 1.0 - 0.006737946999085467  # 1 - e^-CMS_D
+
+# Row-i bucket of event_type, shared definition (i in 0..CMS_D-1): the
+# md5_long of "i:<type>" mod width — deterministic in both engines, so
+# the full register table is a pure function of the data.
+_CMS_H = (
+    "CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || event_type),"
+    " 1, 15)) AS BIGINT)"
+)
+
+_CMS_SQL = f"""
+WITH hb AS (
+  SELECT event_type, CAST(i AS INTEGER) AS i, {_CMS_H} % {CMS_W} AS b
+  FROM events, unnest(range({CMS_D})) AS t(i)
+),
+reg AS (
+  SELECT i, b, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY i, b
+),
+th AS (
+  SELECT DISTINCT event_type, i, b FROM hb
+),
+est AS (
+  SELECT t.event_type, min(r.cnt) AS est_count
+  FROM th t JOIN reg r ON t.i = r.i AND t.b = r.b
+  GROUP BY t.event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, est_count, exact_count,
+       est_count - exact_count AS over_count
+FROM est e JOIN exact x ON e.event_type = x.event_type
+"""
 
 
-@register("agg_countmin_events", tags=("agg", "approx"))
+@register("agg_countmin_events", oracle=_CMS_SQL, tags=("agg", "approx"))
 def agg_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch point queries — the third mergeable sketch
-    beside HLL++ and the percentile digest (agg_approx_events): one
-    pass builds a CMS over the event_type stream, then each type's
-    estimated frequency is read from the sketch. CMS never
-    under-counts and over-counts by at most eps·N with prob. conf —
-    bounded against exact counts in tests/test_approx.py (no DuckDB
-    oracle; sketch internals are engine-specific, driver records the
-    rows-only check). At 100 TB the sketch is a few KB per partition,
-    merged associatively — the shape of every streaming top-k/heavy-
-    hitter pipeline."""
+    """Count-min sketch point queries (Cormode & Muthukrishnan 2005) —
+    hand-rolled like agg_hll_events so the ENTIRE sketch state is a
+    deterministic pure function of the data and DuckDB can replay it
+    value-exactly (round-6 verdict #3; previously this used Spark's
+    built-in count_min_sketch + a JVM-side probe, whose serialized
+    register layout is engine-specific and forced a rows-only check).
+
+    Registers: counter[i][b] = #rows whose row-i hash lands in bucket
+    b, i < CMS_D, b = md5_long("i:" || event_type) mod CMS_W — an
+    order-free integer SUM over deterministic md5 bucket hashes, hence
+    mergeable by pure addition (the same property that lets a 100 TB
+    run build per-partition D*W register blocks map-side and combine
+    them associatively; the materialized sketch is <= D*W = 10,240
+    rows regardless of stream size). Point estimate = min over the D
+    row counters — never under-counts, over-counts > eps*N with
+    probability <= e^-D (bounds kept pinned in tests/test_approx.py;
+    the oracle additionally pins exact register equality).
+
+    Plan: one posexplode(D) + hash-agg builds the registers (map-side
+    partials collapse to <= D*W rows per partition); the probe joins
+    the distinct type->bucket map against the tiny register table
+    (broadcast) and min-reduces per type."""
     ev = load_table(spark, sf_dir, "events")
-    sketch = ev.agg(
-        F.expr(
-            f"count_min_sketch(event_type, {CMS_EPS}d, {CMS_CONF}d, 42)"
-        ).alias("cms")
+    hashed = ev.select(
+        "event_type",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        X.md5_long(
+                            F.concat(F.lit(f"{i}:"), F.col("event_type"))
+                        )
+                        % CMS_W
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("i", "b"),
     )
-    types = ev.select("event_type").distinct()
-    # No SQL-side point-query function for CMS; read the (tiny) sketch
-    # on the driver via the Java API — one sketch, |event_types| probes.
-    sk_bytes = bytes(sketch.collect()[0]["cms"])
-    jvm = spark.sparkContext._jvm
-    bis = jvm.java.io.ByteArrayInputStream(sk_bytes)
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
-    rows = [
-        (r["event_type"], int(cms.estimateCount(r["event_type"])))
-        for r in types.collect()
-    ]
-    return spark.createDataFrame(rows, "event_type string, est_count long")
+    reg = hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    th = hashed.select("event_type", "i", "b").distinct()
+    est = (
+        th.join(F.broadcast(reg), ["i", "b"])
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("over_count"),
+    )
 
 
 # ---------------------------------------------------------------------------
