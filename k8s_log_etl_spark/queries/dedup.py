@@ -21,6 +21,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1566,6 +1568,211 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_unique"),
     )
 
+
+# ---------------------------------------------------------------------------
+# persisted-index SERVING variant of incremental near-dup (round-6
+# verdict #4): dedup_minhash_incremental re-derives the corpus band
+# index every run (the driver tables are static), so its registered
+# cost profile measures index BUILD, not the delta probe the operator
+# exists for. This variant persists the index to parquet ONCE per SF
+# (input prep, like the JSONL materialization) and each run does only
+# batch-sized work: sign a FIXED 100-doc delta, broadcast its band
+# rows against a single columnar scan of the index, verify, count.
+# ---------------------------------------------------------------------------
+
+SERVE_LO = CORPUS_MAX_ID          # fixed serve delta: doc_ids [400, 500)
+SERVE_HI = CORPUS_MAX_ID + 100
+MH_INDEX_ROOT = "/tmp/spark_graft_mhindex_v1"
+
+_SERVE_MH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, b AS band, CASE b {_BAND_CASES} END AS bsig
+          FROM sig, unnest(range({BANDS})) AS t(b)),
+corpusb AS (SELECT * FROM bands
+            WHERE doc_id < {SERVE_LO} OR doc_id >= {SERVE_HI}),
+batchb AS (SELECT * FROM bands
+           WHERE doc_id >= {SERVE_LO} AND doc_id < {SERVE_HI}),
+cand_c AS (
+  SELECT DISTINCT b.doc_id AS bd, c.doc_id AS cd
+  FROM batchb b JOIN corpusb c ON b.band = c.band AND b.bsig = c.bsig
+),
+ver_c AS (
+  SELECT DISTINCT bd FROM cand_c
+  JOIN sig sa ON bd = sa.doc_id JOIN sig sb ON cd = sb.doc_id
+  WHERE ({_EQ_SUM}) / {NUM_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
+),
+cand_b AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM batchb a JOIN batchb b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+ver_b AS (
+  SELECT DISTINCT db AS bd FROM cand_b
+  JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+  WHERE ({_EQ_SUM}) / {NUM_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
+),
+flagged AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN vc.bd IS NOT NULL THEN 1 ELSE 0 END AS dup_corpus,
+         CASE WHEN vb.bd IS NOT NULL THEN 1 ELSE 0 END AS dup_batch
+  FROM (SELECT doc_id, source FROM documents
+        WHERE doc_id >= {SERVE_LO} AND doc_id < {SERVE_HI}) d
+  LEFT JOIN ver_c vc ON d.doc_id = vc.bd
+  LEFT JOIN ver_b vb ON d.doc_id = vb.bd
+)
+SELECT source,
+       count(*) AS n_new,
+       CAST(sum(dup_corpus) AS BIGINT) AS n_neardup_vs_corpus,
+       CAST(sum(CASE WHEN dup_corpus = 0 THEN dup_batch ELSE 0 END) AS BIGINT)
+         AS n_neardup_within_batch,
+       CAST(sum(CASE WHEN dup_corpus = 0 AND dup_batch = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unique
+FROM flagged GROUP BY source
+"""
+
+
+def _mh_band_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh, band, bsig) band rows for a documents frame — the
+    signature build shared by the serve index and its probe. Entirely
+    map-side until the per-doc min hash-agg; band rows carry the full
+    signature so verification never joins back."""
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("s"))
+    h = X.md5_long(F.col("s"))
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(X.minhash_perm(h, a, b)) for a, b in SEEDS]
+        ).alias("mh")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("mh")[b * 4 + r] for r in range(4)]
+                ).alias("bsig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", "mh", F.explode(band_structs).alias("bs")
+    ).select("doc_id", "mh", "bs.band", "bs.bsig")
+
+
+def mh_corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted corpus band index for `sf_dir`
+    (everything OUTSIDE the fixed serve window). Input prep, not query
+    work — the same amortization contract as the JSONL
+    materialization: the first call pays one corpus scan; every serve
+    run after reads the parquet."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(MH_INDEX_ROOT, tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d = ensure_min_parallelism(
+            load_table(spark, sf_dir, "documents"), spark
+        )
+        corpus = d.filter(
+            (F.col("doc_id") < SERVE_LO) | (F.col("doc_id") >= SERVE_HI)
+        )
+        _mh_band_frame(corpus).write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "dedup_minhash_index_serve",
+    oracle=_SERVE_MH_SQL,
+    tags=("dedup", "llmprep"),
+)
+def dedup_minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup SERVING probe against a persisted LSH band index — the
+    steady-state face of dedup_minhash_incremental (round-6 verdict
+    #4: that query's registered cost measures index BUILD because the
+    static driver tables force a re-derive; this one measures the
+    PROBE, which is what a continuously-fed corpus pays per drop).
+
+    Semantics: identical to dedup_minhash_incremental but over a FIXED
+    100-doc delta (doc_ids [SERVE_LO, SERVE_HI)) probed against the
+    index of everything else — per-source new / near-dup-vs-corpus /
+    near-dup-within-batch / unique counts, min-id-keeps within the
+    batch. The oracle recomputes the whole thing from text, so the
+    hash-green row IS the index-probe == full-recompute equivalence
+    (kept pinned independently in tests/test_incremental_minhash.py).
+
+    Scale shape — the plan a 1000-executor serving tier wants: per-run
+    work is (a) shingle+sign 100 docs (fixed, map-side), (b) ONE
+    columnar scan of the persisted index with the batch's ~1.6k band
+    rows BROADCAST into a map-side hash join — the corpus-sized side
+    is never shuffled, never sorted, and only (doc_id, mh, band, bsig)
+    columns are read; (c) candidate-only verification off the carried
+    signatures. Index growth costs the serve path one linear columnar
+    scan (on a real cluster the index table is bucketed by (band,
+    bsig), making the probe partition-pruned instead); batch-vs-batch
+    is a self-join of the tiny broadcast frame. The index parquet is
+    built once per SF by mh_corpus_index_path (input prep, amortized
+    across serves — the streaming twin ingest_batch_neardup maintains
+    the same index continuously)."""
+    idx = spark.read.parquet(mh_corpus_index_path(spark, sf_dir))
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    batch_docs = d.filter(
+        (F.col("doc_id") >= SERVE_LO) & (F.col("doc_id") < SERVE_HI)
+    )
+    batchb = _mh_band_frame(batch_docs).localCheckpoint(eager=True)
+
+    est = (
+        sum(
+            F.when(F.col("a.mh")[i] == F.col("b.mh")[i], 1).otherwise(0)
+            for i in range(NUM_HASHES)
+        )
+        / float(NUM_HASHES)
+    )
+    ver_c = (
+        F.broadcast(batchb.alias("a"))
+        .join(
+            idx.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .filter(est >= MINHASH_EST_THRESHOLD)
+        .select(F.col("a.doc_id").alias("bd"))
+        .distinct()
+        .withColumn("dup_corpus", F.lit(1))
+    )
+    ver_b = (
+        batchb.alias("a")
+        .join(
+            batchb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(est >= MINHASH_EST_THRESHOLD)
+        .select(F.col("b.doc_id").alias("bd"))
+        .distinct()
+        .withColumn("dup_batch", F.lit(1))
+    )
+    flagged = (
+        batch_docs.select(F.col("doc_id").alias("bd"), "source")
+        .join(ver_c, "bd", "left")
+        .join(ver_b, "bd", "left")
+        .select(
+            "source",
+            F.coalesce("dup_corpus", F.lit(0)).alias("dup_corpus"),
+            F.coalesce("dup_batch", F.lit(0)).alias("dup_batch"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("dup_corpus").alias("n_neardup_vs_corpus"),
+        F.sum(
+            F.when(F.col("dup_corpus") == 0, F.col("dup_batch")).otherwise(0)
+        ).alias("n_neardup_within_batch"),
+        F.sum(
+            F.when(
+                (F.col("dup_corpus") == 0) & (F.col("dup_batch") == 0), 1
+            ).otherwise(0)
+        ).alias("n_unique"),
+    )
 
 
 # ---------------------------------------------------------------------------

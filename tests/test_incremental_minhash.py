@@ -106,3 +106,35 @@ def test_synthetic_batch_verdicts(spark, tmp_path, monkeypatch):
     assert r["n_neardup_vs_corpus"] == 2   # 100 and 101 both match corpus doc 1
     assert r["n_neardup_within_batch"] == 0  # 101 already flagged vs corpus
     assert r["n_unique"] == 1
+
+
+def test_serve_variant_probe_plan_and_flatness(spark):
+    """dedup_minhash_index_serve (round-6 verdict #4) must probe the
+    persisted index with the BATCH side broadcast — the corpus-sized
+    index is never shuffled or sorted — and its per-run work is
+    batch-sized: the serve plan must contain a BroadcastHashJoin on
+    (band, bsig) and no CartesianProduct; the index parquet must exist
+    after one call (build-once amortization)."""
+    import os
+
+    from k8s_log_etl_spark.queries.dedup import (
+        dedup_minhash_index_serve,
+        mh_corpus_index_path,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    idx = mh_corpus_index_path(spark, sf)
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+    df = dedup_minhash_index_serve(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # serving output equals the incremental semantics restricted to the
+    # fixed window: every batch doc is counted exactly once
+    rows = df.collect()
+    assert sum(r["n_new"] for r in rows) == 100
+    # the three categories are mutually exclusive and exhaustive
+    for r in rows:
+        assert r["n_new"] == (
+            r["n_neardup_vs_corpus"] + r["n_neardup_within_batch"] + r["n_unique"]
+        )
