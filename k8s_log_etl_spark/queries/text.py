@@ -607,6 +607,27 @@ GOPHER_MAX_MEAN_LEN = 8.0
 GOPHER_MAX_SHORT_FRAC = 0.25
 GOPHER_MIN_STOPWORDS = 2
 
+
+def _gopher_flags(w: F.Column, n: F.Column, word_chars: F.Column):
+    """The four per-document Gopher rule violation flags, shared by the
+    rule census and the trained classifier's labeling pass."""
+    n_short = F.size(F.filter(w, lambda x: F.length(x) <= 2))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))
+    )
+    mean_len = word_chars / n
+    v_words = (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+    v_meanlen = (
+        (n == 0)
+        | (mean_len < GOPHER_MIN_MEAN_LEN)
+        | (mean_len > GOPHER_MAX_MEAN_LEN)
+    )
+    v_short = (n > 0) & (n_short / n > GOPHER_MAX_SHORT_FRAC)
+    v_stop = n_stop < GOPHER_MIN_STOPWORDS
+    return v_words, v_meanlen, v_short, v_stop
+
+
 _GOPHER_SQL = f"""
 WITH per_doc AS (
   SELECT source,
@@ -667,18 +688,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n_short = F.size(F.filter(w, lambda x: F.length(x) <= 2))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
-    mean_len = word_chars / n
-    v_words = (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
-    v_meanlen = (
-        (n == 0)
-        | (mean_len < GOPHER_MIN_MEAN_LEN)
-        | (mean_len > GOPHER_MAX_MEAN_LEN)
-    )
-    v_short = (n > 0) & (n_short / n > GOPHER_MAX_SHORT_FRAC)
-    v_stop = n_stop < GOPHER_MIN_STOPWORDS
+    v_words, v_meanlen, v_short, v_stop = _gopher_flags(w, n, word_chars)
     flags = d.select(
         "source",
         v_words.alias("v_words"),
@@ -898,4 +908,296 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("calib_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (round-6 verdict #5): the LEARNED
+# complement of text_gopher_rules — a CCNet/fastText-style
+# hashed-feature linear classifier trained by driver-synced full-batch
+# gradient steps, labels from the Gopher gate, scored on the held-out
+# md5 split like text_bigram_lm_score.
+# ---------------------------------------------------------------------------
+
+QC_NFEAT = 64          # hashed word-presence feature buckets
+# One-hot STRUCTURAL features appended after the hashed buckets — the
+# signals CCNet-style quality filters actually use (doc length, mean
+# word length, short-word fraction, stopword evidence), bucketized
+# with integer arithmetic so both engines construct identical ids:
+#   [64, 80)   word-count bucket      64 + min(n_words // 8, 15)
+#   [80, 128)  mean-word-length*4     80 + min(4*chars // max(n,1), 47)
+#   [128, 139) short-frac decile     128 + min(10*short // max(n,1), 10)
+#   [139, 152) stopword count        139 + min(n_stop, 12)
+QC_NTOT = 152          # total feature ids (hashed + structural)
+QC_ROUNDS = 16         # full-batch gradient steps
+QC_Q = 1_000_000       # weights / probabilities as integer micro-units
+QC_LR_NUM = 4          # learning rate = NUM/DEN (integer-exact update)
+QC_LR_DEN = 1
+# Same 90% md5 train split as llmprep.TRAIN_PCT (kept as a local
+# constant to avoid a module-import-order dependency; equality pinned
+# in tests/test_quality_classifier.py).
+QC_TRAIN_PCT = 90
+
+_QC_SPLIT = f"{X.md5_long_sql('CAST(doc_id AS VARCHAR)')} % 100"
+_QC_BUCKET = (
+    f"CAST(concat('0x', substr(md5(lower(x)), 1, 15)) AS BIGINT) % {QC_NFEAT}"
+)
+
+
+def _qc_sql() -> str:
+    """Unrolled-CTE oracle of the gradient recurrence (the
+    _bpe_cte_chain / kmeans discipline): w0 = 0; each round scores every
+    TRAIN doc (zq = integer sum of present-bucket weights + bias, bias =
+    feature -1 appended to every doc), quantizes the sigmoid to integer
+    micro-units, hash-aggregates the exact-integer gradient per bucket,
+    and updates with DuckDB's TRUNCATING integer division (mirrored
+    exactly by the Spark side's Python trunc-div — Python's // floors,
+    which differs on negative gradients)."""
+    lab = f"""per_doc AS (
+  SELECT doc_id,
+         ({_QC_SPLIT}) < {QC_TRAIN_PCT} AS is_train,
+         CASE WHEN NOT (
+           (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
+           OR (n_words = 0 OR word_chars * 1.0 / n_words < {GOPHER_MIN_MEAN_LEN}
+               OR word_chars * 1.0 / n_words > {GOPHER_MAX_MEAN_LEN})
+           OR (n_words > 0 AND n_short * 1.0 / n_words > {GOPHER_MAX_SHORT_FRAC})
+           OR (n_stop < {GOPHER_MIN_STOPWORDS})
+         ) THEN 1 ELSE 0 END AS y,
+         list_concat(
+           list_distinct(list_transform(w, x -> {_QC_BUCKET})),
+           [64 + least(n_words // 8, 15),
+            80 + least((coalesce(word_chars, 0) * 4) // greatest(n_words, 1), 47),
+            128 + least((n_short * 10) // greatest(n_words, 1), 10),
+            139 + least(n_stop, 12)]) AS fx
+  FROM (
+    SELECT doc_id, {_WORDS_SQL} AS w,
+           len({_WORDS_SQL}) AS n_words,
+           list_aggregate(list_transform({_WORDS_SQL}, x -> len(x)), 'sum')
+             AS word_chars,
+           len(list_filter({_WORDS_SQL}, x -> len(x) <= 2)) AS n_short,
+           len(list_filter({_WORDS_SQL},
+               x -> list_contains({list(STOPWORDS)!r}, lower(x)))) AS n_stop
+    FROM documents
+  )
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, is_train, y, unnest(list_append(fx, -1)) AS j FROM per_doc
+),
+tr AS MATERIALIZED (SELECT * FROM feats WHERE is_train),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train FROM tr),
+w0 AS (SELECT unnest(range(-1, {QC_NTOT})) AS j, CAST(0 AS BIGINT) AS wq)"""
+    rounds = ""
+    for r in range(QC_ROUNDS):
+        rounds += f""",
+z{r} AS MATERIALIZED (
+  SELECT t.doc_id, any_value(t.y) AS y, CAST(sum(w.wq) AS BIGINT) AS zq
+  FROM tr t JOIN w{r} w ON t.j = w.j GROUP BY t.doc_id
+),
+e{r} AS (
+  SELECT doc_id,
+         CAST(round({QC_Q} * 1.0 / (1 + exp(-(zq * 1.0) / {QC_Q}))) AS BIGINT)
+           - y * {QC_Q} AS e
+  FROM z{r}
+),
+g{r} AS (
+  SELECT t.j, CAST(sum(e.e) AS BIGINT) AS g
+  FROM tr t JOIN e{r} e ON t.doc_id = e.doc_id GROUP BY t.j
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT w.j,
+         w.wq - (coalesce(g.g, 0) * {QC_LR_NUM}) // (n.n_train * {QC_LR_DEN})
+           AS wq
+  FROM w{r} w LEFT JOIN g{r} g ON w.j = g.j, n
+)"""
+    R = QC_ROUNDS
+    return f"""
+WITH {lab}{rounds},
+zt AS (
+  SELECT t.doc_id, any_value(t.y) AS y, CAST(sum(w.wq) AS BIGINT) AS zq
+  FROM (SELECT * FROM feats WHERE NOT is_train) t
+  JOIN w{R} w ON t.j = w.j GROUP BY t.doc_id
+),
+grouped AS (
+  SELECT zq, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM zt GROUP BY zq
+),
+ranked AS (
+  SELECT zq, cnt, pos,
+         coalesce(sum(cnt) OVER (ORDER BY zq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt
+  FROM grouped
+),
+m AS (
+  SELECT CAST(sum(pos * (2 * c_lt + cnt + 1)) AS BIGINT) AS r2,
+         CAST(sum(pos) AS BIGINT) AS npos,
+         CAST(sum(cnt) AS BIGINT) AS n_test,
+         CAST(sum(cnt - pos) AS BIGINT) AS nneg,
+         CAST(sum(CASE WHEN zq >= 0 THEN pos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN zq >= 0 THEN cnt - pos ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN zq < 0 THEN pos ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN zq < 0 THEN cnt - pos ELSE 0 END) AS BIGINT) AS tn
+  FROM ranked
+)
+SELECT n.n_train, m.n_test, m.npos AS n_pos_test,
+       m.tp, m.fp, m.tn, m.fn,
+       round((m.tp + m.tn) * 1.0 / m.n_test, 6) AS accuracy,
+       round((m.r2 - m.npos * (m.npos + 1)) * 1.0 / (2 * m.npos * m.nneg), 6)
+         AS auc
+FROM m, n
+"""
+
+
+def _qc_tdiv(a: int, b: int) -> int:
+    """Truncating integer division (DuckDB's `//`); Python's // floors,
+    which diverges on negative gradients."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+@register("quality_classifier_train", oracle=_qc_sql(), tags=("text", "llmprep"))
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier — the learned complement of the
+    rule-based Gopher gate (the CCNet discipline, Wenzek et al. 2020:
+    a cheap linear model distills an expensive labeling source and
+    generalizes it): hashed word-presence features (md5 bucket mod
+    QC_NFEAT, binary, plus an always-on bias feature -1), labels from
+    the four Gopher rules, logistic regression trained with QC_ROUNDS
+    full-batch gradient steps on the 90% md5 train split, evaluated on
+    the held-out 10% — confusion counts, accuracy, and rank-sum AUC
+    out.
+
+    Determinism (the kmeans_ivf_train sync discipline): weights live
+    as integer micro-units; each round's doc score zq is an exact
+    integer sum of present-bucket weights, the sigmoid is the single
+    transcendental and is immediately quantized to integer micro-units
+    (the micro-nat discipline of text_bigram_lm_score), the gradient is
+    an order-free exact-integer hash-agg, and the update divides with
+    TRUNCATING semantics in both engines (DuckDB's `//` truncates;
+    Python's floors — _qc_tdiv bridges). Every round therefore feeds
+    bit-identical weights into the next, and the oracle's unrolled CTE
+    chain replays training exactly.
+
+    Scale shape: one labeled+featurized pass over the corpus is
+    checkpointed; each round is a map-side zq fold (element_at into a
+    64-literal weight array — no join, no shuffle), one exploded
+    (doc, bucket) hash-agg of ≤ QC_NFEAT+1 integer gradient rows, and a
+    65-scalar driver sync — the K·dim centroid pattern. Eval is one
+    scan + a grouped-by-score AUC whose window runs over the bounded
+    distinct-zq set (the quantile-sketch discipline)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    n = F.size(w)
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    v_words, v_meanlen, v_short, v_stop = _gopher_flags(w, n, word_chars)
+    y = (
+        F.when(~(v_words | v_meanlen | v_short | v_stop), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < QC_TRAIN_PCT
+    n_short = F.size(F.filter(w, lambda x: F.length(x) <= 2))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))
+    )
+    n1 = F.greatest(n, F.lit(1))
+    structural = F.array(
+        (F.lit(64) + F.least(F.floor(n / 8), F.lit(15))).cast("long"),
+        (
+            F.lit(80)
+            + F.least(F.floor(word_chars * 4 / n1), F.lit(47).cast("long"))
+        ).cast("long"),
+        (F.lit(128) + F.least(F.floor(n_short * 10 / n1), F.lit(10))).cast(
+            "long"
+        ),
+        (F.lit(139) + F.least(n_stop, F.lit(12))).cast("long"),
+    )
+    fx = F.concat(
+        F.array_distinct(
+            F.transform(w, lambda x: X.md5_long(F.lower(x)) % QC_NFEAT)
+        ),
+        structural,
+    )
+    base = d.select(
+        "doc_id", is_train.alias("is_train"), y.alias("y"), fx.alias("fx")
+    ).localCheckpoint(eager=True)
+    train = base.filter(F.col("is_train"))
+    n_train = train.count()  # single pre-loop scalar (PageRank pattern)
+
+    wq = [0] * QC_NTOT
+    bias = 0
+    for _ in range(QC_ROUNDS):
+        warr = F.array(*[F.lit(v).cast("long") for v in wq])
+        zq = F.lit(bias).cast("long") + F.aggregate(
+            F.col("fx"),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
+        )
+        pq = F.round(
+            F.lit(float(QC_Q))
+            / (F.lit(1.0) + F.exp(-(zq.cast("double")) / F.lit(float(QC_Q))))
+        ).cast("long")
+        e = (pq - F.col("y") * QC_Q).alias("e")
+        grads = (
+            train.select(e, F.explode(
+                F.concat(F.col("fx"), F.array(F.lit(-1).cast("long")))
+            ).alias("j"))
+            .groupBy("j")
+            .agg(F.sum("e").alias("g"))
+            .collect()
+        )
+        g = {int(r["j"]): int(r["g"]) for r in grads}
+        den = n_train * QC_LR_DEN
+        bias -= _qc_tdiv(g.get(-1, 0) * QC_LR_NUM, den)
+        for j in range(QC_NTOT):
+            wq[j] -= _qc_tdiv(g.get(j, 0) * QC_LR_NUM, den)
+
+    warr = F.array(*[F.lit(v).cast("long") for v in wq])
+    zq = (
+        F.lit(bias).cast("long")
+        + F.aggregate(
+            F.col("fx"),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
+        )
+    ).alias("zq")
+    scored = base.filter(~F.col("is_train")).select("y", zq)
+    grouped = scored.groupBy("zq").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    wspec = Window.orderBy("zq").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grouped.withColumn(
+        "c_lt", F.coalesce(F.sum("cnt").over(wspec), F.lit(0))
+    )
+    pos, cnt, c_lt = F.col("pos"), F.col("cnt"), F.col("c_lt")
+    m = ranked.agg(
+        F.sum(pos * (2 * c_lt + cnt + 1)).alias("r2"),
+        F.sum(pos).alias("npos"),
+        F.sum(cnt).alias("n_test"),
+        F.sum(cnt - pos).alias("nneg"),
+        F.sum(F.when(F.col("zq") >= 0, pos).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("zq") >= 0, cnt - pos).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("zq") < 0, pos).otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("zq") < 0, cnt - pos).otherwise(0)).alias("tn"),
+    )
+    return m.select(
+        F.lit(int(n_train)).cast("long").alias("n_train"),
+        F.col("n_test"),
+        F.col("npos").alias("n_pos_test"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round((F.col("tp") + F.col("tn")) / F.col("n_test"), 6).alias(
+            "accuracy"
+        ),
+        F.round(
+            (F.col("r2") - F.col("npos") * (F.col("npos") + 1))
+            / (F.lit(2) * F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
     )
