@@ -7,7 +7,7 @@ bytes, which DuckDB can recompute from the hex digest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.operators import multimodal as MM
@@ -429,5 +429,243 @@ def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("db").alias("doc_b"),
             "hamming",
             (F.col("dga") == F.col("dgb")).alias("digest_equal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal retrieval (round-6 verdict #6): CLIP-shaped text->image
+# retrieval over the fake-but-hashable two-tower encoders, through the
+# RAG hyperplane-LSH bucket machinery, OR-amplified over two bands.
+# ---------------------------------------------------------------------------
+
+XMODAL_DIM = 8           # shared embedding space (both towers)
+XMODAL_PLANES = 6        # hyperplane bits per band -> 64 buckets
+XMODAL_BANDS = 3         # OR-amplification: candidate if ANY band matches
+XMODAL_QUERY_DOCS = 20   # doc_id < this play the caption queries
+XMODAL_TOP_K = 3
+XMODAL_NOISE_MOD = 401   # text-tower modality noise in [-200, 200] milli
+
+
+def _xm_img_dim_sql(d: int) -> str:
+    """Image-tower dim d from the payload digest hex (4 hex chars per
+    dim; payload = unhex(md5(text)), so the oracle reads md5(text))."""
+    return (
+        f"((CAST(concat('0x', substr(md5(text), {4 * d + 1}, 4)) AS BIGINT)"
+        f" % 2001) - 1000) / 1000.0"
+    )
+
+
+def _xm_txt_dim_sql(d: int) -> str:
+    """Text-tower dim d: the content vector plus deterministic modality
+    noise — the two towers agree on content but are not byte-equal,
+    exactly the CLIP condition retrieval needs."""
+    from k8s_log_etl_spark.functions.xengine import md5_long_sql
+
+    h = md5_long_sql(f"text || '|xm{d}'")
+    pert = f"(({h} % {XMODAL_NOISE_MOD}) - 200)"
+    return f"({_xm_img_dim_sql(d)} + {pert} / 1000.0)"
+
+
+def _xm_bucket_sql(e: str, band: int) -> str:
+    from k8s_log_etl_spark.functions.xengine import dot_sql
+    from k8s_log_etl_spark.queries.llmprep import _rag_plane
+
+    terms = []
+    for j in range(XMODAL_PLANES):
+        w = "[" + ", ".join(
+            f"{float(_rag_plane(band * XMODAL_PLANES + j, i))}"
+            for i in range(XMODAL_DIM)
+        ) + "]"
+        terms.append(f"(CASE WHEN {dot_sql(e, w)} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _xmodal_sql() -> str:
+    from k8s_log_etl_spark.functions.xengine import cosine_sql
+
+    img_dims = ", ".join(_xm_img_dim_sql(d) for d in range(XMODAL_DIM))
+    txt_dims = ", ".join(_xm_txt_dim_sql(d) for d in range(XMODAL_DIM))
+    band_joins = "\n  UNION\n".join(
+        f"""  SELECT q.query_doc, c.doc_id FROM qidx q
+  JOIN cidx c ON q.qb{b} = c.b{b}"""
+        for b in range(XMODAL_BANDS)
+    )
+    qb_cols = ", ".join(
+        f"{_xm_bucket_sql('e', b)} AS qb{b}" for b in range(XMODAL_BANDS)
+    )
+    cb_cols = ", ".join(
+        f"{_xm_bucket_sql('e', b)} AS b{b}" for b in range(XMODAL_BANDS)
+    )
+    return f"""
+WITH cemb AS (SELECT doc_id, [{img_dims}] AS e FROM documents),
+cidx AS (SELECT doc_id, e, {cb_cols} FROM cemb),
+qemb AS (SELECT doc_id AS query_doc, [{txt_dims}] AS e FROM documents
+         WHERE doc_id < {XMODAL_QUERY_DOCS}),
+qidx AS (SELECT query_doc, e, {qb_cols} FROM qemb),
+cand AS (
+{band_joins}
+)
+SELECT query_doc, doc_id, cos_sim, rnk FROM (
+  SELECT p.query_doc, p.doc_id,
+         round({cosine_sql('q.e', 'c.e')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.query_doc
+           ORDER BY {cosine_sql('q.e', 'c.e')} DESC, p.doc_id
+         ) AS rnk
+  FROM cand p
+  JOIN qidx q ON p.query_doc = q.query_doc
+  JOIN cidx c ON p.doc_id = c.doc_id
+) WHERE rnk <= {XMODAL_TOP_K}
+"""
+
+
+def _xm_img_vec(hexcol: F.Column) -> F.Column:
+    """Image tower (Spark): dims off the payload hex digest."""
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(hexcol, 4 * d + 1, 4), 16, 10).cast(
+                    "bigint"
+                )
+                % 2001
+                - 1000
+            )
+            / F.lit(1000.0)
+            for d in range(XMODAL_DIM)
+        ]
+    )
+
+
+def _xm_txt_vec(text: F.Column) -> F.Column:
+    """Text tower (Spark): content dims + modality noise."""
+    from k8s_log_etl_spark.functions import xengine as X
+
+    base = F.md5(text)
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(base, 4 * d + 1, 4), 16, 10).cast("bigint")
+                % 2001
+                - 1000
+            )
+            / F.lit(1000.0)
+            + (
+                X.md5_long(F.concat(text, F.lit(f"|xm{d}")))
+                % XMODAL_NOISE_MOD
+                - 200
+            )
+            / F.lit(1000.0)
+            for d in range(XMODAL_DIM)
+        ]
+    )
+
+
+def _xm_bucket(e: F.Column, band: int) -> F.Column:
+    from k8s_log_etl_spark.functions import xengine as X
+    from k8s_log_etl_spark.queries.llmprep import _rag_plane
+
+    out = F.lit(0)
+    for j in range(XMODAL_PLANES):
+        w = F.array(
+            *[
+                F.lit(float(_rag_plane(band * XMODAL_PLANES + j, i)))
+                for i in range(XMODAL_DIM)
+            ]
+        )
+        out = out + F.when(X.dot(e, w) > 0, F.lit(1 << j)).otherwise(0)
+    return out
+
+
+@register(
+    "crossmodal_retrieval",
+    oracle=_xmodal_sql(),
+    tags=("multimodal", "similarity"),
+)
+def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-shaped cross-modal retrieval: caption (text-tower) queries
+    against the image-tower index, through the hyperplane-LSH bucket
+    machinery of rag_retrieval_pipeline, OR-amplified over two plane
+    bands (candidate if ANY band's bucket matches — the MinHash banding
+    trick applied to hyperplane LSH). Completes the multimodal story
+    (round-6 verdict #6): the encoders are the established
+    fake-but-hashable stubs (the image tower reads dims off the payload
+    digest hex — payload is attach_payload's unhex(md5(text)); the text
+    tower produces the same content vector plus deterministic
+    md5-derived modality noise, so the towers agree on content without
+    being byte-equal — swap both bodies for real CLIP towers outside
+    this environment), while the retrieval plumbing is the real thing:
+    per-band bucket equi-joins, candidate-only cosine verification,
+    deterministic top-k.
+
+    Recall vs the exact cross-modal scan is pinned in
+    tests/test_crossmodal.py; self-retrieval (each caption's own image
+    in the top-k) is the standard CLIP eval and is asserted there.
+
+    Scale shape: both towers are map-side array literals off one
+    md5 per row; candidates come from two keyed equi-joins on 64-value
+    bucket keys (never all-pairs), UNION-deduped BEFORE the cosine so
+    verification touches each candidate pair once; top-k is a
+    per-query window over candidate rows only. The query side is tiny
+    (broadcast); the image index is never shuffled at serve time on a
+    bucketed layout."""
+    d = MM.attach_payload(
+        ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    )
+    img = d.select(
+        "doc_id", _xm_img_vec(F.lower(F.hex(F.col("payload")))).alias("e")
+    )
+    cidx = img.select(
+        "doc_id",
+        "e",
+        *[_xm_bucket(F.col("e"), b).alias(f"b{b}") for b in range(XMODAL_BANDS)],
+    )
+    txt = d.filter(F.col("doc_id") < XMODAL_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_doc"), _xm_txt_vec(F.col("text")).alias("qe")
+    )
+    qidx = txt.select(
+        "query_doc",
+        "qe",
+        *[
+            _xm_bucket(F.col("qe"), b).alias(f"qb{b}")
+            for b in range(XMODAL_BANDS)
+        ],
+    ).localCheckpoint(eager=True)
+
+    cand = None
+    for b in range(XMODAL_BANDS):
+        part = (
+            F.broadcast(qidx.select("query_doc", f"qb{b}"))
+            .join(
+                cidx.select("doc_id", f"b{b}"),
+                F.col(f"qb{b}") == F.col(f"b{b}"),
+            )
+            .select("query_doc", "doc_id")
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.distinct()
+
+    from k8s_log_etl_spark.functions import xengine as X
+
+    scored = (
+        cand.join(F.broadcast(qidx.select("query_doc", "qe")), "query_doc")
+        .join(cidx.select("doc_id", "e"), "doc_id")
+        .select(
+            "query_doc",
+            "doc_id",
+            X.cosine(F.col("qe"), F.col("e")).alias("cos_raw"),
+        )
+    )
+    wspec = Window.partitionBy("query_doc").orderBy(
+        F.desc("cos_raw"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wspec))
+        .filter(F.col("rnk") <= XMODAL_TOP_K)
+        .select(
+            "query_doc",
+            "doc_id",
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+            "rnk",
         )
     )
