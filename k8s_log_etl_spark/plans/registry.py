@@ -43,21 +43,16 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 6 rotation: after round 5, the union of r1-r5 driver rows
-# covers every registered query except the by-design no-oracle
-# agg_countmin_events, with all 50 r5 slots green — so round 6 spends
-# the window on (a) the fifteen round-6 ADDITIONS (BPE encode,
-# perceptual near-dup, incremental near-dup, epoch shuffle, hard
-# negatives, retrieval NDCG, skew profiler, leakage guard,
-# tokenizer-aware packing, interval-overlap sweep, record linkage,
-# score calibration, keeper remap, FK-integrity audit, mixture
-# drift), (b) the
-# one round-6 MODIFIED implementation (dedup_prefix_filter_jaccard —
-# PPJoin length+positional filters; a green r5 row says nothing about
-# new code), and (c)-(d) the OLDEST-green refresh: every r1-latest
-# query (10) and 7 of the 31 oracled r2-latest (the no-oracle
-# agg_approx_events stays out of the window with agg_countmin_events,
-# both bounded in tests/test_approx.py instead).
+# Round 7 rotation: after round 6 the r1-r6 union covers 199 of 201
+# registered queries with every latest row green (the two without rows
+# were the then-no-oracle sketches). Round 7 spends the window on
+# (a) the four round-7 additions, (b) the five round-7
+# modified implementations/oracles, (c) ALL 24 oracled r2-latest rows
+# (the stalest tail), and (d) the 17 oldest r3 slots (the r3 log core
+# promised last round plus the r3-latest bench heads). Everything
+# rotated out keeps its r4-r6 green row, is unchanged since, and stays
+# continuously covered by the full-surface pytest oracle run
+# (tests/test_oracle_parity.py runs every oracled query every time).
 # (f) Families whose members are all r4/r5-latest
 # keep a hard driver signal through their reps
 # (tests/test_registry_order.py): training_mix_pipeline (capstone),
@@ -67,64 +62,45 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-6 additions (15) ---
-    "bpe_encode_corpus", "dedup_perceptual_ahash",
-    "dedup_minhash_incremental", "epoch_shuffle_order",
-    "knn_hard_negatives", "retrieval_eval_ndcg",
-    "profile_key_skew", "eval_holdout_decontaminated",
-    "pack_chunks_bpe_budget", "supplier_shipment_overlap",
-    "entity_resolve_parts", "quality_score_calibration",
-    "dedup_keeper_remap", "dq_referential_integrity",
-    "corpus_mix_drift",
-    # --- (a') round-6 late additions (13): these take the slots of
-    # thirteen r2-latest refreshes whose families keep other in-window
-    # members (multimodal_resize_stats, text_top_bigrams,
-    # q5_regional_revenue, stream_tumbling_counts,
-    # text_langid_confusion, text_token_bpeish,
-    # multimodal_frame_sample, q3_top_unshipped,
-    # text_fingerprint_clusters, text_token_stats, and tfidf_top_terms
-    # + window_topk_per_customer + stream_session_windows which
-    # additionally stay bench-measured every round; the streaming
-    # family also stays equivalence-tested in every pytest run — all
-    # stay covered by the full-surface pytest oracle run) ---
-    "dedup_lines_corpus", "split_group_aware", "corpus_merge_upsert",
-    "agg_hll_events", "layout_zorder_stats",
-    "curriculum_difficulty_bins", "dq_psi_value_drift",
-    "events_attribution_last_touch", "text_bigram_lm_score",
-    "sample_kmv_bottomk", "events_forecast_holt",
-    "events_ab_test_analysis", "graph_triangle_count",
-    # --- (b) round-6 modified implementations (1) ---
-    "dedup_prefix_filter_jaccard",
-    # --- (c) oldest-green refresh: all 10 r1-latest ---
-    "agg_by_service", "agg_cube_orders", "agg_grouping_sets",
-    "agg_minmax_by", "agg_stats_events", "join_anti_customers",
-    "join_full_outer_nations", "join_semi_customers",
-    "pivot_status_by_year", "set_ops_customers",
-    # --- (d) oldest-green refresh: 7 of the 31 oracled r2-latest
-    # (agg_rollup_orders, q13_order_distribution, having_large_orders,
-    # window_running_total, correlated_not_exists, events_props_typed,
-    # scalar_subquery_outliers, embedding_centroids,
-    # dedup_embedding_cosine — the documented brute baseline — and
-    # join_asof_last_purchase and knn_brute_cosine (the other brute
-    # baseline; ann-index family keeps knn_ivf_grid) yield their slots
-    # to the last eleven round-6 additions; their families keep
-    # multiple in-window members and all eleven stay covered by the
-    # full-surface pytest oracle run) ---
-    "dedup_exact",
-    "events_resample_1h",
-    "knn_ivf_grid",
-    "multimodal_blob_meta",
-    "q1_pricing_summary",
-    "sample_stratified_topk",
-    "text_quality_score",
-    # (the two r3 log-core slots from the first round-6 cut yielded to
-    # the later round-6 additions above; the log family keeps its hard
-    # signal through agg_by_service (r1, slot (c)) and the r3 core
-    # rotates in next round) —
-    # --- (f) family representatives whose families are wholly
-    # r4/r5-latest (capstone, warehouse, ann-eval, graph) ---
-    "training_mix_pipeline", "corpus_snapshot_diff",
-    "ann_recall_eval", "graph_pagerank_copurchase",
+    # --- (a) round-7 additions (4): the serve-face near-dup probe,
+    # the trained quality classifier, cross-modal retrieval, and the
+    # newly-ORACLED count-min sketch (hand-rolled registers — its
+    # first driver-checkable row ever; round-6 verdict #3) ---
+    "dedup_minhash_index_serve", "quality_classifier_train",
+    "crossmodal_retrieval", "agg_countmin_events",
+    # --- (b) round-7 modified implementations/oracles (5): the
+    # prefix-jaccard verify/join-key hashing, the BPE CTE-chain
+    # empty-merge fix (both consumers of _bpe_cte_chain), the
+    # merge_upsert null-guard, and the _gopher_flags refactor — a
+    # green r6 row says nothing about new code ---
+    "dedup_prefix_filter_jaccard", "bpe_encode_corpus",
+    "pack_chunks_bpe_budget", "corpus_merge_upsert", "text_gopher_rules",
+    # --- (c) oldest-green refresh: ALL 24 oracled r2-latest rows (the
+    # stalest slots after round 6 per the CORRECTNESS r1-r6 union; the
+    # no-oracle agg_approx_events stays out, bounded in
+    # tests/test_approx.py) ---
+    "agg_rollup_orders", "correlated_not_exists", "dedup_embedding_cosine",
+    "embedding_centroids", "events_props_typed", "having_large_orders",
+    "join_asof_last_purchase", "knn_brute_cosine", "multimodal_frame_sample",
+    "multimodal_resize_stats", "q13_order_distribution", "q3_top_unshipped",
+    "q5_regional_revenue", "scalar_subquery_outliers",
+    "stream_session_windows", "stream_tumbling_counts",
+    "text_fingerprint_clusters", "text_langid_confusion",
+    "text_token_bpeish", "text_token_stats", "text_top_bigrams",
+    "tfidf_top_terms", "window_running_total", "window_topk_per_customer",
+    # --- (d) oldest r3 tranche (13): the r3 log core promised in the
+    # round-6 rotation note, plus r3-latest bench heads and the
+    # sampling-family rep — the next stalest after (c) ---
+    "agg_by_level", "agg_filter_reason", "filter_level", "redact",
+    "ts_validate", "transform_chain", "normalize_fields",
+    "pipeline_events_report", "dedup_simhash_banded",
+    "dedup_ngram_jaccard", "events_funnel", "events_dau_wau",
+    "sample_bernoulli_seeded",
+    # --- (e) family representatives whose families otherwise have no
+    # in-window member this round (capstone, ann-index, ann-eval,
+    # graph — tests/test_registry_order.py pins the coverage) ---
+    "training_mix_pipeline", "knn_ivf_grid", "ann_recall_eval",
+    "graph_pagerank_copurchase",
 ]
 # agg_countmin_events and agg_heavyhitters_events are sketch-only (no
 # oracle by construction, bounded against exact answers in

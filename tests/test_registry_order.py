@@ -8,24 +8,25 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-6 rotation: the window is spent on the round-6 additions +
-# modified code and the oldest-green refresh (every r1/r2-latest row —
-# see plans/registry.py), so most reps move to their family's oldest
-# in-window member; families that are wholly r4/r5-latest (capstone,
-# warehouse, ann-eval, graph) hold explicit slots via their reps.
-# Rotated-out greens stay covered by the full pytest oracle run.
+# Round-7 rotation: the window is spent on the round-7 additions +
+# modified code, ALL 24 oracled r2-latest rows, and the oldest r3
+# tranche (see plans/registry.py), so most reps move to their family's
+# oldest in-window member; families with no organic in-window member
+# this round (capstone, ann-index, ann-eval, graph) hold explicit
+# slots via their reps. Rotated-out greens stay covered by the full
+# pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "agg_by_service",
-    "dedup": "dedup_exact",
-    "multimodal": "multimodal_blob_meta",
-    "knn": "knn_ivf_grid",
-    "text": "text_quality_score",
+    "log": "agg_by_level",
+    "dedup": "dedup_prefix_filter_jaccard",
+    "multimodal": "multimodal_frame_sample",
+    "knn": "knn_brute_cosine",
+    "text": "text_gopher_rules",
     "capstone": "training_mix_pipeline",
-    "relational": "q1_pricing_summary",
-    "events": "events_resample_1h",
+    "relational": "q3_top_unshipped",
+    "events": "events_funnel",
     "llmprep": "bpe_encode_corpus",
-    "sampling": "sample_stratified_topk",
-    "warehouse": "corpus_snapshot_diff",
+    "sampling": "sample_bernoulli_seeded",
+    "warehouse": "corpus_merge_upsert",
     "ann-index": "knn_ivf_grid",
     "ann-eval": "ann_recall_eval",
     "graph": "graph_pagerank_copurchase",
