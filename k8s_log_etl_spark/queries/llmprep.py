@@ -676,6 +676,127 @@ def sample_domain_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multilingual temperature resampling (the XLM-R / mC4 mixing step)
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.5         # temperature exponent on language shares
+TEMP_POW_Q = 1_000_000_000  # pow() quantized to integer nano-units
+# sampling budget: half the corpus — leaves head-languages room to be
+# downsampled toward the flattened mix (a budget of `total` would cap
+# every rate at 1 and change nothing)
+
+
+def _temp_sql() -> str:
+    h = X.md5_long_sql("CAST(d.doc_id AS VARCHAR)")
+    return f"""
+WITH by_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM by_lang),
+sc AS (
+  SELECT lang, n_docs,
+         CAST(round(pow(n_docs * 1.0 / total, {TEMP_ALPHA}) * {TEMP_POW_Q})
+           AS BIGINT) AS s
+  FROM by_lang, tot
+),
+den AS (SELECT CAST(sum(s) AS BIGINT) AS denom FROM sc),
+rates AS (
+  SELECT lang, n_docs, s,
+         CAST(round(s * 1000000.0 / denom) AS BIGINT) AS target_share_ppm,
+         least(1.0, ((total // 2) * (s * 1.0 / denom)) / n_docs) AS keep_rate
+  FROM sc, den, tot
+),
+kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {h} % 1000000 < CAST(floor(r.keep_rate * 1000000) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs,
+       CAST(round(r.n_docs * 1000000.0 / t.total) AS BIGINT) AS share_ppm,
+       r.target_share_ppm,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang, tot t
+"""
+
+
+@register("sample_temperature_lang", oracle=_temp_sql(), tags=("llmprep",))
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature resampling — the standard mixing step
+    of multilingual pretraining corpora (Conneau et al. 2020 / mC4):
+    target language share ∝ (observed share)^alpha, which flattens the
+    head without inverting the order, then each language keeps a
+    deterministic hash-threshold fraction sized to a half-corpus
+    budget (min-capped at 1 so tail languages keep everything). The
+    sub-linear complement of sample_domain_balanced's full
+    equalization.
+
+    Determinism: pow() is the single transcendental and is quantized
+    to integer nano-units BEFORE the cross-language normalizing sum —
+    the sum is then an order-free exact integer (the sigmoid/micro-nat
+    discipline), every later ratio is int/int double division
+    (IEEE-identical cross-engine), and the keep threshold floors to
+    integer ppm explicitly in both engines (DuckDB CAST rounds where
+    Spark truncates — floor() sidesteps the divergence).
+
+    Scale shape: one tiny per-lang tally, two scalar folds, a
+    broadcast rates join, and a map-side keep predicate — the
+    two-job downsampler shape; the corpus is scanned once."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    by_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = by_lang.agg(F.sum("n_docs").alias("total"))
+    sc = by_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total",
+        F.round(
+            F.pow(F.col("n_docs") / F.col("total"), F.lit(TEMP_ALPHA))
+            * TEMP_POW_Q
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    den = sc.agg(F.sum("s").alias("denom"))
+    rates = sc.crossJoin(F.broadcast(den)).select(
+        "lang",
+        "n_docs",
+        "total",
+        F.round(F.col("s") * 1_000_000.0 / F.col("denom"))
+        .cast("bigint")
+        .alias("target_share_ppm"),
+        F.least(
+            F.lit(1.0),
+            (
+                F.floor(F.col("total") / 2)
+                * (F.col("s") / F.col("denom"))
+            )
+            / F.col("n_docs"),
+        ).alias("keep_rate"),
+    )
+    keep = X.md5_long(F.col("doc_id").cast("string")) % 1_000_000 < F.floor(
+        F.col("keep_rate") * 1_000_000
+    ).cast("bigint")
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "keep_rate")), "lang")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") * 1_000_000.0 / F.col("total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            "target_share_ppm",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic train/holdout split
 # ---------------------------------------------------------------------------
 

@@ -1297,6 +1297,46 @@ FROM est e JOIN exact x ON e.event_type = x.event_type
 """
 
 
+def cms_hashed(df: DataFrame, col: str = "event_type") -> DataFrame:
+    """(value, i, b) rows: each input row exploded to its CMS_D
+    (row, bucket) coordinates — the shared front half of the batch
+    sketch and its streaming twin (streaming/sketches.py)."""
+    return df.select(
+        F.col(col).alias("event_type"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        X.md5_long(F.concat(F.lit(f"{i}:"), F.col(col)))
+                        % CMS_W
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("i", "b"),
+    )
+
+
+def cms_registers(hashed: DataFrame) -> DataFrame:
+    """The register table: counter[i][b] as an order-free integer sum —
+    bounded at CMS_D * CMS_W rows regardless of stream size, mergeable
+    by pure addition (complete-mode streaming state stays tiny
+    forever)."""
+    return hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_point_estimates(reg: DataFrame, hashed: DataFrame) -> DataFrame:
+    """Read-side point queries: the distinct value->bucket map probed
+    against the (broadcast) register table, min over the CMS_D row
+    counters per value."""
+    th = hashed.select("event_type", "i", "b").distinct()
+    return (
+        th.join(F.broadcast(reg), ["i", "b"])
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
 @register("agg_countmin_events", oracle=_CMS_SQL, tags=("agg", "approx"))
 def agg_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries (Cormode & Muthukrishnan 2005) —
@@ -1322,29 +1362,8 @@ def agg_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct type->bucket map against the tiny register table
     (broadcast) and min-reduces per type."""
     ev = load_table(spark, sf_dir, "events")
-    hashed = ev.select(
-        "event_type",
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        X.md5_long(
-                            F.concat(F.lit(f"{i}:"), F.col("event_type"))
-                        )
-                        % CMS_W
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("i", "b"),
-    )
-    reg = hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    th = hashed.select("event_type", "i", "b").distinct()
-    est = (
-        th.join(F.broadcast(reg), ["i", "b"])
-        .groupBy("event_type")
-        .agg(F.min("cnt").alias("est_count"))
-    )
+    hashed = cms_hashed(ev)
+    est = cms_point_estimates(cms_registers(hashed), hashed)
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
