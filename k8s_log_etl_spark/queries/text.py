@@ -944,17 +944,19 @@ _QC_BUCKET = (
 )
 
 
-def _qc_sql() -> str:
-    """Unrolled-CTE oracle of the gradient recurrence (the
-    _bpe_cte_chain / kmeans discipline): w0 = 0; each round scores every
-    TRAIN doc (zq = integer sum of present-bucket weights + bias, bias =
-    feature -1 appended to every doc), quantizes the sigmoid to integer
+def _qc_train_cte() -> str:
+    """Unrolled-CTE WITH-body of the gradient recurrence through the
+    trained weight table w{QC_ROUNDS} (the _bpe_cte_chain / kmeans
+    discipline): w0 = 0; each round scores every TRAIN doc (zq =
+    integer sum of present-bucket weights + bias, bias = feature -1
+    appended to every doc), quantizes the sigmoid to integer
     micro-units, hash-aggregates the exact-integer gradient per bucket,
     and updates with DuckDB's TRUNCATING integer division (mirrored
     exactly by the Spark side's Python trunc-div — Python's // floors,
-    which differs on negative gradients)."""
+    which differs on negative gradients). Shared by the classifier's
+    eval oracle and the corpus_quality_gate cascade oracle."""
     lab = f"""per_doc AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          ({_QC_SPLIT}) < {QC_TRAIN_PCT} AS is_train,
          CASE WHEN NOT (
            (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
@@ -970,7 +972,7 @@ def _qc_sql() -> str:
             128 + least((n_short * 10) // greatest(n_words, 1), 10),
             139 + least(n_stop, 12)]) AS fx
   FROM (
-    SELECT doc_id, {_WORDS_SQL} AS w,
+    SELECT doc_id, source, {_WORDS_SQL} AS w,
            len({_WORDS_SQL}) AS n_words,
            list_aggregate(list_transform({_WORDS_SQL}, x -> len(x)), 'sum')
              AS word_chars,
@@ -1009,9 +1011,15 @@ w{r + 1} AS MATERIALIZED (
            AS wq
   FROM w{r} w LEFT JOIN g{r} g ON w.j = g.j, n
 )"""
+    return lab + rounds
+
+
+def _qc_sql() -> str:
+    """Classifier-eval oracle: the shared training chain + held-out
+    confusion/accuracy/rank-sum-AUC tail."""
     R = QC_ROUNDS
     return f"""
-WITH {lab}{rounds},
+WITH {_qc_train_cte()},
 zt AS (
   SELECT t.doc_id, any_value(t.y) AS y, CAST(sum(w.wq) AS BIGINT) AS zq
   FROM (SELECT * FROM feats WHERE NOT is_train) t
@@ -1054,36 +1062,12 @@ def _qc_tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
-@register("quality_classifier_train", oracle=_qc_sql(), tags=("text", "llmprep"))
-def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained quality classifier — the learned complement of the
-    rule-based Gopher gate (the CCNet discipline, Wenzek et al. 2020:
-    a cheap linear model distills an expensive labeling source and
-    generalizes it): hashed word-presence features (md5 bucket mod
-    QC_NFEAT, binary, plus an always-on bias feature -1), labels from
-    the four Gopher rules, logistic regression trained with QC_ROUNDS
-    full-batch gradient steps on the 90% md5 train split, evaluated on
-    the held-out 10% — confusion counts, accuracy, and rank-sum AUC
-    out.
-
-    Determinism (the kmeans_ivf_train sync discipline): weights live
-    as integer micro-units; each round's doc score zq is an exact
-    integer sum of present-bucket weights, the sigmoid is the single
-    transcendental and is immediately quantized to integer micro-units
-    (the micro-nat discipline of text_bigram_lm_score), the gradient is
-    an order-free exact-integer hash-agg, and the update divides with
-    TRUNCATING semantics in both engines (DuckDB's `//` truncates;
-    Python's floors — _qc_tdiv bridges). Every round therefore feeds
-    bit-identical weights into the next, and the oracle's unrolled CTE
-    chain replays training exactly.
-
-    Scale shape: one labeled+featurized pass over the corpus is
-    checkpointed; each round is a map-side zq fold (element_at into a
-    64-literal weight array — no join, no shuffle), one exploded
-    (doc, bucket) hash-agg of ≤ QC_NFEAT+1 integer gradient rows, and a
-    65-scalar driver sync — the K·dim centroid pattern. Eval is one
-    scan + a grouped-by-score AUC whose window runs over the bounded
-    distinct-zq set (the quantile-sketch discipline)."""
+def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled + featurized corpus frame (doc_id, source, is_train,
+    y, fx), checkpointed once — shared by the classifier's training and
+    the corpus_quality_gate cascade. y is the Gopher-gate label; fx is
+    the hashed word-presence buckets plus the one-hot structural ids
+    (see QC_NTOT note)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     w = _words()
     n = F.size(w)
@@ -1122,21 +1106,37 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         structural,
     )
-    base = d.select(
-        "doc_id", is_train.alias("is_train"), y.alias("y"), fx.alias("fx")
+    return d.select(
+        "doc_id",
+        "source",
+        is_train.alias("is_train"),
+        y.alias("y"),
+        fx.alias("fx"),
     ).localCheckpoint(eager=True)
+
+
+def _qc_zq(wq: list[int], bias: int) -> F.Column:
+    """The integer doc score off literal weights: a map-side fold over
+    the present-feature array (element_at into a QC_NTOT-literal
+    array — no join, no shuffle)."""
+    warr = F.array(*[F.lit(v).cast("long") for v in wq])
+    return F.lit(bias).cast("long") + F.aggregate(
+        F.col("fx"),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
+    )
+
+
+def _qc_fit(base: DataFrame) -> tuple[list[int], int, int]:
+    """QC_ROUNDS driver-synced full-batch gradient steps on the train
+    split; returns (weights, bias, n_train) in integer micro-units —
+    bit-identical to the oracle's w{QC_ROUNDS} table."""
     train = base.filter(F.col("is_train"))
     n_train = train.count()  # single pre-loop scalar (PageRank pattern)
-
     wq = [0] * QC_NTOT
     bias = 0
     for _ in range(QC_ROUNDS):
-        warr = F.array(*[F.lit(v).cast("long") for v in wq])
-        zq = F.lit(bias).cast("long") + F.aggregate(
-            F.col("fx"),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
-        )
+        zq = _qc_zq(wq, bias)
         pq = F.round(
             F.lit(float(QC_Q))
             / (F.lit(1.0) + F.exp(-(zq.cast("double")) / F.lit(float(QC_Q))))
@@ -1155,17 +1155,42 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         bias -= _qc_tdiv(g.get(-1, 0) * QC_LR_NUM, den)
         for j in range(QC_NTOT):
             wq[j] -= _qc_tdiv(g.get(j, 0) * QC_LR_NUM, den)
+    return wq, bias, n_train
 
-    warr = F.array(*[F.lit(v).cast("long") for v in wq])
-    zq = (
-        F.lit(bias).cast("long")
-        + F.aggregate(
-            F.col("fx"),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
-        )
-    ).alias("zq")
-    scored = base.filter(~F.col("is_train")).select("y", zq)
+
+@register("quality_classifier_train", oracle=_qc_sql(), tags=("text", "llmprep"))
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier — the learned complement of the
+    rule-based Gopher gate (the CCNet discipline, Wenzek et al. 2020:
+    a cheap linear model distills an expensive labeling source and
+    generalizes it): hashed word-presence features (md5 bucket mod
+    QC_NFEAT, binary, plus an always-on bias feature -1), labels from
+    the four Gopher rules, logistic regression trained with QC_ROUNDS
+    full-batch gradient steps on the 90% md5 train split, evaluated on
+    the held-out 10% — confusion counts, accuracy, and rank-sum AUC
+    out.
+
+    Determinism (the kmeans_ivf_train sync discipline): weights live
+    as integer micro-units; each round's doc score zq is an exact
+    integer sum of present-bucket weights, the sigmoid is the single
+    transcendental and is immediately quantized to integer micro-units
+    (the micro-nat discipline of text_bigram_lm_score), the gradient is
+    an order-free exact-integer hash-agg, and the update divides with
+    TRUNCATING semantics in both engines (DuckDB's `//` truncates;
+    Python's floors — _qc_tdiv bridges). Every round therefore feeds
+    bit-identical weights into the next, and the oracle's unrolled CTE
+    chain replays training exactly.
+
+    Scale shape: one labeled+featurized pass over the corpus is
+    checkpointed; each round is a map-side zq fold (element_at into a
+    64-literal weight array — no join, no shuffle), one exploded
+    (doc, bucket) hash-agg of ≤ QC_NFEAT+1 integer gradient rows, and a
+    65-scalar driver sync — the K·dim centroid pattern. Eval is one
+    scan + a grouped-by-score AUC whose window runs over the bounded
+    distinct-zq set (the quantile-sketch discipline)."""
+    base = _qc_base(spark, sf_dir)
+    wq, bias, n_train = _qc_fit(base)
+    scored = base.filter(~F.col("is_train")).select("y", _qc_zq(wq, bias).alias("zq"))
     grouped = scored.groupBy("zq").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
@@ -1200,4 +1225,73 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("npos") * F.col("nneg")),
             6,
         ).alias("auc"),
+    )
+
+
+def _qgate_sql() -> str:
+    R = QC_ROUNDS
+    return f"""
+WITH {_qc_train_cte()},
+zall AS (
+  SELECT t.doc_id, any_value(t.y) AS y, CAST(sum(w.wq) AS BIGINT) AS zq
+  FROM feats t JOIN w{R} w ON t.j = w.j GROUP BY t.doc_id
+),
+gate AS (
+  SELECT p.source, z.y, CASE WHEN z.zq >= 0 THEN 1 ELSE 0 END AS cls_keep
+  FROM zall z JOIN per_doc p ON z.doc_id = p.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(cls_keep) AS BIGINT) AS n_cls_keep,
+       CAST(sum(cls_keep * y) AS BIGINT) AS n_final_keep,
+       CAST(round(sum(cls_keep * y) * 1000000.0 / count(*)) AS BIGINT)
+         AS yield_ppm,
+       CASE WHEN sum(cls_keep) > 0
+            THEN CAST(round(sum(cls_keep * y) * 1000000.0 / sum(cls_keep))
+                   AS BIGINT) END AS precision_ppm
+FROM gate GROUP BY source
+"""
+
+
+@register("corpus_quality_gate", oracle=_qgate_sql(), tags=("text", "llmprep"))
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style quality CASCADE applied corpus-wide: the trained
+    classifier (shared _qc_fit — exactly quality_classifier_train's
+    weights) runs as the cheap FIRST-pass filter over every document,
+    and the expensive rule verify (here the Gopher gate that also
+    labeled training; in production a full LM scorer) runs only on
+    classifier survivors. Per-source out: corpus size, classifier
+    keeps, final keeps, end-to-end yield, and the classifier's
+    precision against the verify — the numbers a curation run reports
+    per data source.
+
+    Scale shape: training syncs QC_ROUNDS tiny gradient frames (the
+    classifier discipline), then the cascade itself is ONE map-side
+    pass over the checkpointed feature frame (score fold + label
+    compare — no joins at all on the Spark side) into a per-source
+    hash-agg. At 100 TB the verify step's cost scales with classifier
+    keeps, not corpus size — the entire point of the cascade.
+
+    Determinism: weights are bit-identical to the oracle's w{ROUNDS}
+    table (see quality_classifier_train); everything downstream is
+    integer counts and int/int rounded ratios."""
+    base = _qc_base(spark, sf_dir)
+    wq, bias, _ = _qc_fit(base)
+    gate = base.select(
+        "source",
+        "y",
+        F.when(_qc_zq(wq, bias) >= 0, 1).otherwise(0).cast("long").alias("cls_keep"),
+    )
+    final = F.sum(F.col("cls_keep") * F.col("y"))
+    return gate.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cls_keep").alias("n_cls_keep"),
+        final.alias("n_final_keep"),
+        F.round(final * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("yield_ppm"),
+        F.when(
+            F.sum("cls_keep") > 0,
+            F.round(final * 1_000_000.0 / F.sum("cls_keep")).cast("bigint"),
+        ).alias("precision_ppm"),
     )

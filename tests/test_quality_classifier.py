@@ -61,3 +61,27 @@ def test_structural_features_are_bounded(spark):
         ).alias("j")
     ).agg(F.min("j").alias("lo"), F.max("j").alias("hi")).collect()[0]
     assert 64 <= ids["lo"] and ids["hi"] < T.QC_NTOT
+
+
+def test_tdiv_matches_duckdb_integer_division():
+    """_qc_tdiv must reproduce DuckDB's `//` (truncation toward zero)
+    for every sign combination the gradient update can produce —
+    Python's // floors, which differs on negative numerators; a silent
+    divergence here would corrupt every training round."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.integers(min_value=-10**15, max_value=10**15),
+        b=st.integers(min_value=1, max_value=10**9),
+    )
+    def check(a: int, b: int):
+        duck = con.execute(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)").fetchone()[0]
+        assert T._qc_tdiv(a, b) == duck, (a, b)
+
+    check()
+    con.close()
