@@ -62,14 +62,14 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-7 additions (6): the serve-face near-dup probe,
+    # --- (a) round-7 additions (8): the serve-face near-dup probe,
     # the trained quality classifier + its corpus-wide cascade, 
     # cross-modal retrieval, the newly-ORACLED count-min sketch
     # (hand-rolled registers — its first driver-checkable row ever;
     # round-6 verdict #3), and multilingual temperature resampling ---
     "dedup_minhash_index_serve", "quality_classifier_train",
     "corpus_quality_gate", "crossmodal_retrieval", "agg_countmin_events",
-    "sample_temperature_lang",
+    "sample_temperature_lang", "holdout_novelty_scan",
     # --- (b) round-7 modified implementations/oracles (5): the
     # prefix-jaccard verify/join-key hashing, the BPE CTE-chain
     # empty-merge fix (both consumers of _bpe_cte_chain), the
@@ -94,7 +94,7 @@ _CHECKED_FIRST = [
     # round-6 rotation note, plus r3-latest bench heads and the
     # sampling-family rep — the next stalest after (c) ---
     "agg_by_level", "agg_filter_reason", "filter_level",
-    "ts_validate", "transform_chain",
+    "transform_chain",
     "pipeline_events_report", "dedup_simhash_banded",
     "dedup_ngram_jaccard", "events_funnel", "events_dau_wau",
     "sample_bernoulli_seeded",

@@ -2938,3 +2938,121 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# holdout novelty / memorization scan (gram-level, vs the train split)
+# ---------------------------------------------------------------------------
+
+NOVELTY_NGRAM = 5
+NOVELTY_MEMORIZED_PPM = 500_000   # >50% seen grams = memorization suspect
+
+
+def _novelty_sql() -> str:
+    h = X.md5_long_sql("g")
+    split = f"{X.md5_long_sql('CAST(doc_id AS VARCHAR)')} % 100 < {TRAIN_PCT}"
+    return f"""
+WITH words AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, source, {h} AS gh
+  FROM (
+    SELECT doc_id, source,
+           (w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+            || ' ' || w[i+5]) AS g
+    FROM words, unnest(range(greatest(len(w) - {NOVELTY_NGRAM - 1}, 0))) AS t(i)
+  )
+),
+train_g AS (SELECT DISTINCT gh FROM grams WHERE {split}),
+held AS (SELECT * FROM grams WHERE NOT ({split})),
+per_doc AS (
+  SELECT h.doc_id, any_value(h.source) AS source,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen
+  FROM held h LEFT JOIN train_g t ON h.gh = t.gh
+  GROUP BY h.doc_id
+),
+ppm AS (
+  SELECT source, (n_seen * 1000000) // n_grams AS overlap_ppm
+  FROM per_doc WHERE n_grams > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(avg(overlap_ppm)) AS BIGINT) AS mean_overlap_ppm,
+       CAST(sum(CASE WHEN overlap_ppm > {NOVELTY_MEMORIZED_PPM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized,
+       CAST(sum(CASE WHEN overlap_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_novel
+FROM ppm GROUP BY source
+"""
+
+
+@register("holdout_novelty_scan", oracle=_novelty_sql(), tags=("llmprep", "dedup"))
+def holdout_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level novelty of the held-out split against the TRAIN
+    split — the memorization-risk scan of Lee et al. 2021 / Carlini et
+    al. 2022: for every val/test document, the fraction of its distinct
+    5-grams that occur anywhere in train. Completes the leakage
+    triptych: benchmark_contamination checks a fixed benchmark set
+    against the whole corpus, eval_holdout_decontaminated checks
+    PAIR-level near-dups across the split — this measures the
+    gram-level overlap DISTRIBUTION (mean ppm, memorization suspects
+    at >50%, fully-novel docs) per source.
+
+    Scale shape: both gram streams collapse to distinct md5_long
+    tokens (8-byte shuffle keys, the dedup_lines_corpus trick), the
+    probe is ONE keyed equi-join of held-out grams against the train
+    gram set (shuffle-bound, never all-pairs; a Bloom prescreen —
+    decontam_bloom_prescreen's machinery — drops the never-seen
+    majority map-side at 100 TB), and the rollup is two hash-aggs.
+    Per-doc overlap is exact integer ppm via truncating division
+    (nonneg, so DuckDB's // == Spark's floor)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    grams_arr = F.transform(
+        ngram_indices(w, NOVELTY_NGRAM),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(NOVELTY_NGRAM)]),
+    )
+    is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
+    grams = (
+        d.select(
+            "doc_id",
+            "source",
+            is_train.alias("is_train"),
+            F.explode(grams_arr).alias("g"),
+        )
+        .select(
+            "doc_id", "source", "is_train", X.md5_long(F.col("g")).alias("gh")
+        )
+        .distinct()
+    )
+    train_g = grams.filter(F.col("is_train")).select("gh").distinct()
+    held = grams.filter(~F.col("is_train"))
+    per_doc = (
+        held.join(
+            train_g.withColumn("seen", F.lit(1)), "gh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("seen", F.lit(0))).alias("n_seen"),
+        )
+        .filter(F.col("n_grams") > 0)
+    )
+    ppm = per_doc.select(
+        "source",
+        F.floor(F.col("n_seen") * 1_000_000 / F.col("n_grams")).alias(
+            "overlap_ppm"
+        ),
+    )
+    return ppm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("overlap_ppm")).cast("bigint").alias("mean_overlap_ppm"),
+        F.sum(
+            F.when(F.col("overlap_ppm") > NOVELTY_MEMORIZED_PPM, 1).otherwise(0)
+        ).alias("n_memorized"),
+        F.sum(F.when(F.col("overlap_ppm") == 0, 1).otherwise(0)).alias(
+            "n_fully_novel"
+        ),
+    )
