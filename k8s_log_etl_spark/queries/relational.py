@@ -3973,3 +3973,88 @@ def sample_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sample_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact spend deciles (distributed ranking on a VALUE key)
+# ---------------------------------------------------------------------------
+
+DECILE_BUCKET_W = 1_000   # coarse spend ranges for the local-rank trick
+
+_DECILES_SQL = """
+WITH per_c AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT custkey, spend,
+         row_number() OVER (ORDER BY spend DESC, custkey) AS rnk,
+         count(*) OVER () AS n
+  FROM per_c
+)
+SELECT CAST(((rnk - 1) * 10) // n + 1 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(spend) AS DOUBLE), 2) AS total_spend,
+       round(CAST(min(spend) AS DOUBLE), 2) AS min_spend,
+       round(CAST(max(spend) AS DOUBLE), 2) AS max_spend
+FROM r GROUP BY 1
+"""
+
+
+@register("window_spend_deciles", oracle=_DECILES_SQL, tags=("window", "relational"))
+def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact customer-spend deciles (decile 1 = top spenders) — the
+    analyst's cohort cut, computed with a DISTRIBUTED exact global
+    rank instead of a single-partition ntile window: the
+    epoch_shuffle_order prefix-sum discipline applied to a VALUE key.
+    Customers bucket into coarse contiguous spend ranges
+    (floor(-spend / 1000) — bucket order equals full descending spend
+    order), each bucket computes a LOCAL row_number in parallel, and a
+    tiny per-bucket count frame supplies every bucket's global
+    starting rank via its own prefix sum + broadcast join back; decile
+    = ((rank-1)*10) // n + 1, all integer-exact. The oracle uses the
+    plain single-window SQL — oracles don't need to scale; identity is
+    the check that the distributed form IS the window.
+
+    Scale shape: the heavy frame (per-customer aggregates) is ranked
+    with per-bucket parallel windows — no single sorted partition;
+    only the |buckets|-row count frame runs a global (tiny) window.
+    Value skew concentrates ranks in few buckets — at real scale the
+    bucket grid comes from the quantile sketch (events_quantile_sketch)
+    instead of a fixed width. Spend sums are decimal (order-free
+    exact) until the final rounded double projection."""
+    o = load_table(spark, sf_dir, "orders")
+    per_c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    neg = (-F.col("spend")).alias("neg")
+    b = per_c.select("custkey", "spend", neg).withColumn(
+        "rb", F.floor(F.col("neg") / DECILE_BUCKET_W)
+    )
+    rb_w = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    counts = b.groupBy("rb").agg(F.count(F.lit(1)).alias("cnt"))
+    starts = counts.select(
+        "rb",
+        F.coalesce(F.sum("cnt").over(rb_w), F.lit(0)).alias("range_start"),
+    )
+    n_total = counts.agg(F.sum("cnt").alias("n"))
+    local_w = Window.partitionBy("rb").orderBy("neg", "custkey")
+    ranked = (
+        b.join(F.broadcast(starts), "rb")
+        .withColumn("rnk", F.col("range_start") + F.row_number().over(local_w))
+        .crossJoin(F.broadcast(n_total))
+    )
+    decile = (
+        F.floor((F.col("rnk") - 1) * 10 / F.col("n")) + 1
+    ).cast("bigint")
+    return (
+        ranked.select(decile.alias("decile"), "spend")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
+            F.round(F.min("spend").cast("double"), 2).alias("min_spend"),
+            F.round(F.max("spend").cast("double"), 2).alias("max_spend"),
+        )
+    )

@@ -467,3 +467,21 @@ def test_bpe_oracle_fixpoint_on_fully_merged_vocab(spark, tmp_path):
     # non-degenerate: both words encode to ONE fully-merged token
     # (corpus_tokens = sum(freq * len(s)) = 4*1 + 2*1)
     assert s_rows == [("ab", "ab", 1, 4, 6), ("cd", "cd", 1, 2, 6)]
+
+
+def test_bpe_encode_round_trip(spark):
+    """Structural invariant of the BPE encoder: for every emitted
+    vocabulary row, the token sequence concatenates back to exactly the
+    term (merges never drop, duplicate, or reorder characters) and
+    n_tokens equals the sequence length — the decode direction of the
+    tokenizer pair, pinned without an oracle."""
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    rows = load_all()["bpe_encode_corpus"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        toks = r["token_seq"].split(" ")
+        assert "".join(toks) == r["term"], r
+        assert r["n_tokens"] == len(toks)
