@@ -1069,6 +1069,13 @@ def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashed word-presence buckets plus the one-hot structural ids
     (see QC_NTOT note)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    return _qc_features(d).localCheckpoint(eager=True)
+
+
+def _qc_features(d: DataFrame) -> DataFrame:
+    """Per-row labeling + featurization of ANY documents frame (needs
+    doc_id, source, text) — shared by _qc_base and the streaming
+    quality-gated ingest, which featurizes micro-batches."""
     w = _words()
     n = F.size(w)
     word_chars = F.aggregate(
@@ -1112,7 +1119,7 @@ def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_train.alias("is_train"),
         y.alias("y"),
         fx.alias("fx"),
-    ).localCheckpoint(eager=True)
+    )
 
 
 def _qc_zq(wq: list[int], bias: int) -> F.Column:
@@ -1368,7 +1375,23 @@ def quality_gate_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _qc_base(spark, sf_dir).filter(
         (F.col("doc_id") >= QC_SERVE_LO) & (F.col("doc_id") < QC_SERVE_HI)
     )
-    exploded = base.select(
+    scored = qc_score_with_weights(base, idx)
+    return scored.select(
+        "doc_id",
+        "source",
+        F.when(F.col("zq") >= 0, 1).otherwise(0).cast("long").alias("cls_keep"),
+        F.col("y").alias("rule_pass"),
+        "zq",
+    )
+
+
+def qc_score_with_weights(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """Score a featurized frame against a (j, wq) weight table: explode
+    present features + the bias id, broadcast-join the tiny weight
+    table, integer-sum per doc. Weights stay DATA, not plan — the
+    serving/ingest queries never recompile on re-training. Returns
+    (doc_id, source, y, zq)."""
+    exploded = feats.select(
         "doc_id",
         "source",
         "y",
@@ -1376,19 +1399,12 @@ def quality_gate_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("fx"), F.array(F.lit(-1).cast("long")))
         ).alias("j"),
     )
-    scored = (
-        exploded.join(F.broadcast(idx), exploded["j"] == idx["j"])
+    return (
+        exploded.join(F.broadcast(weights), exploded["j"] == weights["j"])
         .groupBy("doc_id")
         .agg(
             F.first("source").alias("source"),
-            F.first("y").alias("rule_pass"),
+            F.first("y").alias("y"),
             F.sum("wq").alias("zq"),
         )
-    )
-    return scored.select(
-        "doc_id",
-        "source",
-        F.when(F.col("zq") >= 0, 1).otherwise(0).cast("long").alias("cls_keep"),
-        "rule_pass",
-        "zq",
     )

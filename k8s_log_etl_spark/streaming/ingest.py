@@ -378,3 +378,74 @@ def ingest_corpus_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-gated ingest (the streaming face of the trained classifier)
+# ---------------------------------------------------------------------------
+
+
+def ingest_batch_quality(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    weights_path: str,
+) -> None:
+    """Per-micro-batch QUALITY gating: featurize the batch with the
+    shared classifier featurizer, score it against the persisted
+    weight table (qc_weights_path — trained once, off the ingest
+    path), and append only classifier keeps (zq >= 0) to the
+    batch-partitioned corpus. The streaming face of
+    quality_gate_serve, and the third member of the ingest family
+    beside the exact-digest and near-dup gates.
+
+    Replay safety: same dynamic-partition-overwrite discipline as
+    ingest_batch — a replayed batch recomputes the identical kept set
+    (scoring is a pure per-row function of text given fixed weights)
+    and overwrites its own partition with identical rows. Stateless
+    across batches by construction: unlike the near-dup gate there is
+    no index, so the kept corpus is trivially independent of
+    micro-batch cuts (pinned in tests/test_stream_quality.py).
+
+    Scale shape: per-batch work is one featurize pass + a broadcast
+    join against the 153-row weight table + a per-doc integer sum —
+    map-side except the per-doc agg; nothing reads the accumulated
+    corpus."""
+    from k8s_log_etl_spark.queries.text import _qc_features, qc_score_with_weights
+
+    w = spark.read.parquet(weights_path)
+    scored = qc_score_with_weights(_qc_features(batch_df), w)
+    keep_ids = scored.filter(F.col("zq") >= 0).select("doc_id")
+    kept = (
+        batch_df.join(F.broadcast(keep_ids), "doc_id", "leftsemi")
+        .withColumn("ingest_batch", F.lit(int(batch_id)))
+        .localCheckpoint(eager=True)
+    )
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(corpus_dir)
+    )
+
+
+def ingest_corpus_quality(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    corpus_dir: str,
+    weights_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous quality-gated ingestion — foreachBatch wiring for
+    ingest_batch_quality, availableNow-drained like ingest_corpus."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch_quality(spark, batch_df, batch_id, corpus_dir, weights_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
