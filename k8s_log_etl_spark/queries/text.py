@@ -1165,7 +1165,11 @@ def _qc_fit(base: DataFrame) -> tuple[list[int], int, int]:
     return wq, bias, n_train
 
 
-@register("quality_classifier_train", oracle=_qc_sql(), tags=("text", "llmprep"))
+# bench=True: the heaviest registered query at sf0.1 (~12.6 s — 16
+# sequential driver-synced training rounds) must be bench-visible per
+# the r5/r6 promotion discipline (set grows 27 -> 28 heads, BASELINE.md
+# round-7 notes the growth).
+@register("quality_classifier_train", oracle=_qc_sql(), tags=("text", "llmprep"), bench=True)
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier — the learned complement of the
     rule-based Gopher gate (the CCNet discipline, Wenzek et al. 2020:
