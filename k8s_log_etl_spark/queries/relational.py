@@ -4058,3 +4058,79 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("spend").cast("double"), 2).alias("max_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact nearest-rank percentiles per group (the sketch's exact sibling)
+# ---------------------------------------------------------------------------
+
+PCTL_CENTS = 100   # values quantized to cents: bounded integer domain
+
+_PCTL_SQL = """
+WITH q AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+r AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM g
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) / 100.0 AS p50,
+       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) / 100.0 AS p90,
+       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) / 100.0 AS p99
+FROM r GROUP BY event_type
+"""
+
+
+@register("events_exact_percentiles", oracle=_PCTL_SQL, tags=("agg", "events"))
+def events_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank percentiles (p50/p90/p99) of event value per
+    type — the exact sibling of the mergeable fixed-bin
+    events_quantile_sketch, for when the answer must be an actual
+    order statistic rather than a bin interpolation. Values quantize
+    to integer cents first, so the percentile is exactly defined and
+    engine-exact: nearest-rank k = ceil(p*n) in pure integer
+    arithmetic ((n*p + 99) // 100), the answer is the minimum
+    quantized value whose cumulative count reaches k, and the only
+    divisions are int/int.
+
+    Scale shape: one (type, cent-value) hash-agg collapses the stream
+    (map-side partials — the distinct-value table per type is bounded
+    by the value domain in cents, the quantile-sketch discipline),
+    then per-type cumulative windows run over those bounded distinct
+    values, parallel ACROSS types. At 100 TB with an unbounded value
+    domain you'd widen the quantization or fall back to the sketch —
+    the quantization constant is the explicit knob."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    g = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def pctl(p: int) -> F.Column:
+        k = F.floor((F.col("n") * p + 99) / 100)
+        return F.min(F.when(F.col("cum") >= k, F.col("v"))) / 100.0
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        pctl(50).alias("p50"),
+        pctl(90).alias("p90"),
+        pctl(99).alias("p99"),
+    )
