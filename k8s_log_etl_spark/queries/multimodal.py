@@ -436,7 +436,8 @@ def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # cross-modal retrieval (round-6 verdict #6): CLIP-shaped text->image
 # retrieval over the fake-but-hashable two-tower encoders, through the
-# RAG hyperplane-LSH bucket machinery, OR-amplified over two bands.
+# RAG-style hyperplane-LSH bucket machinery (own plane family — see
+# _xm_plane), OR-amplified over three bands.
 # ---------------------------------------------------------------------------
 
 XMODAL_DIM = 8           # shared embedding space (both towers)
@@ -467,14 +468,23 @@ def _xm_txt_dim_sql(d: int) -> str:
     return f"({_xm_img_dim_sql(d)} + {pert} / 1000.0)"
 
 
+def _xm_plane(j: int, i: int) -> int:
+    """Deterministic integer hyperplane weights in [-14, 14] for the
+    cross-modal index — its own family rather than _rag_plane because
+    that formula has period 15 in j: with 3 bands x 6 planes the 18th
+    plane would duplicate the 3rd, correlating band 2 with band 0 and
+    weakening the OR-amplification. Period-29 here keeps all 18 rows
+    distinct."""
+    return ((j * 37 + i * 17) % 29) - 14
+
+
 def _xm_bucket_sql(e: str, band: int) -> str:
     from k8s_log_etl_spark.functions.xengine import dot_sql
-    from k8s_log_etl_spark.queries.llmprep import _rag_plane
 
     terms = []
     for j in range(XMODAL_PLANES):
         w = "[" + ", ".join(
-            f"{float(_rag_plane(band * XMODAL_PLANES + j, i))}"
+            f"{float(_xm_plane(band * XMODAL_PLANES + j, i))}"
             for i in range(XMODAL_DIM)
         ) + "]"
         terms.append(f"(CASE WHEN {dot_sql(e, w)} > 0 THEN {1 << j} ELSE 0 END)")
@@ -563,13 +573,12 @@ def _xm_txt_vec(text: F.Column) -> F.Column:
 
 def _xm_bucket(e: F.Column, band: int) -> F.Column:
     from k8s_log_etl_spark.functions import xengine as X
-    from k8s_log_etl_spark.queries.llmprep import _rag_plane
 
     out = F.lit(0)
     for j in range(XMODAL_PLANES):
         w = F.array(
             *[
-                F.lit(float(_rag_plane(band * XMODAL_PLANES + j, i)))
+                F.lit(float(_xm_plane(band * XMODAL_PLANES + j, i)))
                 for i in range(XMODAL_DIM)
             ]
         )
@@ -585,9 +594,10 @@ def _xm_bucket(e: F.Column, band: int) -> F.Column:
 def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLIP-shaped cross-modal retrieval: caption (text-tower) queries
     against the image-tower index, through the hyperplane-LSH bucket
-    machinery of rag_retrieval_pipeline, OR-amplified over two plane
-    bands (candidate if ANY band's bucket matches — the MinHash banding
-    trick applied to hyperplane LSH). Completes the multimodal story
+    machinery of rag_retrieval_pipeline with its own plane family
+    (_xm_plane — period-29, so all 18 rows are distinct), OR-amplified
+    over three 6-plane bands (candidate if ANY band's bucket matches —
+    the MinHash banding trick applied to hyperplane LSH). Completes the multimodal story
     (round-6 verdict #6): the encoders are the established
     fake-but-hashable stubs (the image tower reads dims off the payload
     digest hex — payload is attach_payload's unhex(md5(text)); the text
