@@ -616,14 +616,23 @@ def _gopher_flags(w: F.Column, n: F.Column, word_chars: F.Column):
     n_stop = F.size(
         F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))
     )
-    mean_len = word_chars / n
+    # greatest(n, 1) guards the ANSI divide-by-zero on EMPTY documents
+    # (round-7 finding: Spark's boolean OR does not short-circuit in
+    # codegen, so the n == 0 term never protected the division — any
+    # 0-word doc crashed the census and everything downstream of
+    # _gopher_flags). Semantics unchanged: when n = 0 the n == 0 /
+    # n > 0 terms decide the flags, and the guarded ratios are ignored.
+    # The DuckDB oracle needs no guard (double x/0 is inf/nan there,
+    # never an error).
+    n1 = F.greatest(n, F.lit(1))
+    mean_len = word_chars / n1
     v_words = (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
     v_meanlen = (
         (n == 0)
         | (mean_len < GOPHER_MIN_MEAN_LEN)
         | (mean_len > GOPHER_MAX_MEAN_LEN)
     )
-    v_short = (n > 0) & (n_short / n > GOPHER_MAX_SHORT_FRAC)
+    v_short = (n > 0) & (n_short / n1 > GOPHER_MAX_SHORT_FRAC)
     v_stop = n_stop < GOPHER_MIN_STOPWORDS
     return v_words, v_meanlen, v_short, v_stop
 
@@ -883,13 +892,17 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN n_words = 0 THEN 0"
             f" ELSE n_stop * {CALIB_Q} div n_words END"
         ).alias("score_q"),
+        # greatest(n_words, 1) guards the ANSI divide-by-zero on empty
+        # docs (the _gopher_flags round-7 finding — OR does not
+        # short-circuit in codegen); the n_words = 0 / n_words > 0
+        # terms still decide those rows, so semantics are unchanged.
         F.expr(
             f"CASE WHEN NOT ("
             f"(n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})"
             f" OR (n_words = 0"
-            f"     OR word_chars * 1.0 / n_words < {GOPHER_MIN_MEAN_LEN}"
-            f"     OR word_chars * 1.0 / n_words > {GOPHER_MAX_MEAN_LEN})"
-            f" OR (n_words > 0 AND n_short * 1.0 / n_words > {GOPHER_MAX_SHORT_FRAC})"
+            f"     OR word_chars * 1.0 / greatest(n_words, 1) < {GOPHER_MIN_MEAN_LEN}"
+            f"     OR word_chars * 1.0 / greatest(n_words, 1) > {GOPHER_MAX_MEAN_LEN})"
+            f" OR (n_words > 0 AND n_short * 1.0 / greatest(n_words, 1) > {GOPHER_MAX_SHORT_FRAC})"
             f" OR (n_stop < {GOPHER_MIN_STOPWORDS})"
             f") THEN 1 ELSE 0 END"
         ).alias("pass_"),

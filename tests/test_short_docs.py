@@ -52,6 +52,15 @@ NGRAM_QUERIES = [
     "dedup_lines_corpus",
     "curriculum_difficulty_bins",
     "text_bigram_lm_score",
+    # round-7 tokenizing/labeling additions — the _gopher_flags ANSI
+    # divide-by-zero on 0-word docs (found by exactly this corpus) is
+    # pinned by these entries
+    "text_gopher_rules",
+    "quality_score_calibration",
+    "quality_classifier_train",
+    "corpus_quality_gate",
+    "holdout_novelty_scan",
+    "sample_temperature_lang",
 ]
 
 
