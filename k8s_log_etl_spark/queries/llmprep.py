@@ -2615,8 +2615,8 @@ tot AS (
 shares AS (
   SELECT coalesce(a.lang, b.lang) AS lang,
          coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
-         CAST(coalesce(n_a, 0) * {DRIFT_Q} // t.ta AS BIGINT) AS share_a_ppm,
-         CAST(coalesce(n_b, 0) * {DRIFT_Q} // t.tb AS BIGINT) AS share_b_ppm
+         CAST(coalesce(n_a, 0) * {DRIFT_Q} // greatest(t.ta, 1) AS BIGINT) AS share_a_ppm,
+         CAST(coalesce(n_b, 0) * {DRIFT_Q} // greatest(t.tb, 1) AS BIGINT) AS share_b_ppm
   FROM a FULL OUTER JOIN b ON a.lang = b.lang, tot t
 )
 SELECT lang, n_a, n_b, share_a_ppm, share_b_ppm,
@@ -2674,8 +2674,14 @@ def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_a",
         "n_b",
-        F.expr(f"n_a * {DRIFT_Q} div ta").alias("share_a_ppm"),
-        F.expr(f"n_b * {DRIFT_Q} div tb").alias("share_b_ppm"),
+        # greatest(·, 1) guards the ANSI integer-div-by-zero when one
+        # drop is EMPTY (degenerate corpora; the _gopher_flags round-7
+        # finding) — an empty side then reports all-zero shares and
+        # NULL kl terms, which is the right alert. Identical guard in
+        # the oracle; real corpora have both halves, so results are
+        # unchanged there.
+        F.expr(f"n_a * {DRIFT_Q} div greatest(ta, 1)").alias("share_a_ppm"),
+        F.expr(f"n_b * {DRIFT_Q} div greatest(tb, 1)").alias("share_b_ppm"),
     )
     kl = F.when(
         (F.col("share_a_ppm") == 0) | (F.col("share_b_ppm") == 0),

@@ -121,3 +121,34 @@ def test_substring_spans_semantics_on_crafted_corpus(spark, tmp_path):
     rows = dedup_substring_spans(spark, str(tmp_path)).collect()
     got = {(r.doc_id, r.span_start, r.span_end_word, r.n_grams) for r in rows}
     assert got == {(1, 0, 11, 8), (2, 0, 11, 8)}
+
+
+def test_every_query_survives_pathological_documents(spark, tmp_path):
+    """Full-surface robustness sweep (round-7 discipline, after the
+    _gopher_flags ANSI divide-by-zero finding): EVERY registered query
+    must run to completion when the documents table is pathological
+    (empty/whitespace/1-2 word docs) and all other tables are normal.
+    Slow-but-thorough: one collect per query on tiny data."""
+    import os
+
+    import pandas as pd
+
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    d = str(tmp_path / "patho")
+    os.makedirs(d)
+    SHORT_DOCS.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
+        )
+    fails = []
+    for n, spec in load_all().items():
+        try:
+            spec.fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001 — we want the full list
+            fails.append((n, str(e).split("\n")[0][:120]))
+    assert not fails, fails
