@@ -691,6 +691,13 @@ def _kmeans_train(
     centroids = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init
     }
+    if not centroids:
+        # explicit contract (round-7 empty-table sweep): training a
+        # quantizer on an empty corpus is undefined — fail loudly
+        # instead of a cryptic KeyError deep in the assignment pass.
+        raise ValueError(
+            "k-means training requires a non-empty embeddings corpus"
+        )
 
     assigned = None
     for it in range(1, KMEANS_ITERS + 1):
@@ -890,6 +897,10 @@ def _pq_train(
     oracle's c{m}_{PQ_ITERS-1} CTEs) and the final encoding frame
     (vec_id, m, k, d, sv) (≡ the a{m}_{PQ_ITERS} CTEs)."""
     init = e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+    if not init:
+        raise ValueError(
+            "PQ codebook training requires a non-empty embeddings corpus"
+        )
     cents = {
         m: {
             int(r["vec_id"]): [

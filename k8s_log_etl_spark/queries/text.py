@@ -1020,7 +1020,7 @@ g{r} AS (
 ),
 w{r + 1} AS MATERIALIZED (
   SELECT w.j,
-         w.wq - (coalesce(g.g, 0) * {QC_LR_NUM}) // (n.n_train * {QC_LR_DEN})
+         w.wq - (coalesce(g.g, 0) * {QC_LR_NUM}) // (greatest(n.n_train, 1) * {QC_LR_DEN})
            AS wq
   FROM w{r} w LEFT JOIN g{r} g ON w.j = g.j, n
 )"""
@@ -1155,6 +1155,10 @@ def _qc_fit(base: DataFrame) -> tuple[list[int], int, int]:
     n_train = train.count()  # single pre-loop scalar (PageRank pattern)
     wq = [0] * QC_NTOT
     bias = 0
+    # max(n_train, 1) guards the empty-corpus case (round-7 empty-table
+    # sweep): with zero train docs every gradient is empty, weights stay
+    # 0, and scoring degrades to the bias — mirrored by greatest() in
+    # the oracle's update CTE.
     for _ in range(QC_ROUNDS):
         zq = _qc_zq(wq, bias)
         pq = F.round(
@@ -1171,7 +1175,7 @@ def _qc_fit(base: DataFrame) -> tuple[list[int], int, int]:
             .collect()
         )
         g = {int(r["j"]): int(r["g"]) for r in grads}
-        den = n_train * QC_LR_DEN
+        den = max(n_train, 1) * QC_LR_DEN
         bias -= _qc_tdiv(g.get(-1, 0) * QC_LR_NUM, den)
         for j in range(QC_NTOT):
             wq[j] -= _qc_tdiv(g.get(j, 0) * QC_LR_NUM, den)

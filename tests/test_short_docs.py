@@ -152,3 +152,54 @@ def test_every_query_survives_pathological_documents(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — we want the full list
             fails.append((n, str(e).split("\n")[0][:120]))
     assert not fails, fails
+
+
+def test_every_query_survives_empty_tables(spark, tmp_path):
+    """Empty-partition/day robustness (round-7 sweep): with EMPTY
+    documents/events/embeddings tables (schema-correct, zero rows),
+    every registered query must either complete (empty or degenerate
+    result) or raise the documented explicit ValueError — never a
+    cryptic KeyError/arithmetic crash. The quantizer-training family
+    (k-means / PQ and their consumers) is the only surface allowed to
+    refuse: training on an empty corpus is undefined by contract."""
+    import os
+
+    import duckdb
+
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    con = duckdb.connect()
+    for t in ["documents", "events", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            f" LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
+        )
+    unexpected = []
+    refused = []
+    for n, spec in load_all().items():
+        try:
+            spec.fn(spark, d).collect()
+        except ValueError as e:
+            if "non-empty embeddings corpus" in str(e):
+                refused.append(n)
+            else:
+                unexpected.append((n, str(e)[:120]))
+        except Exception as e:  # noqa: BLE001
+            unexpected.append((n, str(e).split("\n")[0][:120]))
+    assert not unexpected, unexpected
+    # the refusal set is exactly the quantizer-training family
+    assert set(refused) == {
+        "ann_recall_eval",
+        "kmeans_ivf_train",
+        "pq_codebook_train",
+        "knn_ivfpq_adc",
+        "knn_ivfpq_refine",
+        "dedup_semantic_cells",
+    }, refused
