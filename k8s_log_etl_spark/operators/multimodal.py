@@ -45,6 +45,15 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.unhex(F.md5(F.col(text_col))))
 
 
+def _drop_null_payloads(df: DataFrame) -> DataFrame:
+    """The decode gate's NULL policy (round-7 NULL-text sweep): a NULL
+    payload is an undecodable blob — a real decoder would dead-letter
+    it; every stub kernel drops it BEFORE the Python worker so the
+    Arrow batches never carry None. Oracles mirror with
+    `WHERE text IS NOT NULL` (payload is md5(text))."""
+    return df.filter(F.col("payload").isNotNull()).select("doc_id", "payload")
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """STUB decoder — NOT a real image decode. Reads the first two
     payload bytes as (width, height). Replace with a real decoder
@@ -68,7 +77,7 @@ def decode_metadata(df: DataFrame) -> DataFrame:
             pdf["n_pixels"] = (pdf["width"].astype("int64") * pdf["height"]).astype("int64")
             yield pdf
 
-    return df.select("doc_id", "payload").mapInPandas(fn, DECODE_SCHEMA)
+    return _drop_null_payloads(df).mapInPandas(fn, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -106,7 +115,7 @@ def resize_thumbnails(df: DataFrame, max_dim: int = 64) -> DataFrame:
             pdf_out["height"] = pdf_out["height"].astype("int32")
             yield pdf_out
 
-    return df.select("doc_id", "payload").mapInPandas(fn, RESIZE_SCHEMA)
+    return _drop_null_payloads(df).mapInPandas(fn, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -137,7 +146,7 @@ def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
             pdf_out["frame_idx"] = pdf_out["frame_idx"].astype("int32")
             yield pdf_out
 
-    return df.select("doc_id", "payload").mapInPandas(fn, FRAME_SCHEMA)
+    return _drop_null_payloads(df).mapInPandas(fn, FRAME_SCHEMA)
 
 
 FEATURE_DIMS = 8
@@ -183,7 +192,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             out["norm_q"] = out["norm_q"].astype("int64")
             yield out
 
-    return df.select("doc_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
+    return _drop_null_payloads(df).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +243,7 @@ def with_reencoded_variants(df: DataFrame, mod: int = PHASH_VARIANT_MOD) -> Data
                     )
             yield pd.DataFrame({"doc_id": ids, "payload": pays})
 
-    return df.select("doc_id", "payload").mapInPandas(fn, VARIANT_SCHEMA)
+    return _drop_null_payloads(df).mapInPandas(fn, VARIANT_SCHEMA)
 
 
 AHASH_SCHEMA = StructType(
@@ -292,4 +301,4 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
                 pdf_out[f"b{k}"] = pdf_out[f"b{k}"].astype("int32")
             yield pdf_out
 
-    return df.select("doc_id", "payload").mapInPandas(fn, AHASH_SCHEMA)
+    return _drop_null_payloads(df).mapInPandas(fn, AHASH_SCHEMA)

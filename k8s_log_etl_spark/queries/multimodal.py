@@ -73,7 +73,7 @@ WITH meta AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS width,
          CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS height
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT width % 16 AS width_bucket,
        count(*) AS n_images,
@@ -101,7 +101,7 @@ WITH meta AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS w,
          CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT count(*) AS n_images,
        CAST(sum(CAST(CAST(floor(w * least(64.0 / greatest(w, h, 1), 1.0)) AS INTEGER) AS BIGINT)) AS BIGINT) AS total_thumb_width,
@@ -126,7 +126,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAMES_SQL = """
 SELECT count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs
-FROM (SELECT doc_id, unnest(range(0, 16, 4)) FROM documents)
+FROM (SELECT doc_id, unnest(range(0, 16, 4)) FROM documents WHERE text IS NOT NULL)
 """
 
 
@@ -158,7 +158,7 @@ _MM_CURATE_SQL = f"""
 WITH decoded AS (
   SELECT doc_id, source, md5(text) AS phex,
          {_MM_W_SQL} AS width, {_MM_H_SQL} AS height
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 gated AS (
   SELECT * FROM decoded
@@ -245,7 +245,7 @@ _FEATURES_SQL = f"""
 WITH norms AS (
   SELECT doc_id, source,
          CAST(round(sqrt({_FEAT_TERMS}) * {MM.FEATURE_QUANT}) AS BIGINT) AS norm_q
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT source, count(*) AS n_images,
        round(sum(norm_q) * 1.0 / count(*) / {MM.FEATURE_QUANT}, 6) AS mean_feat_norm,
@@ -298,7 +298,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEXD = "0123456789abcdef"
 
 _PHASH_SIG_CTES = f"""
-base AS (SELECT doc_id, md5(text) AS hex FROM documents),
+base AS (SELECT doc_id, md5(text) AS hex FROM documents WHERE text IS NOT NULL),
 corpus AS (
   SELECT doc_id, hex FROM base
   UNION ALL
@@ -508,10 +508,11 @@ def _xmodal_sql() -> str:
         f"{_xm_bucket_sql('e', b)} AS b{b}" for b in range(XMODAL_BANDS)
     )
     return f"""
-WITH cemb AS (SELECT doc_id, [{img_dims}] AS e FROM documents),
+WITH cemb AS (SELECT doc_id, [{img_dims}] AS e FROM documents
+              WHERE text IS NOT NULL),
 cidx AS (SELECT doc_id, e, {cb_cols} FROM cemb),
 qemb AS (SELECT doc_id AS query_doc, [{txt_dims}] AS e FROM documents
-         WHERE doc_id < {XMODAL_QUERY_DOCS}),
+         WHERE doc_id < {XMODAL_QUERY_DOCS} AND text IS NOT NULL),
 qidx AS (SELECT query_doc, e, {qb_cols} FROM qemb),
 cand AS (
 {band_joins}
@@ -621,7 +622,7 @@ def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed layout."""
     d = MM.attach_payload(
         ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    )
+    ).filter(F.col("payload").isNotNull())  # decode gate's NULL policy
     img = d.select(
         "doc_id", _xm_img_vec(F.lower(F.hex(F.col("payload")))).alias("e")
     )

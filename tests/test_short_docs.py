@@ -203,3 +203,50 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
         "knn_ivfpq_refine",
         "dedup_semantic_cells",
     }, refused
+
+
+def test_every_query_survives_null_text(spark, tmp_path):
+    """NULL-text robustness (round-7 sweep #3): real corpora carry NULL
+    text fields. The multimodal decode kernels previously crashed the
+    Python worker on the resulting NULL payloads — the decode gate now
+    DROPS undecodable (NULL) payloads in both engines
+    (operators/multimodal._drop_null_payloads; oracles carry
+    `WHERE text IS NOT NULL`). Every registered query must run to
+    completion (quantizer training refuses only on EMPTY corpora — two
+    non-null docs remain here, so it trains)."""
+    import os
+
+    import pandas as pd
+
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    d = str(tmp_path / "nulltext")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                None,
+                "two words here we go fine and long enough to pass gates maybe",
+                None,
+                "another normal document with plenty of words to work with today",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["unit"] * 4,
+            "n_chars": [0, 62, 0, 64],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
+        )
+    fails = []
+    for n, spec in load_all().items():
+        try:
+            spec.fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001
+            fails.append((n, str(e).split("\n")[0][:120]))
+    assert not fails, fails
