@@ -1061,9 +1061,13 @@ m AS (
 )
 SELECT n.n_train, m.n_test, m.npos AS n_pos_test,
        m.tp, m.fp, m.tn, m.fn,
-       round((m.tp + m.tn) * 1.0 / m.n_test, 6) AS accuracy,
-       round((m.r2 - m.npos * (m.npos + 1)) * 1.0 / (2 * m.npos * m.nneg), 6)
-         AS auc
+       CASE WHEN m.n_test > 0
+            THEN round((m.tp + m.tn) * 1.0 / m.n_test, 6) END AS accuracy,
+       -- AUC is undefined when the held-out split is single-class
+       -- (round-7 unicode-corpus sweep found the 1/0 crash)
+       CASE WHEN m.npos * m.nneg > 0
+            THEN round((m.r2 - m.npos * (m.npos + 1)) * 1.0
+                       / (2 * m.npos * m.nneg), 6) END AS auc
 FROM m, n
 """
 
@@ -1245,13 +1249,18 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "tn",
         "fn",
-        F.round((F.col("tp") + F.col("tn")) / F.col("n_test"), 6).alias(
-            "accuracy"
-        ),
-        F.round(
-            (F.col("r2") - F.col("npos") * (F.col("npos") + 1))
-            / (F.lit(2) * F.col("npos") * F.col("nneg")),
-            6,
+        F.when(
+            F.col("n_test") > 0,
+            F.round((F.col("tp") + F.col("tn")) / F.col("n_test"), 6),
+        ).alias("accuracy"),
+        # AUC undefined on a single-class holdout (unicode-corpus sweep)
+        F.when(
+            F.col("npos") * F.col("nneg") > 0,
+            F.round(
+                (F.col("r2") - F.col("npos") * (F.col("npos") + 1))
+                / (F.lit(2) * F.col("npos") * F.col("nneg")),
+                6,
+            ),
         ).alias("auc"),
     )
 

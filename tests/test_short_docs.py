@@ -250,3 +250,71 @@ def test_every_query_survives_null_text(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             fails.append((n, str(e).split("\n")[0][:120]))
     assert not fails, fails
+
+
+UNICODE_TEXTS = [
+    "café naïve résumé touché über straße garçon fiancé more words to pass the gates today okay fine",
+    "日本語 テスト 中文 测试 한국어 테스트 mixed with english words for good measure here now",
+    "emoji \U0001f600 \U0001f680 \U0001f409 and zwj \U0001f468‍\U0001f469‍\U0001f467 sequences plus skin tone \U0001f44d\U0001f3fd markers in text",
+    "regex specials (a|b) [c-d] {1,2} a+ b* c? ^start end$ back\\slash dot. and tab\there plus \"quotes\" 'single' `tick`",
+    "a" * 500 + " single very long word then normal words follow here to make the document long enough for most gates",
+    "rtl مرحبا بالعالم hebrew שלום עולם mixed directionality words and more filler to pass gates",
+    "combining áéíóú vs precomposed áéíóú normalization divergence probe with extra words for length today",
+]
+
+
+def test_every_query_survives_unicode_and_metachars(spark, tmp_path):
+    """Unicode/metachar robustness (round-7 sweep #4): emoji + ZWJ,
+    CJK, RTL, combining accents, regex metacharacters, 500-char words.
+    Every registered query must complete, and every oracled
+    documents-tokenizing query must agree with DuckDB on row count
+    (the full value-hash agreement across all 208 oracles on this
+    corpus was verified by a drive_entry run — this pins the cheap
+    invariant per-commit; the one real finding, the single-class-AUC
+    division, is guarded in both engines)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    d = str(tmp_path / "unicode")
+    os.makedirs(d)
+    texts = UNICODE_TEXTS * 10
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": (["en", "zh", "en", "en", "en", "ar", "fr"] * 10),
+            "source": [f"s{i % 4}" for i in range(len(texts))],
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
+        )
+    specs = load_all()
+    fails = []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for n, spec in specs.items():
+        try:
+            rows = spec.fn(spark, d).collect()
+            if spec.oracle and n in NGRAM_QUERIES:
+                o = con.execute(spec.oracle).fetchall()
+                assert len(rows) == len(o), (n, len(rows), len(o))
+        except AssertionError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            fails.append((n, str(e).split("\n")[0][:120]))
+    con.close()
+    assert not fails, fails
