@@ -417,7 +417,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH bucketing in queries/similarity.py is the scale
     path). Dot products are sequential double sums — bit-identical to
     the oracle's list_reduce."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    from k8s_log_etl_spark.queries.similarity import load_vectors
+    e = load_vectors(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
@@ -525,7 +526,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_lsh_hyperplane; recall for true near-dups is high because
     near-identical vectors land in the same bucket unless a plane
     splits them. Sub-quadratic: |pairs| bounded per bucket."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    from k8s_log_etl_spark.queries.similarity import load_vectors
+    e = load_vectors(spark, sf_dir)
     buck = e.select("vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket"))
     a = buck.alias("a")
     b = buck.alias("b")
@@ -702,7 +704,8 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's unrolled-Lloyd's CTE chain."""
     from k8s_log_etl_spark.queries.similarity import _kmeans_train
 
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    from k8s_log_etl_spark.queries.similarity import load_vectors
+    e = load_vectors(spark, sf_dir)
     _, assigned = _kmeans_train(e)
     cells = assigned.select("vec_id", "embedding", "k")
     a = cells.alias("a")

@@ -1057,7 +1057,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id. Both joins are equi-joins on tiny/bounded keys; per-element
     error is quantized to integer nano-units BEFORE the per-vector sum,
     so the aggregate is exact and order-independent across engines."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    from k8s_log_etl_spark.queries.similarity import load_vectors
+    e = load_vectors(spark, sf_dir)
     elems = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))

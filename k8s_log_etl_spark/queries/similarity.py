@@ -26,6 +26,26 @@ DIM = 64
 # r[j][i] = ((j * 31 + i * 17) % 13) - 6, exact in both engines.
 
 
+
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with the vector INGEST validity contract
+    applied (round-7 pathological-vector sweep): NULL embeddings and
+    zero-norm vectors are dropped before any similarity math — a zero
+    norm divides by zero inside every cosine under ANSI mode, and a
+    NULL embedding reaches Arrow kernels / driver collects as None.
+    A production pipeline enforces exactly this at ingest (dim + norm
+    validation); the driver fixtures are always valid, so filtered and
+    unfiltered results are identical there and every oracle row is
+    unaffected."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    sq_norm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return e.filter(F.col("embedding").isNotNull() & (sq_norm > 0))
+
+
 def _plane_weight(j: int, i: int) -> int:
     return ((j * 31 + i * 17) % 13) - 6
 
@@ -78,7 +98,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window. At cluster scale the corpus side stays
     partition-parallel and only k rows per query per partition survive
     (WindowGroupLimit)."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -314,7 +334,7 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     set. Never a cross join. Recall tracked by ann_recall_eval; the
     same search body runs at synthetic-sf1 scale with policy-grown
     (T, P) in tests/test_approx.py (see lsh_planes_for)."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     return _lsh_search(e)
 
 
@@ -432,7 +452,7 @@ def knn_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns), then exact cosine re-ranks within candidates. The probe
     join is an equi-join on cell id — sub-quadratic like the LSH
     variant but with tunable probe radius instead of bucket count."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id", "embedding",
         _cell_spark(F.col("embedding"), 0).alias("c0"),
@@ -494,7 +514,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg differ in the last ulps."""
     import pandas as pd  # noqa: F401 — worker-side dependency
 
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
 
     def centroid(pdf):
         import numpy as np
@@ -683,13 +703,19 @@ def _kmeans_train(
     (vec_id, embedding, k, d) (≡ a{KMEANS_ITERS}). `k_cells`
     parameterized for the scale recall harness (see ivf_cells_for);
     the registered queries use the anchored KMEANS_K default."""
-    init = (
+    # First k_cells VALID vectors by vec_id, re-keyed 0..K-1 by rank
+    # (round-7 pathological-vector sweep: a dropped invalid vector
+    # below K left a hole in the centroid dict). On clean fixtures
+    # vec_ids are dense from 0, so rank == vec_id and the oracle's
+    # vec_id < K init is unchanged.
+    init = sorted(
         e.filter(F.col("vec_id") < k_cells)
         .select("vec_id", "embedding")
-        .collect()
+        .collect(),
+        key=lambda r: int(r["vec_id"]),
     )
     centroids = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init
+        k: [float(x) for x in r["embedding"]] for k, r in enumerate(init)
     }
     if not centroids:
         # explicit contract (round-7 empty-table sweep): training a
@@ -736,7 +762,7 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) and the centroid update is one posexplode + (k, dim)
     hash-aggregate of K·dim output rows. Iterations: fixed
     KMEANS_ITERS (production would add a movement-epsilon stop)."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     _, assigned = _kmeans_train(e)
     return assigned.groupBy(F.col("k").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -855,7 +881,7 @@ def _pq_assign(e: DataFrame, cents: dict[int, dict[int, list[float]]]) -> DataFr
         ]
     )
     cmat = {
-        m: np.array([cents[m][k] for k in range(PQ_K)], dtype=np.float64)
+        m: np.array([cents[m][k] for k in sorted(cents[m])], dtype=np.float64)
         for m in range(PQ_M)
     }
 
@@ -868,7 +894,7 @@ def _pq_assign(e: DataFrame, cents: dict[int, dict[int, list[float]]]) -> DataFr
             for m in range(PQ_M):
                 lo = m * PQ_SUBDIM
                 S = V[:, lo : lo + PQ_SUBDIM]
-                acc = np.zeros((len(pdf), PQ_K))
+                acc = np.zeros((len(pdf), cmat[m].shape[0]))
                 for i in range(PQ_SUBDIM):
                     diff = S[:, i : i + 1] - cmat[m][:, i]
                     acc += diff * diff
@@ -896,17 +922,21 @@ def _pq_train(
     docstring). Returns the codebooks AFTER the last update (≡ the
     oracle's c{m}_{PQ_ITERS-1} CTEs) and the final encoding frame
     (vec_id, m, k, d, sv) (≡ the a{m}_{PQ_ITERS} CTEs)."""
-    init = e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+    init = sorted(
+        e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
     if not init:
         raise ValueError(
             "PQ codebook training requires a non-empty embeddings corpus"
         )
+    # re-keyed 0..K-1 by vec_id rank — see the _kmeans_train init note
     cents = {
         m: {
-            int(r["vec_id"]): [
+            k: [
                 float(x) for x in r["embedding"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
             ]
-            for r in init
+            for k, r in enumerate(init)
         }
         for m in range(PQ_M)
     }
@@ -921,7 +951,10 @@ def _pq_train(
                 .agg(F.round(F.avg("x"), 6).alias("cv"))
                 .collect()
             )
-            cents = {m: {k: [0.0] * PQ_SUBDIM for k in range(PQ_K)} for m in range(PQ_M)}
+            # codebook size = #valid init vectors (<= PQ_K; short only
+            # on pathological corpora — see _kmeans_train init note)
+            n_codes = len(cents[0])
+            cents = {m: {k: [0.0] * PQ_SUBDIM for k in range(n_codes)} for m in range(PQ_M)}
             for r in rows:
                 cents[int(r["m"])][int(r["k"])][int(r["dim"])] = float(r["cv"])
     return cents, assigned
@@ -948,7 +981,7 @@ def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_ivf_train). Same cross-engine determinism contract: 6-dp
     centroid rounding between rounds, sequential-fold distances,
     integer-quantized inertia."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     _, assigned = _pq_train(e)
     return assigned.groupBy(
         F.col("m").alias("subspace"), F.col("k").alias("codeword")
@@ -1024,7 +1057,7 @@ def knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic path, and SQ8 composes with them (quantize within
     cells). Dequantization and the cosine are sequential double folds,
     bit-identical to the oracle (functions.xengine)."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES)
     elems = corpus.select(
         F.posexplode("embedding").alias("dim", "xf")
@@ -1189,7 +1222,7 @@ def _ivfpq_scored(
     map-side pass, probes each query's `nprobe` nearest coarse cells,
     and ADC-scores the probed cells' vectors. Returns the embeddings
     frame and the scored frame (query_id, vec_id, adc)."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     return e, _ivfpq_scored_frames(e, nprobe)
 
 
@@ -1230,7 +1263,7 @@ def _ivfpq_scored_frames(
     )
     qd_arrays = [
         F.array(
-            *[_sqdist_fold(_pq_subvec(m), pq_cents[m][k]) for k in range(PQ_K)]
+            *[_sqdist_fold(_pq_subvec(m), pq_cents[m][k]) for k in sorted(pq_cents[m])]
         ).alias(f"qd{m}")
         for m in range(PQ_M)
     ]
@@ -1304,7 +1337,7 @@ def knn_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage ANN deployment. Exact cosine is the same sequential
     double fold as knn_brute_cosine. Recall tracked in ann_recall_eval;
     floor pinned in tests/test_approx.py."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     return _refine_search(e)
 
 
@@ -1403,7 +1436,7 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe set is part of the contract (the knn_ivfpq_adc discipline),
     with the exactness of the band boundaries guaranteed by the
     sequential-fold cosine both engines share (xengine convention)."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = load_vectors(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id",
         "embedding",

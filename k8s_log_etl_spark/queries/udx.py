@@ -53,7 +53,8 @@ def udaf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.vstack(emb.to_numpy()).astype("float64")
         return float(np.sqrt((mat * mat).sum(axis=1)).mean())
 
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    from k8s_log_etl_spark.queries.similarity import load_vectors
+    e = load_vectors(spark, sf_dir)
     # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM aggregates
     # in one agg() — the scalar count comes from its own (tiny) tally,
     # broadcast back onto the per-label result.

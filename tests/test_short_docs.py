@@ -318,3 +318,62 @@ def test_every_query_survives_unicode_and_metachars(spark, tmp_path):
             fails.append((n, str(e).split("\n")[0][:120]))
     con.close()
     assert not fails, fails
+
+
+def test_every_query_survives_pathological_vectors_and_null_event_fields(
+    spark, tmp_path
+):
+    """Pathological-vector robustness (round-7 sweep #5): a NULL
+    embedding, a zero-norm vector (cosine would divide by zero under
+    ANSI), and NULL event value/props fields. The vector INGEST
+    validity contract (similarity.load_vectors) drops invalid vectors
+    before any similarity math, quantizer init re-keys by rank so a
+    dropped vector below K leaves no hole, and PQ sizes its distance
+    matrices by the actual codebook. Every registered query must run
+    to completion."""
+    import os
+
+    import duckdb
+
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    d = str(tmp_path / "vecs")
+    os.makedirs(d)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props
+  FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+) TO '{d}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT vec_id,
+         CASE WHEN vec_id = 3 THEN NULL
+              WHEN vec_id = 5 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              ELSE embedding END AS embedding,
+         * EXCLUDE (vec_id, embedding)
+  FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.close()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents",
+    ]:
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
+        )
+    fails = []
+    for n, spec in load_all().items():
+        try:
+            spec.fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001
+            fails.append((n, str(e).split("\n")[0][:120]))
+    assert not fails, fails
