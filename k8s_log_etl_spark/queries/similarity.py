@@ -708,12 +708,21 @@ def _kmeans_train(
     # below K left a hole in the centroid dict). On clean fixtures
     # vec_ids are dense from 0, so rank == vec_id and the oracle's
     # vec_id < K init is unchanged.
-    init = sorted(
+    init_rows = sorted(
         e.filter(F.col("vec_id") < k_cells)
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: int(r["vec_id"]),
     )
+    # dedupe by vec_id (duplicate-id sweep: re-ingested rows below K
+    # would inflate the codebook past k_cells) and cap at k_cells
+    seen: set = set()
+    init = []
+    for r in init_rows:
+        vid = int(r["vec_id"])
+        if vid not in seen and len(init) < k_cells:
+            seen.add(vid)
+            init.append(r)
     centroids = {
         k: [float(x) for x in r["embedding"]] for k, r in enumerate(init)
     }
@@ -922,10 +931,17 @@ def _pq_train(
     docstring). Returns the codebooks AFTER the last update (≡ the
     oracle's c{m}_{PQ_ITERS-1} CTEs) and the final encoding frame
     (vec_id, m, k, d, sv) (≡ the a{m}_{PQ_ITERS} CTEs)."""
-    init = sorted(
+    init_rows = sorted(
         e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect(),
         key=lambda r: int(r["vec_id"]),
     )
+    seen: set = set()
+    init = []
+    for r in init_rows:  # dedupe + cap — see the _kmeans_train init note
+        vid = int(r["vec_id"])
+        if vid not in seen and len(init) < PQ_K:
+            seen.add(vid)
+            init.append(r)
     if not init:
         raise ValueError(
             "PQ codebook training requires a non-empty embeddings corpus"

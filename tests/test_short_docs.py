@@ -377,3 +377,58 @@ COPY (
         except Exception as e:  # noqa: BLE001
             fails.append((n, str(e).split("\n")[0][:120]))
     assert not fails, fails
+
+
+def test_every_query_survives_duplicate_ids(spark, tmp_path):
+    """Duplicate-id robustness (round-7 sweep #6): re-ingestion
+    produces verbatim duplicate rows and conflicting same-id variants;
+    duplicated vec_ids below K previously inflated the quantizer init
+    past k_cells (KeyError in the centroid rebuild). Init now dedupes
+    by id and caps at K; every registered query must complete."""
+    import os
+
+    import duckdb
+
+    from k8s_log_etl_spark.plans.registry import load_all
+
+    d = str(tmp_path / "dups")
+    os.makedirs(d)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+  UNION ALL
+  SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text || ' conflicting re-ingested variant', lang, source,
+         n_chars + 30 AS n_chars
+  FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+  WHERE doc_id % 17 = 0
+) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+  UNION ALL
+  SELECT * FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+  WHERE vec_id % 5 = 0
+) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    ]:
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
+        )
+    fails = []
+    for n, spec in load_all().items():
+        try:
+            spec.fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001
+            fails.append((n, str(e).split("\n")[0][:120]))
+    assert not fails, fails
