@@ -62,7 +62,7 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-7 additions (11): the serve-face near-dup probe,
+    # --- (a) round-7 additions (12): the serve-face near-dup probe,
     # the trained quality classifier + its corpus-wide cascade, 
     # cross-modal retrieval, the newly-ORACLED count-min sketch
     # (hand-rolled registers — its first driver-checkable row ever;
@@ -71,7 +71,7 @@ _CHECKED_FIRST = [
     "corpus_quality_gate", "crossmodal_retrieval", "agg_countmin_events",
     "sample_temperature_lang", "holdout_novelty_scan",
     "quality_gate_serve", "window_spend_deciles",
-    "events_exact_percentiles",
+    "events_exact_percentiles", "domain_mix_by_loss",
     # --- (b) round-7 modified implementations/oracles (5): the
     # prefix-jaccard verify/join-key hashing, the BPE CTE-chain
     # empty-merge fix (both consumers of _bpe_cte_chain), the
@@ -95,7 +95,7 @@ _CHECKED_FIRST = [
     # --- (d) oldest r3 tranche (13): the r3 log core promised in the
     # round-6 rotation note, plus r3-latest bench heads and the
     # sampling-family rep — the next stalest after (c) ---
-    "agg_by_level", "filter_level", "transform_chain",
+    "agg_by_level", "filter_level",
     "pipeline_events_report", "dedup_simhash_banded",
     "events_funnel",
     "sample_bernoulli_seeded",

@@ -3063,3 +3063,146 @@ def holdout_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fully_novel"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# loss-aware domain reweighting (DoReMi-flavored one-step update)
+# ---------------------------------------------------------------------------
+
+MIX_LOSS_LAMBDA = 2.0     # exponentiated-gradient step on excess loss
+MIX_EXP_Q = 1_000_000     # exp() quantized to integer micro-units
+
+
+def _mix_loss_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM vocab),
+scored AS (
+  SELECT term,
+         CAST(round(ln((n + v) * 1.0 / (c + 1)) * {NLL_QUANT}) AS BIGINT)
+           AS nll_q
+  FROM vocab, tot
+),
+per_src AS (
+  SELECT t.source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(s.nll_q) AS BIGINT) AS nll_sum
+  FROM toks t JOIN scored s ON t.term = s.term
+  GROUP BY t.source
+),
+st AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens FROM per_src),
+base AS (
+  SELECT source, n_tokens,
+         nll_sum // n_tokens AS mean_nll_q,
+         CAST(n_tokens * 1000000 // all_tokens AS BIGINT) AS share_ppm
+  FROM per_src, st
+),
+mn AS (SELECT min(mean_nll_q) AS min_nll_q FROM base),
+wts AS (
+  SELECT source, n_tokens, share_ppm,
+         mean_nll_q - min_nll_q AS excess_nll_q,
+         CAST(round(exp({MIX_LOSS_LAMBDA} * (mean_nll_q - min_nll_q)
+                        * 1.0 / {NLL_QUANT}) * {MIX_EXP_Q}) AS BIGINT)
+           AS expw_q
+  FROM base, mn
+),
+den AS (SELECT CAST(sum(share_ppm * expw_q) AS BIGINT) AS denom FROM wts)
+SELECT source, n_tokens, share_ppm,
+       excess_nll_q,
+       CAST(round(share_ppm * expw_q * 1000000.0 / denom) AS BIGINT)
+         AS mix_ppm
+FROM wts, den
+"""
+
+
+@register("domain_mix_by_loss", oracle=_mix_loss_sql(), tags=("llmprep", "text"))
+def domain_mix_by_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-aware domain reweighting — a deterministic one-step version
+    of the DoReMi idea (Xie et al. 2023, public paper: upweight domains
+    where the model's loss exceeds the reference): each source's mean
+    per-token nll under the corpus unigram LM (the text_perplexity_proxy
+    machinery) defines its EXCESS loss over the easiest source, and the
+    new mixture weight is the exponentiated-gradient update
+    mix_d ∝ share_d * exp(lambda * excess_d), normalized to ppm. The
+    learned complement of the static heuristics (domain_mix_weights
+    equalizes, sample_temperature_lang flattens): hard domains gain
+    weight in proportion to how much signal the model has left to
+    learn from them.
+
+    Determinism: per-token nll is integer micro-nats (NLL_QUANT), the
+    per-source mean uses truncating integer division (nonneg), exp()
+    is the single transcendental and quantizes to integer micro-units
+    immediately (the sigmoid discipline), and the normalizing sum of
+    share_ppm * expw_q integers is order-free; final ppm is one int/int
+    rounded division.
+
+    Scale shape: two token-stream hash-aggs (vocab, per-source sums) +
+    one keyed vocab join — identical cost profile to the perplexity
+    proxy it extends; everything after the per-source table is
+    |sources|-sized scalar work."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "source", F.explode(_words()).alias("raw")
+    ).select("source", F.lower(F.col("raw")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") + F.col("v")) / (F.col("c") + F.lit(1.0)))
+            * NLL_QUANT
+        )
+        .cast("bigint")
+        .alias("nll_q"),
+    )
+    per_src = (
+        toks.join(scored, "term")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_q").alias("nll_sum"),
+        )
+    )
+    st = per_src.agg(F.sum("n_tokens").alias("all_tokens"))
+    base = per_src.crossJoin(F.broadcast(st)).select(
+        "source",
+        "n_tokens",
+        F.expr("nll_sum div n_tokens").alias("mean_nll_q"),
+        F.expr("CAST(n_tokens * 1000000 div all_tokens AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+    mn = base.agg(F.min("mean_nll_q").alias("min_nll_q"))
+    wts = base.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_tokens",
+        "share_ppm",
+        (F.col("mean_nll_q") - F.col("min_nll_q")).alias("excess_nll_q"),
+        F.round(
+            F.exp(
+                F.lit(MIX_LOSS_LAMBDA)
+                * (F.col("mean_nll_q") - F.col("min_nll_q"))
+                / F.lit(float(NLL_QUANT))
+            )
+            * MIX_EXP_Q
+        )
+        .cast("bigint")
+        .alias("expw_q"),
+    )
+    den = wts.agg(F.sum(F.col("share_ppm") * F.col("expw_q")).alias("denom"))
+    return wts.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_tokens",
+        "share_ppm",
+        "excess_nll_q",
+        F.round(
+            F.col("share_ppm") * F.col("expw_q") * 1_000_000.0 / F.col("denom")
+        )
+        .cast("bigint")
+        .alias("mix_ppm"),
+    )
