@@ -325,7 +325,7 @@ def test_every_query_survives_pathological_vectors_and_null_event_fields(
 ):
     """Pathological-vector robustness (round-7 sweep #5): a NULL
     embedding, a zero-norm vector (cosine would divide by zero under
-    ANSI), and NULL event value/props fields. The vector INGEST
+    ANSI), and NULL event ts/value/props fields. The vector INGEST
     validity contract (similarity.load_vectors) drops invalid vectors
     before any similarity math, quantizer init re-keys by rank so a
     dropped vector below K leaves no hole, and PQ sizes its distance
@@ -343,7 +343,9 @@ def test_every_query_survives_pathological_vectors_and_null_event_fields(
     con.execute(
         f"""
 COPY (
-  SELECT event_id, user_id, ts, event_type,
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE ts END AS ts,
+         event_type,
          CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
          CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props
   FROM read_parquet('/root/testdata/sf0.001/events.parquet')
