@@ -62,7 +62,7 @@ def register(
 # by the full-surface pytest oracle run (tests/test_oracle_parity.py
 # runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-7 additions (12): the serve-face near-dup probe,
+    # --- (a) round-7 additions (11): the serve-face near-dup probe,
     # the trained quality classifier + its corpus-wide cascade, 
     # cross-modal retrieval, the newly-ORACLED count-min sketch
     # (hand-rolled registers — its first driver-checkable row ever;
@@ -92,7 +92,7 @@ _CHECKED_FIRST = [
     "text_fingerprint_clusters", "text_langid_confusion",
     "text_token_bpeish", "text_token_stats", "text_top_bigrams",
     "tfidf_top_terms", "window_running_total", "window_topk_per_customer",
-    # --- (d) oldest r3 tranche (13): the r3 log core promised in the
+    # --- (d) oldest r3 tranche (6): the r3 log core promised in the
     # round-6 rotation note, plus r3-latest bench heads and the
     # sampling-family rep — the next stalest after (c) ---
     "agg_by_level", "filter_level",
@@ -105,12 +105,15 @@ _CHECKED_FIRST = [
     "training_mix_pipeline", "knn_ivf_grid", "ann_recall_eval",
     "graph_pagerank_copurchase",
 ]
-# agg_countmin_events and agg_heavyhitters_events are sketch-only (no
-# oracle by construction, bounded against exact answers in
-# tests/test_approx.py) — they never take checked slots.
-# agg_approx_events likewise has no oracle (its r2 CORRECTNESS row is
-# a dead `no_oracle` artifact, not a failure — the query is bounded
-# against exact answers in tests/test_approx.py).
+# agg_heavyhitters_events is sketch-only (no oracle by construction —
+# Misra-Gries merge is partition-order-dependent; bounded against
+# exact answers in tests/test_approx.py) and never takes a checked
+# slot. agg_approx_events likewise has no oracle (its r2 CORRECTNESS
+# row is a dead `no_oracle` artifact, not a failure — bounded in
+# tests/test_approx.py). agg_countmin_events WAS in this club until
+# round 7, when its registers were hand-rolled over md5 buckets and
+# ORACLED — it now rotates through checked slots like any other query
+# (first green row: r7, section (a) above).
 
 
 def load_all() -> dict[str, QuerySpec]:

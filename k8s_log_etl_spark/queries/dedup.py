@@ -1382,6 +1382,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 5.07 -> 3.49 s (1.45x), synth-sf1 11.36 -> 8.74 s (1.30x),
     # output identical at sf0.01/sf0.1 — this closed the round-6
     # "collect_list is the new dominant term" concern at BOTH scales.
+    # Exactness contract after the hashing (round-8 ADVICE note): the
+    # verify counts 60-bit md5_long token matches, so it is exact
+    # UNLESS two DISTINCT shingles of the same candidate pair collide
+    # in 60 bits — P ~ |sA|*|sB| * 2^-60 per pair, i.e. the contract
+    # is probabilistic at scale (expected-nonzero only around ~10^12
+    # distinct shingles / 100 TB; a collision can inflate the
+    # intersection and admit a false pair vs a string-exact oracle).
+    # At every tested SF the DuckDB hash-match is the witness that the
+    # dataset is collision-free.
     arrs = sh.groupBy("doc_id").agg(
         F.collect_list(X.md5_long(F.col("s"))).alias("arr")
     )
@@ -1600,7 +1609,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SERVE_LO = CORPUS_MAX_ID          # fixed serve delta: doc_ids [400, 500)
 SERVE_HI = CORPUS_MAX_ID + 100
-MH_INDEX_ROOT = "/tmp/spark_graft_mhindex_v1"
 
 _SERVE_MH_SQL = f"""
 WITH {_SHINGLES_CTE},
@@ -1683,9 +1691,13 @@ def mh_corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
     (everything OUTSIDE the fixed serve window). Input prep, not query
     work — the same amortization contract as the JSONL
     materialization: the first call pays one corpus scan; every serve
-    run after reads the parquet."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(MH_INDEX_ROOT, tag)
+    run after reads the parquet. The path is content-fingerprinted on
+    the source documents table (round-8 ADVICE fix): regenerating the
+    dataset invalidates the cache, same-basename dirs don't collide,
+    and the root is user-owned, not a fixed /tmp name."""
+    from k8s_log_etl_spark.tables import dataset_cache_path
+
+    path = dataset_cache_path(sf_dir, "mhindex_v1", "documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         d = ensure_min_parallelism(
             load_table(spark, sf_dir, "documents"), spark

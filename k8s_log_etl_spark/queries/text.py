@@ -1338,7 +1338,6 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality-classifier SERVING face: persisted weights, delta-batch scoring
 # ---------------------------------------------------------------------------
 
-QC_WEIGHTS_ROOT = "/tmp/spark_graft_qcweights_v1"
 QC_SERVE_LO = 400      # fixed serve delta: doc_ids [400, 500) — the same
 QC_SERVE_HI = 500      # window the minhash serve probe uses
 
@@ -1347,11 +1346,14 @@ def qc_weights_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once path of the trained weight table for `sf_dir` (input
     prep, the mh_corpus_index_path amortization contract): one training
     run persists (j, wq) — j = -1 is the bias — and every serve run
-    after reads the tiny parquet."""
+    after reads the tiny parquet. Content-fingerprinted cache path
+    (round-8 ADVICE fix): regenerating the dataset invalidates it,
+    same-basename dirs don't collide, root is user-owned."""
     import os
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(QC_WEIGHTS_ROOT, tag)
+    from k8s_log_etl_spark.tables import dataset_cache_path
+
+    path = dataset_cache_path(sf_dir, "qcweights_v1", "documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = _qc_base(spark, sf_dir)
         wq, bias, _ = _qc_fit(base)

@@ -65,6 +65,53 @@ def ensure_min_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df
 
 
+def dataset_cache_path(sf_dir: str, kind: str, *tables: str) -> str:
+    """User-owned, content-fingerprinted cache directory for build-once
+    artifacts derived from ``sf_dir`` (persisted LSH indexes, trained
+    weight tables, ...).
+
+    The path is keyed by an md5 over (absolute sf_dir, and for every
+    source ``table`` the sorted (relative filename, size, mtime_ns) of
+    its parquet files), so:
+
+    * regenerating the dataset in place changes the fingerprint — a
+      stale artifact is never silently reused;
+    * two different parent dirs with the same basename don't collide
+      (the absolute path is in the digest);
+    * the root lives under the caller's home cache dir (created 0700),
+      not a predictable world-writable /tmp name another local user
+      could pre-populate.
+
+    Returns ``<cache_root>/<kind>/<fingerprint>`` (not created); the
+    caller writes the artifact there and checks ``_SUCCESS`` as before.
+    """
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for table in tables:
+        tdir = os.path.join(sf_dir, f"{table}.parquet")
+        entries = []
+        if os.path.isdir(tdir):
+            for root, _dirs, files in os.walk(tdir):
+                for fn in files:
+                    fp = os.path.join(root, fn)
+                    st = os.stat(fp)
+                    entries.append(
+                        (os.path.relpath(fp, tdir), st.st_size, st.st_mtime_ns)
+                    )
+        elif os.path.exists(tdir):  # single-file parquet
+            st = os.stat(tdir)
+            entries.append((f"{table}.parquet", st.st_size, st.st_mtime_ns))
+        for e in sorted(entries):
+            h.update(repr(e).encode())
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "spark_graft"),
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return os.path.join(root, kind, h.hexdigest())
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so operators can be written in
     Spark SQL where that is clearer than the DataFrame API."""
