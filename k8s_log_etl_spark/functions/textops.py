@@ -3,8 +3,34 @@ query modules."""
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def bind(expr: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-binding for Spark column expressions: evaluate `expr` ONCE
+    per row and pass it to `body` as a bound lambda variable.
+
+    Why this exists (round-8 second-decade finding, PLANS.md): indexing
+    an INLINE array expression from a higher-order-function lambda —
+    the `w[i + j]`-inside-`transform(ngram_indices(w, n), ...)` shape
+    every n-gram builder here used — re-evaluates the full expression
+    (the whole regexp split of the document) on EVERY array access,
+    turning each gram build into O(words²) per document. Measured at
+    synth-sf10: the word-trigram shingle explode alone cost 41.3 s
+    inline vs 1.40 s bound (holdout_novelty_scan's 5-gram build: 86 s
+    inline, 2.8 s). Catalyst's CSE does not reach across lambda
+    iterations, and CollapseProject happily inlines a single-consumer
+    alias back into the lambda — but a lambda VARIABLE is a bound
+    attribute, evaluated exactly once when `transform` materializes
+    its input. Wrapping `expr` as the sole element of a 1-element
+    array and lambda-binding it costs one array allocation per row and
+    keeps every helper expression-valued (no dataflow/staging changes
+    at call sites).
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
 
 
 def ngram_indices(w: Column, n: int) -> Column:

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
-from k8s_log_etl_spark.functions.textops import ngram_indices
+from k8s_log_etl_spark.functions.textops import bind, ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
 
@@ -67,12 +67,17 @@ def _shingle_array(col: str = "text") -> F.Column:
     """Distinct word-trigram shingles as a per-row array — the
     un-exploded form for signature builds that never need a posting
     list (minhash), keeping them entirely map-side."""
-    w = F.split(F.trim(F.col(col)), r"\s+")
-    tri = F.transform(
-        ngram_indices(w, 3),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    # bind() the split so the per-gram accesses don't re-split the doc
+    # (O(words²) otherwise — the round-8 textops.bind finding)
+    return bind(
+        F.split(F.trim(F.col(col)), r"\s+"),
+        lambda w: F.array_distinct(
+            F.transform(
+                ngram_indices(w, 3),
+                lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+            )
+        ),
     )
-    return F.array_distinct(tri)
 
 
 def posting_pairs(sh: DataFrame, cap: int = POSTING_CAP):
@@ -1153,10 +1158,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in PLANS.md). Islands then run per doc over duplicated positions
     only (bounded by hits, not doc length)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.transform(
-        ngram_indices(w, SPAN_NGRAM),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(SPAN_NGRAM)]),
+    grams = bind(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.transform(
+            ngram_indices(w, SPAN_NGRAM),
+            lambda i: F.concat_ws(" ", *[w[i + j] for j in range(SPAN_NGRAM)]),
+        ),
     )
     # The occurrence stream feeds TWO consumers (the dup-gram agg and
     # the probe side of the semi-join); without a checkpoint Catalyst
@@ -2041,12 +2048,16 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     total (line-hash, doc-key), both with map-side partial
     aggregation."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = F.split(F.trim(F.col("text")), r"\s+")
-    lines = F.transform(
-        F.sequence(
-            F.lit(0), F.floor((F.size(w) - F.lit(1)) / LINE_WORDS).cast("int")
+    lines = bind(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(w) - F.lit(1)) / LINE_WORDS).cast("int")
+            ),
+            lambda i: F.array_join(
+                F.slice(w, i * LINE_WORDS + 1, LINE_WORDS), " "
+            ),
         ),
-        lambda i: F.array_join(F.slice(w, i * LINE_WORDS + 1, LINE_WORDS), " "),
     )
     ex = d.select("doc_id", F.posexplode(lines).alias("ln", "line")).withColumn(
         "lh", X.md5_long(F.col("line"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
-from k8s_log_etl_spark.functions.textops import ngram_indices
+from k8s_log_etl_spark.functions.textops import bind, ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.queries import similarity as S
 from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
@@ -36,6 +36,19 @@ _WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
 def _words() -> F.Column:
     return F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+
+
+def _word_ngrams(n: int) -> F.Column:
+    """Space-joined word n-gram array of `text`, bind()-wrapped so the
+    per-gram array accesses don't re-run the split (O(words²) per doc
+    otherwise — the round-8 textops.bind finding)."""
+    return bind(
+        _words(),
+        lambda w: F.transform(
+            ngram_indices(w, n),
+            lambda i: F.concat_ws(" ", *[w[i + j] for j in range(n)]),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -364,11 +377,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the join stays an equi-join on the shingle, so at 100 TB the cost
     is the corpus dedup shuffle, not a cross product."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    grams = F.transform(
-        ngram_indices(w, CONTAM_NGRAM),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
-    )
+    grams = _word_ngrams(CONTAM_NGRAM)
     exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     bench = exploded.filter(F.col("doc_id") < BENCH_DOCS)
     # Scale shape: the corpus gram set is unbounded, so never broadcast
@@ -447,11 +456,7 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     length), then one hash-agg per island. Nothing quadratic, one
     window over a hit-sparse frame."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    grams = F.transform(
-        ngram_indices(w, CONTAM_NGRAM),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
-    )
+    grams = _word_ngrams(CONTAM_NGRAM)
     bench_grams = (
         d.filter(F.col("doc_id") < BENCH_DOCS)
         .select(F.explode(F.array_distinct(grams)).alias("g"))
@@ -988,11 +993,7 @@ def decontam_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct), and the verdict rejoins doc-level — all equi-joins keyed
     on gram / doc_id, nothing quadratic, same shape at 100 TB."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    grams = F.transform(
-        ngram_indices(w, CONTAM_NGRAM),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
-    )
+    grams = _word_ngrams(CONTAM_NGRAM)
     exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     bench_grams = exploded.filter(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
     contaminated = (
@@ -1308,14 +1309,16 @@ def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(BPE_MERGE_ROUNDS):
         enc = enc.localCheckpoint(eager=True)
-        syms = _bpe_syms()
         pairs = enc.select(
             "freq",
             F.explode(
-                F.transform(
-                    ngram_indices(syms, 2),
-                    lambda i: F.struct(
-                        syms[i].alias("a"), syms[i + 1].alias("b")
+                bind(
+                    _bpe_syms(),
+                    lambda syms: F.transform(
+                        ngram_indices(syms, 2),
+                        lambda i: F.struct(
+                            syms[i].alias("a"), syms[i + 1].alias("b")
+                        ),
                     ),
                 )
             ).alias("p"),
@@ -1684,11 +1687,7 @@ def decontam_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the DuckDB oracle; zero false negatives by
     construction (asserted in the same test)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    grams = F.transform(
-        ngram_indices(w, CONTAM_NGRAM),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(CONTAM_NGRAM)]),
-    )
+    grams = _word_ngrams(CONTAM_NGRAM)
     exploded = d.select(
         "doc_id", "source", F.explode(F.array_distinct(grams)).alias("g")
     )
@@ -2894,11 +2893,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only broadcast. The held-out side is 10% of the corpus by
     construction, so scoring is the small side of the pipeline."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
     is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
-    pairs = F.transform(
-        ngram_indices(w, 2),
-        lambda i: F.struct(w[i].alias("w1"), w[i + 1].alias("w2")),
+    pairs = bind(
+        _words(),
+        lambda w: F.transform(
+            ngram_indices(w, 2),
+            lambda i: F.struct(w[i].alias("w1"), w[i + 1].alias("w2")),
+        ),
     )
     bg = (
         d.select("doc_id", is_train.alias("is_train"), F.explode(pairs).alias("p"))
@@ -3009,32 +3010,39 @@ def holdout_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both gram streams collapse to distinct md5_long
     tokens (8-byte shuffle keys, the dedup_lines_corpus trick), the
     probe is ONE keyed equi-join of held-out grams against the train
-    gram set (shuffle-bound, never all-pairs; a Bloom prescreen —
-    decontam_bloom_prescreen's machinery — drops the never-seen
-    majority map-side at 100 TB), and the rollup is two hash-aggs.
+    gram set (shuffle-bound, never all-pairs), and the rollup is two
+    hash-aggs. Round 8 closed this query's weak flag with two measured
+    results (PLANS.md round-8): (1) the REAL second-decade cost was the
+    gram build, not the join — the O(words^2) inline-words lambda fixed
+    by the staged `warr` projection above took the query from 82.7 s to
+    8.1 s at synth-sf10, and the decade ratios are now 3.3x/10x at both
+    decades; (2) the long-promised Bloom prescreen WAS then built and
+    A/B'd in the correct runtime-filter direction (bloom over the held
+    grams pruning the train stream map-side, 99% prune selectivity,
+    output bit-identical) and measured a NEGATIVE at every scale
+    (1.17x at synth-sf1, 1.13x at synth-sf10): on a 32-core
+    single-node, the 8-byte equi-join is cheaper than the bloom's
+    extra pass + broadcast barriers. Not adopted; on a real cluster
+    where the shuffle crosses a network the tradeoff may flip, and the
+    construction survives in decontam_bloom_prescreen.
     Per-doc overlap is exact integer ppm via truncating division
     (nonneg, so DuckDB's // == Spark's floor)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    grams_arr = F.transform(
-        ngram_indices(w, NOVELTY_NGRAM),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(NOVELTY_NGRAM)]),
-    )
     is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
-    grams = (
-        d.select(
-            "doc_id",
-            "source",
-            is_train.alias("is_train"),
-            F.explode(grams_arr).alias("g"),
-        )
-        .select(
-            "doc_id", "source", "is_train", X.md5_long(F.col("g")).alias("gh")
-        )
-        .distinct()
+    # _word_ngrams is bind()-wrapped (round-8 second-decade finding,
+    # PLANS.md): the former inline-words lambda re-ran the split per
+    # array access — O(words²) per doc, 86 s at synth-sf10 for this
+    # query's gram build alone vs 2.8 s bound.
+    ex = d.select(
+        "doc_id",
+        "source",
+        is_train.alias("is_train"),
+        F.explode(_word_ngrams(NOVELTY_NGRAM)).alias("g"),
+    ).select("doc_id", "source", "is_train", X.md5_long(F.col("g")).alias("gh"))
+    held = (
+        ex.filter(~F.col("is_train")).select("doc_id", "source", "gh").distinct()
     )
-    train_g = grams.filter(F.col("is_train")).select("gh").distinct()
-    held = grams.filter(~F.col("is_train"))
+    train_g = ex.filter(F.col("is_train")).select("gh").distinct()
     per_doc = (
         held.join(
             train_g.withColumn("seen", F.lit(1)), "gh", "left"

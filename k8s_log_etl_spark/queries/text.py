@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
-from k8s_log_etl_spark.functions.textops import ngram_indices
+from k8s_log_etl_spark.functions.textops import bind, ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 # Same hot-shingle guard as the standalone jaccard dedup: a shingle
 # shared by more docs than POSTING_CAP is dropped on both sides of the
@@ -38,6 +38,19 @@ def _words(col: str = "text") -> F.Column:
 
 
 _WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _word_ngrams(n: int, col: str = "text") -> F.Column:
+    """Space-joined word n-gram array, bind()-wrapped so per-gram array
+    accesses don't re-run the split (O(words²) per doc otherwise — the
+    round-8 textops.bind finding)."""
+    return bind(
+        _words(col),
+        lambda w: F.transform(
+            ngram_indices(w, n),
+            lambda i: F.concat_ws(" ", *[w[i + j] for j in range(n)]),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -180,11 +193,7 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint are near-dup candidates. One explode + two small
     shuffles."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    grams = F.transform(
-        ngram_indices(w, FINGERPRINT_NGRAM),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2], w[i + 3]),
-    )
+    grams = _word_ngrams(FINGERPRINT_NGRAM)
     fp = (
         d.select("doc_id", F.explode(grams).alias("g"))
         .groupBy("doc_id")
@@ -218,11 +227,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group top-k (WindowGroupLimit keeps only k rows per partition
     alive through the rank)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    bigrams = F.transform(
-        ngram_indices(w, 2),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1]),
-    )
+    bigrams = _word_ngrams(2)
     counts = (
         d.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
@@ -431,11 +436,7 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of docs under the 0.5 flag threshold. Pure array higher-order
     functions, no explode: one narrow pass + one small shuffle."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    tri = F.transform(
-        ngram_indices(w, 3),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
-    )
+    tri = _word_ngrams(3)
     ratio = F.when(F.size(tri) == 0, F.lit(1.0)).otherwise(
         F.size(F.array_distinct(tri)) / F.size(tri)
     )
@@ -581,11 +582,7 @@ def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + one agg; grouping on an md5 of the phrase would
     bound shuffle width further for very long phrases."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    grams = F.transform(
-        ngram_indices(w, BOILER_NGRAM),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(BOILER_NGRAM)]),
-    )
+    grams = _word_ngrams(BOILER_NGRAM)
     return (
         d.select("doc_id", F.explode(F.array_distinct(grams)).alias("phrase"))
         .groupBy("phrase")
@@ -942,10 +939,19 @@ QC_NFEAT = 64          # hashed word-presence feature buckets
 #   [128, 139) short-frac decile     128 + min(10*short // max(n,1), 10)
 #   [139, 152) stopword count        139 + min(n_stop, 12)
 QC_NTOT = 152          # total feature ids (hashed + structural)
-QC_ROUNDS = 16         # full-batch gradient steps
+# Round-8 re-pin (verdict #3, measured curve in PLANS.md): the round-7
+# schedule (lr=4, R=16) OSCILLATED — full-batch GD with that step
+# ping-pongs the bias sign round over round, so held-out accuracy was
+# phase-luck (0.935 at sf0.01, but 0.714 at sf0.1 with the same
+# config). lr=1/2 converges monotonically at every measured point;
+# R=8 at lr=1/2 beats the old config on BOTH metrics at the bench SF
+# (sf0.1 acc 0.714->0.795, auc 0.910->0.940) at HALF the driver-synced
+# rounds, and stays above every pinned bar at sf0.01 (acc 0.761 > 0.674
+# base, auc 0.959). The heaviest bench head halves.
+QC_ROUNDS = 8          # full-batch gradient steps
 QC_Q = 1_000_000       # weights / probabilities as integer micro-units
-QC_LR_NUM = 4          # learning rate = NUM/DEN (integer-exact update)
-QC_LR_DEN = 1
+QC_LR_NUM = 1          # learning rate = NUM/DEN (integer-exact update)
+QC_LR_DEN = 2
 # Same 90% md5 train split as llmprep.TRAIN_PCT (kept as a local
 # constant to avoid a module-import-order dependency; equality pinned
 # in tests/test_quality_classifier.py).
@@ -1353,7 +1359,10 @@ def qc_weights_path(spark: SparkSession, sf_dir: str) -> str:
 
     from k8s_log_etl_spark.tables import dataset_cache_path
 
-    path = dataset_cache_path(sf_dir, "qcweights_v1", "documents")
+    # kind carries the training constants: re-pinning QC_ROUNDS or the
+    # learning rate invalidates persisted weights automatically.
+    kind = f"qcweights_r{QC_ROUNDS}_lr{QC_LR_NUM}-{QC_LR_DEN}"
+    path = dataset_cache_path(sf_dir, kind, "documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = _qc_base(spark, sf_dir)
         wq, bias, _ = _qc_fit(base)
