@@ -1345,8 +1345,341 @@ def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# incremental batch dedup (delta-ingest shape)
+# unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the BPE
+# sibling completing the public tokenizer taxonomy (round-8 verdict #6)
 # ---------------------------------------------------------------------------
+
+UNI_MAX_PIECE = 4        # max piece length (chars)
+UNI_SEED = 40            # multi-char seed pieces kept (by weighted count)
+UNI_ROUNDS = 3           # Viterbi-EM iterations
+UNI_Q = 1_000_000        # piece costs as integer micro-nats
+UNI_TOP = 20             # output rows
+_UNI_INF = 1 << 55       # DP sentinel on the (cost*8 + piece_len) encoding
+
+
+def _uni_dp_pieces(term: F.Column, cmap: F.Column) -> F.Column:
+    """Viterbi segmentation of `term` under the piece-cost map `cmap`
+    (piece -> integer micro-nat cost): returns the piece array (in
+    end-position order — callers only count).
+
+    DP over 1..length(term) as an array fold: the accumulator is the
+    growing list of per-position encodings cost*8 + chosen_piece_len
+    (piece lengths <= UNI_MAX_PIECE < 8 fit in 3 bits; costs stay far
+    below 2^52). Strict `<` via least() over the j = 1..UNI_MAX_PIECE
+    candidates means ties prefer the SHORTEST piece — the encoding
+    makes that explicit and both engines compare identical integers.
+    Backtracking is a second fold over the finished DP list — which is
+    bind()-bound first, because referencing an inline fold expression
+    per step would re-run the whole DP per access (the textops.bind
+    O(n²) finding). Per-word cost is O(len·P) DP steps with O(len)
+    list appends — quadratic only in WORD length (bounded, ~7 chars;
+    never document length)."""
+    L = F.length(term)
+    steps = F.sequence(F.lit(1), L)
+    inf = F.lit(_UNI_INF).cast("long")
+
+    def dstep(acc: F.Column, i: F.Column) -> F.Column:
+        cands = [inf]
+        for j in range(1, UNI_MAX_PIECE + 1):
+            piece = term.substr((i - F.lit(j) + 1).cast("int"), F.lit(j))
+            # try_element_at: ANSI element_at throws on a missing map
+            # key; the index into acc is clamped because & does NOT
+            # short-circuit in codegen (the round-7 sweep lesson) and
+            # ANSI element_at throws on index 0/negative even under a
+            # false when() conjunct.
+            c = F.try_element_at(cmap, piece)
+            prev = F.element_at(
+                acc, F.greatest((i - F.lit(j) + 1).cast("int"), F.lit(1))
+            )
+            ok = (i >= F.lit(j)) & c.isNotNull() & (prev < inf)
+            cands.append(
+                F.when(
+                    ok, ((prev / 8).cast("long") + c) * 8 + F.lit(j)
+                ).otherwise(inf)
+            )
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    dp = F.aggregate(steps, F.array(F.lit(0).cast("long")), dstep)
+
+    def pieces_of(dparr: F.Column) -> F.Column:
+        def bstep(acc: F.Column, _i: F.Column) -> F.Column:
+            p = F.element_at(acc, -1)
+            bl = F.element_at(dparr, (p + 1).cast("int")) % 8
+            return F.concat(
+                acc,
+                F.array(
+                    F.when(p > 0, p - bl).otherwise(F.lit(0).cast("long"))
+                ),
+            )
+
+        ends = F.filter(
+            F.aggregate(steps, F.array(L.cast("long")), bstep),
+            lambda p: p > 0,
+        )
+        return F.transform(
+            ends,
+            lambda e: term.substr(
+                (
+                    e - F.element_at(dparr, (e + 1).cast("int")) % 8 + 1
+                ).cast("int"),
+                (F.element_at(dparr, (e + 1).cast("int")) % 8).cast("int"),
+            ),
+        )
+
+    return bind(dp, pieces_of)
+
+
+def _uni_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct lowercased word vocabulary with frequencies — the BPE
+    vocabulary-pricing trick: every EM round is linear in |vocab|, not
+    corpus tokens."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select(F.explode(_words()).alias("raw")).select(
+        F.lower(F.col("raw")).alias("term")
+    )
+    return toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _uni_seed_pieces(vocab: DataFrame) -> DataFrame:
+    """Seed piece table (piece, cnt): ALL single characters (coverage —
+    every term stays segmentable) plus the UNI_SEED most frequent
+    substrings of length 2..UNI_MAX_PIECE by freq-weighted occurrence
+    count, ties piece ASC (binary collation, the BPE argmax
+    discipline)."""
+    term = F.col("term")
+
+    def substr_arr(j: int) -> F.Column:
+        idx = F.when(
+            F.length(term) >= j,
+            F.sequence(F.lit(1), F.length(term) - j + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: term.substr(i, F.lit(j)))
+
+    multi = (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[substr_arr(j) for j in range(2, UNI_MAX_PIECE + 1)]
+                    )
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNI_SEED)
+    )
+    chars = (
+        vocab.select("freq", F.explode(substr_arr(1)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    return multi.unionByName(chars)
+
+
+def _uni_costs(pieces: DataFrame, cnt_col: str) -> list[tuple[str, int]]:
+    """Integer micro-nat costs from a (piece, count) frame:
+    cost = round(ln((tot + V) / (count + 1)) * UNI_Q), add-one
+    smoothed over the fixed vocabulary. The ln AND the round happen in
+    SPARK expressions (JVM Math.log — the engine whose ln is proven to
+    hash-match DuckDB's in the bigram/mix oracles); the driver only
+    collects the finished integers (vocab-sized sync)."""
+    tot = pieces.agg(
+        F.sum(cnt_col).alias("tot"), F.count(F.lit(1)).alias("v")
+    )
+    rows = (
+        pieces.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.round(
+                F.log((F.col("tot") + F.col("v")) / (F.col(cnt_col) + 1))
+                * UNI_Q
+            )
+            .cast("long")
+            .alias("cost"),
+        )
+        .collect()
+    )
+    return [(r["piece"], int(r["cost"])) for r in rows]
+
+
+def _uni_cmap(costs: list[tuple[str, int]]) -> F.Column:
+    if not costs:
+        # empty-corpus guard: a map whose only key ("") can never match
+        # a substr of length >= 1
+        return F.create_map(F.lit(""), F.lit(_UNI_INF).cast("long"))
+    return F.create_map(
+        *[x for p, c in costs for x in (F.lit(p), F.lit(c).cast("long"))]
+    )
+
+
+def _uni_usage(vocab: DataFrame, pieces0: DataFrame, cmap: F.Column) -> DataFrame:
+    """One EM round's freq-weighted piece usage over the FULL vocab
+    (zero-usage pieces kept via left join — smoothing needs them)."""
+    seg = vocab.select(
+        "freq", F.explode(_uni_dp_pieces(F.col("term"), cmap)).alias("piece")
+    )
+    u = seg.groupBy("piece").agg(F.sum("freq").alias("u"))
+    return pieces0.select("piece").join(u, "piece", "left").select(
+        "piece", F.coalesce("u", F.lit(0).cast("long")).alias("u")
+    )
+
+
+def _uni_sql() -> str:
+    """Unrolled Viterbi-EM replay (the _bpe_cte_chain / classifier-CTE
+    discipline): seed counts -> c0 costs; each round rebuilds the piece
+    map, re-segments every vocab term with the list_reduce DP fold +
+    backtrack fold, re-counts usage, re-prices. DuckDB's list_reduce
+    has no explicit init, so the fold list is list_prepend(init-list,
+    [i] singletons) — the accumulator is the growing DP list itself."""
+    P, Q, INF = UNI_MAX_PIECE, UNI_Q, _UNI_INF
+
+    def dp_sql() -> str:
+        cands = []
+        for j in range(1, P + 1):
+            prev = f"acc[CAST(x[1] - {j} + 1 AS INTEGER)]"
+            mp = (
+                f"map_extract(m, substr(term,"
+                f" CAST(x[1] - {j} + 1 AS INTEGER), {j}))"
+            )
+            cands.append(
+                f"CASE WHEN x[1] >= {j} AND len({mp}) > 0 AND {prev} < {INF}"
+                f" THEN (({prev} // 8) + {mp}[1]) * 8 + {j}"
+                f" ELSE CAST({INF} AS BIGINT) END"
+            )
+        return (
+            "list_reduce(list_prepend([CAST(0 AS BIGINT)],"
+            " list_transform(range(1, length(term) + 1),"
+            " i -> [CAST(i AS BIGINT)])),"
+            f" (acc, x) -> list_append(acc, least({', '.join(cands)})))"
+        )
+
+    bt = (
+        "list_filter(list_reduce(list_prepend("
+        "[CAST(length(term) AS BIGINT)],"
+        " list_transform(range(1, length(term) + 1),"
+        " i -> [CAST(0 AS BIGINT)])),"
+        " (acc, x) -> list_append(acc,"
+        " CASE WHEN acc[-1] > 0"
+        " THEN acc[-1] - (dp[CAST(acc[-1] + 1 AS INTEGER)] % 8)"
+        " ELSE CAST(0 AS BIGINT) END)), p -> p > 0)"
+    )
+    pieces = (
+        "list_transform(ends, e -> substr(term,"
+        " CAST(e - (dp[CAST(e + 1 AS INTEGER)] % 8) + 1 AS INTEGER),"
+        " CAST(dp[CAST(e + 1 AS INTEGER)] % 8 AS INTEGER)))"
+    )
+    sql = f"""WITH toks AS (
+  SELECT lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term),
+subs AS (
+  SELECT substr(term, CAST(i AS INTEGER), CAST(j AS INTEGER)) AS piece,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM vocab,
+       unnest(range(2, {P + 1})) AS tj(j),
+       unnest(range(1, length(term) - j + 2)) AS ti(i)
+  GROUP BY 1
+),
+top_subs AS (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT {UNI_SEED}),
+chars AS (
+  SELECT substr(term, CAST(i AS INTEGER), 1) AS piece,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM vocab, unnest(range(1, length(term) + 1)) AS ti(i)
+  GROUP BY 1
+),
+p0 AS (SELECT piece, cnt FROM top_subs UNION ALL SELECT piece, cnt FROM chars),
+s0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS v FROM p0),
+c0 AS (
+  SELECT piece,
+         CAST(round(ln((tot + v) * 1.0 / (cnt + 1)) * {Q}) AS BIGINT) AS cost
+  FROM p0, s0
+)"""
+    for r in range(1, UNI_ROUNDS + 1):
+        sql += f""",
+m{r} AS (
+  SELECT MAP(coalesce(list(piece ORDER BY piece), []),
+             coalesce(list(cost ORDER BY piece), [])) AS m FROM c{r - 1}
+),
+seg{r} AS (
+  SELECT freq, {pieces} AS pieces
+  FROM (SELECT term, freq, dp, {bt} AS ends
+        FROM (SELECT term, freq, {dp_sql()} AS dp FROM vocab, m{r}))
+),
+u{r} AS (
+  SELECT p.piece, coalesce(x.u, 0) AS u
+  FROM p0 p LEFT JOIN (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS u
+    FROM (SELECT freq, unnest(pieces) AS piece FROM seg{r}) GROUP BY 1
+  ) x USING (piece)
+),
+t{r} AS (SELECT CAST(sum(u) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS v FROM u{r}),
+c{r} AS (
+  SELECT piece,
+         CAST(round(ln((tot + v) * 1.0 / (u + 1)) * {Q}) AS BIGINT) AS cost
+  FROM u{r}, t{r}
+)"""
+    R = UNI_ROUNDS
+    sql += f"""
+SELECT u.piece, u.u AS usage, c.cost AS cost_q
+FROM u{R} u JOIN c{R} c USING (piece)
+ORDER BY usage DESC, piece LIMIT {UNI_TOP}
+"""
+    return sql
+
+
+@register("unigram_tokenize_corpus", oracle=_uni_sql(), tags=("llmprep", "text"))
+def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the BPE
+    sibling completing the public tokenizer taxonomy: seed a piece
+    vocabulary (all corpus characters for coverage + the UNI_SEED most
+    frequent 2..UNI_MAX_PIECE-char substrings, freq-weighted), price
+    pieces as integer micro-nat costs, then UNI_ROUNDS of hard
+    (Viterbi) EM: segment every distinct word by min-cost DP, re-count
+    freq-weighted piece usage, re-price with add-one smoothing over the
+    fixed vocabulary. Output: the UNI_TOP pieces by final usage with
+    their final costs.
+
+    Determinism (the kmeans/BPE sync discipline): costs are integers
+    produced by ONE transcendental per piece per round
+    (round(ln(...) * UNI_Q) — the micro-nat discipline, evaluated in
+    Spark expressions and collected as finished integers, vocab-sized
+    driver sync per round like bpe_encode_corpus' argmax); the DP
+    compares integers encoded as cost*8 + piece_len, so Viterbi ties
+    break to the shortest piece identically in both engines; the
+    oracle replays the whole recurrence as an unrolled CTE chain whose
+    DP is a DuckDB list_reduce fold (see _uni_sql).
+
+    Scale shape: every round is linear in the DISTINCT-WORD vocabulary
+    (the BPE vocabulary-pricing trick — corpus tokens collapse to the
+    vocab hash-agg once), segmentation is map-side (literal piece map,
+    constant-folded; no join, no shuffle inside the DP), and the only
+    shuffles per round are the vocab-sized usage hash-agg and the
+    bounded cost sync. Per-word DP cost is O(len * UNI_MAX_PIECE) with
+    O(len) list appends — bounded by word length, never document
+    length."""
+    vocab = _uni_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    pieces0 = _uni_seed_pieces(vocab).localCheckpoint(eager=True)
+    costs = _uni_costs(pieces0, "cnt")
+    usage = None
+    for _ in range(UNI_ROUNDS):
+        usage = _uni_usage(vocab, pieces0, _uni_cmap(costs)).localCheckpoint(
+            eager=True
+        )
+        costs = _uni_costs(usage, "u")
+    cost_df = spark.createDataFrame(
+        costs or [("", 0)], "piece string, cost_q long"
+    )
+    if usage is None:  # UNI_ROUNDS = 0 safeguard; never true at the pin
+        usage = pieces0.select("piece", F.col("cnt").alias("u"))
+    return (
+        usage.join(cost_df, usage["piece"] == cost_df["piece"])
+        .select(usage["piece"], F.col("u").alias("usage"), "cost_q")
+        .orderBy(F.desc("usage"), F.asc("piece"))
+        .limit(UNI_TOP)
+    )
 
 CORPUS_MAX_ID = 400  # doc_id < this plays the existing corpus; rest = new batch
 

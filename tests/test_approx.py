@@ -519,3 +519,70 @@ def test_kmv_estimate_and_merge(spark, sf_dir):
     assert merged == whole
     est = (KMV_K - 1) * KMV_SPACE / whole[-1]
     assert est == pytest.approx(exact, rel=0.4)
+
+
+def test_ann_recall_fourth_scale_point(spark):
+    """Round-8 verdict #4: extend the recall-vs-scale series one order
+    past the 20k point — 100k vectors (50 sf0.1 replicas), policy-grown
+    parameters (measured: P=16, T=228 | K=57, nprobe=43,
+    shortlist=10k). Honest caveat, recorded in PLANS.md round-8: at
+    this replica count the true top-5 of every query are its own
+    near-duplicate replicas (element offsets <= 0.05), so recall is
+    structurally easy (measured 1.00 for both paths; 200k measured
+    1.00 / 1.00 as well, not pinned — the LSH side costs ~6 min there).
+    The pin is therefore a non-regression FLOOR at the fourth scale
+    point, not a challenge bar — the hard recall points remain sf0.01
+    (anchor), sf0.1 (near-random structure) and 20k. The meaningful
+    scale signal here is that the policy-grown index still RUNS with
+    bounded candidate lists (cand fraction 0.048 at 200k, shrinking)
+    while IVF-PQ refine stays ~flat-cost — the measured table-growth
+    economics are in PLANS.md/SCALE.md."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    if not os.path.exists("/root/testdata/sf0.1/embeddings.parquet"):
+        pytest.skip("sf0.1 testdata not present")
+
+    from k8s_log_etl_spark.queries import similarity as S
+
+    e = _synth_sf1_embeddings(spark, replicas=50)
+    n = e.count()
+    assert n == 100_000
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    norms = np.linalg.norm(V, axis=1)
+    exact: dict[int, set[int]] = {}
+    for qi in range(S.N_QUERIES):
+        cos = (V @ V[qi]) / (norms * norms[qi])
+        cos[: S.N_QUERIES] = -np.inf
+        top = np.argpartition(-cos, S.TOP_K)[: S.TOP_K]
+        exact[qi] = {int(ids[t]) for t in top}
+
+    planes, tables = S.lsh_planes_for(n), S.lsh_tables_for(n)
+    cells = S.ivf_cells_for(n)
+    nprobe, shortlist = S.ivf_nprobe_for(cells), S.refine_shortlist_for(n)
+
+    lsh = S._lsh_search(e, tables, planes).collect()
+    refine = S._refine_search(e, nprobe, shortlist, cells).collect()
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r_lsh, r_refine = recall(lsh), recall(refine)
+    print(
+        f"100k recall@5: lsh={r_lsh:.2f} (T={tables},P={planes}) "
+        f"refine={r_refine:.2f} (K={cells},nprobe={nprobe},shortlist={shortlist})"
+    )
+    assert r_lsh >= 0.5, f"LSH recall@5 {r_lsh} below floor at n={n}"
+    assert r_refine >= 0.5, f"refine recall@5 {r_refine} below floor at n={n}"
