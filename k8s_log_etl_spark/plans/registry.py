@@ -43,67 +43,58 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 7 rotation: after round 6 the r1-r6 union covers 199 of 201
-# registered queries with every latest row green (the two without rows
-# were the then-no-oracle sketches). Round 7 spends the window on
-# (a) the four round-7 additions, (b) the five round-7
-# modified implementations/oracles, (c) ALL 24 oracled r2-latest rows
-# (the stalest tail), and (d) the 17 oldest r3 slots (the r3 log core
-# promised last round plus the r3-latest bench heads). Everything
-# rotated out keeps its r4-r6 green row, is unchanged since, and stays
-# continuously covered by the full-surface pytest oracle run
-# (tests/test_oracle_parity.py runs every oracled query every time).
-# (f) Families whose members are all r4/r5-latest
-# keep a hard driver signal through their reps
-# (tests/test_registry_order.py): training_mix_pipeline (capstone),
-# corpus_snapshot_diff (warehouse), ann_recall_eval (ann-eval),
-# graph_pagerank_copurchase (graph). Everything rotated out keeps its
-# r3-r5 green row, is unchanged since, and stays continuously covered
-# by the full-surface pytest oracle run (tests/test_oracle_parity.py
-# runs every oracled query every time).
+# Round 8 rotation: after round 7 the r1-r7 union covers 210 of 211
+# then-registered queries with every latest row green (the one without
+# a row is the permanently-no-oracle Misra-Gries). Round 8's window is
+# dominated by MODIFIED code: the textops.bind O(words²) sweep changed
+# the plan of the entire shingle/contamination/tokenizer/text-census
+# surface, and the classifier re-pin (QC_ROUNDS=8, lr=1/2) changed the
+# VALUES of the trained-weights family — all of it re-driven in (b).
+# (a) is the round-8 addition, (c) refreshes 17 of the 34 r3-latest
+# rows (the stalest tail; the 12 left over lead round 9's tranche),
+# (d) holds family coverage. Everything rotated out keeps its r4-r7
+# green row, is unchanged since, and stays continuously covered by the
+# full-surface pytest oracle run (tests/test_oracle_parity.py runs
+# every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-7 additions (11): the serve-face near-dup probe,
-    # the trained quality classifier + its corpus-wide cascade, 
-    # cross-modal retrieval, the newly-ORACLED count-min sketch
-    # (hand-rolled registers — its first driver-checkable row ever;
-    # round-6 verdict #3), and multilingual temperature resampling ---
-    "dedup_minhash_index_serve", "quality_classifier_train",
-    "corpus_quality_gate", "crossmodal_retrieval", "agg_countmin_events",
-    "sample_temperature_lang", "holdout_novelty_scan",
-    "quality_gate_serve", "window_spend_deciles",
-    "events_exact_percentiles", "domain_mix_by_loss",
-    # --- (b) round-7 modified implementations/oracles (5): the
-    # prefix-jaccard verify/join-key hashing, the BPE CTE-chain
-    # empty-merge fix (both consumers of _bpe_cte_chain), the
-    # merge_upsert null-guard, and the _gopher_flags refactor — a
-    # green r6 row says nothing about new code ---
-    "dedup_prefix_filter_jaccard", "bpe_encode_corpus",
-    "pack_chunks_bpe_budget", "corpus_merge_upsert", "text_gopher_rules",
-    # --- (c) oldest-green refresh: ALL 24 oracled r2-latest rows (the
-    # stalest slots after round 6 per the CORRECTNESS r1-r6 union; the
-    # no-oracle agg_approx_events stays out, bounded in
-    # tests/test_approx.py) ---
-    "agg_rollup_orders", "correlated_not_exists", "dedup_embedding_cosine",
-    "embedding_centroids", "events_props_typed", "having_large_orders",
-    "join_asof_last_purchase", "knn_brute_cosine", "multimodal_frame_sample",
-    "multimodal_resize_stats", "q13_order_distribution", "q3_top_unshipped",
-    "q5_regional_revenue", "scalar_subquery_outliers",
-    "stream_session_windows", "stream_tumbling_counts",
-    "text_fingerprint_clusters", "text_langid_confusion",
-    "text_token_bpeish", "text_token_stats", "text_top_bigrams",
-    "tfidf_top_terms", "window_running_total", "window_topk_per_customer",
-    # --- (d) oldest r3 tranche (6): the r3 log core promised in the
-    # round-6 rotation note, plus r3-latest bench heads and the
-    # sampling-family rep — the next stalest after (c) ---
-    "agg_by_level", "filter_level",
-    "pipeline_events_report", "dedup_simhash_banded",
-    "events_funnel",
-    "sample_bernoulli_seeded",
-    # --- (e) family representatives whose families otherwise have no
-    # in-window member this round (capstone, ann-index, ann-eval,
-    # graph — tests/test_registry_order.py pins the coverage) ---
-    "training_mix_pipeline", "knn_ivf_grid", "ann_recall_eval",
-    "graph_pagerank_copurchase",
+    # --- (a) round-8 additions (1): the unigram-LM tokenizer (full
+    # cross-engine Viterbi-EM replay — BPE's taxonomy sibling) ---
+    "unigram_tokenize_corpus",
+    # --- (b) round-8 modified implementations (26): every registered
+    # query whose PLAN changed in round 8 — the textops.bind O(words²)
+    # sweep rewrote the gram build of the whole shingle/contamination/
+    # tokenizer/text-census surface (output identical, plan new), the
+    # classifier was re-pinned to QC_ROUNDS=8 at lr=1/2 (weights, and
+    # therefore all three consumers, changed VALUES), the novelty scan
+    # was restructured, and the serve index moved to the fingerprinted
+    # cache path. A green r7 row says nothing about new code. ---
+    "quality_classifier_train", "corpus_quality_gate", "quality_gate_serve",
+    "holdout_novelty_scan",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "minhash_estimate_quality",
+    "dedup_containment", "dedup_edit_distance", "dedup_prefix_filter_jaccard",
+    "dedup_minhash_incremental", "dedup_minhash_index_serve",
+    "dedup_substring_spans", "dedup_excise_spans", "dedup_lines_corpus",
+    "benchmark_contamination", "contamination_spans",
+    "decontam_filter_corpus", "decontam_bloom_prescreen",
+    "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
+    "text_fingerprint_clusters", "text_top_bigrams",
+    "text_repetition_scores", "text_boilerplate_phrases",
+    # --- (c) stalest refresh (17 of the 29 remaining r3-latest rows;
+    # the 12 left over are first in line for round 9): the reference
+    # log core (normalize/redact/transform_chain/ts_validate/
+    # agg_filter_reason), bench head text_perplexity_proxy, and one
+    # member each for events/multimodal/sampling/streaming ---
+    "agg_filter_reason", "dedup_embedding_lsh", "domain_mix_weights",
+    "embedding_quantize_int8", "events_dau_wau", "multimodal_decode_stats",
+    "normalize_fields", "pack_chunks_budget", "pii_scan_documents",
+    "q7_volume_shipping", "redact", "rfm_segments",
+    "sample_domain_balanced", "stream_sliding_avg", "text_perplexity_proxy",
+    "transform_chain", "ts_validate",
+    # --- (d) family representatives whose families otherwise have no
+    # in-window member this round (knn, capstone, warehouse, ann-index,
+    # ann-eval, graph — tests/test_registry_order.py pins coverage) ---
+    "knn_brute_cosine", "training_mix_pipeline", "corpus_merge_upsert",
+    "knn_ivf_grid", "ann_recall_eval", "graph_pagerank_copurchase",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

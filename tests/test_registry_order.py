@@ -8,24 +8,24 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-7 rotation: the window is spent on the round-7 additions +
-# modified code, ALL 24 oracled r2-latest rows, and the oldest r3
-# tranche (see plans/registry.py), so most reps move to their family's
-# oldest in-window member; families with no organic in-window member
-# this round (capstone, ann-index, ann-eval, graph) hold explicit
+# Round-8 rotation: the window is dominated by the bind-sweep /
+# classifier-re-pin MODIFIED queries plus the stalest r3 tranche (see
+# plans/registry.py), so most reps move to their family's organic
+# in-window member; families with no organic member this round (knn,
+# capstone, warehouse, ann-index, ann-eval, graph) hold explicit
 # slots via their reps. Rotated-out greens stay covered by the full
 # pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "agg_by_level",
+    "log": "agg_filter_reason",
     "dedup": "dedup_prefix_filter_jaccard",
-    "multimodal": "multimodal_frame_sample",
+    "multimodal": "multimodal_decode_stats",
     "knn": "knn_brute_cosine",
-    "text": "text_gopher_rules",
+    "text": "text_fingerprint_clusters",
     "capstone": "training_mix_pipeline",
-    "relational": "q3_top_unshipped",
-    "events": "events_funnel",
+    "relational": "q7_volume_shipping",
+    "events": "events_dau_wau",
     "llmprep": "bpe_encode_corpus",
-    "sampling": "sample_bernoulli_seeded",
+    "sampling": "sample_domain_balanced",
     "warehouse": "corpus_merge_upsert",
     "ann-index": "knn_ivf_grid",
     "ann-eval": "ann_recall_eval",
