@@ -687,20 +687,29 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     are int/int double divisions, which IEEE-round identically in both
     engines (same pattern as text_quality_score)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    w = _words()
-    n = F.size(w)
-    word_chars = F.aggregate(
-        F.transform(w, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    v_words, v_meanlen, v_short, v_stop = _gopher_flags(w, n, word_chars)
-    flags = d.select(
+
+    def vflags(w: F.Column) -> F.Column:
+        n = F.size(w)
+        word_chars = F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        v_words, v_meanlen, v_short, v_stop = _gopher_flags(w, n, word_chars)
+        return F.struct(
+            v_words.alias("v_words"),
+            v_meanlen.alias("v_meanlen"),
+            v_short.alias("v_short"),
+            v_stop.alias("v_stop"),
+        )
+
+    # bind() the split: the four flags referenced it ~6x per row
+    flags = d.select("source", bind(_words(), vflags).alias("v")).select(
         "source",
-        v_words.alias("v_words"),
-        v_meanlen.alias("v_meanlen"),
-        v_short.alias("v_short"),
-        v_stop.alias("v_stop"),
+        F.col("v.v_words").alias("v_words"),
+        F.col("v.v_meanlen").alias("v_meanlen"),
+        F.col("v.v_short").alias("v_short"),
+        F.col("v.v_stop").alias("v_stop"),
     )
 
     def tally(col: str) -> F.Column:
@@ -1098,50 +1107,63 @@ def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _qc_features(d: DataFrame) -> DataFrame:
     """Per-row labeling + featurization of ANY documents frame (needs
     doc_id, source, text) — shared by _qc_base and the streaming
-    quality-gated ingest, which featurizes micro-batches."""
-    w = _words()
-    n = F.size(w)
-    word_chars = F.aggregate(
-        F.transform(w, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    v_words, v_meanlen, v_short, v_stop = _gopher_flags(w, n, word_chars)
-    y = (
-        F.when(~(v_words | v_meanlen | v_short | v_stop), 1)
-        .otherwise(0)
-        .cast("long")
-    )
+    quality-gated ingest, which featurizes micro-batches.
+
+    The whole (y, fx) pair is built inside ONE textops.bind() over the
+    word split (round-8): the previous form referenced the inline
+    split from ~8 sibling expressions (flags, counts, structural ids,
+    hashed buckets), re-running the regexp split 8x per row — a
+    constant factor, not the lambda-indexing quadratic, but the
+    featurize pass is the data-sized part of classifier training at
+    the second decade."""
     is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < QC_TRAIN_PCT
-    n_short = F.size(F.filter(w, lambda x: F.length(x) <= 2))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(
-        F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))
-    )
-    n1 = F.greatest(n, F.lit(1))
-    structural = F.array(
-        (F.lit(64) + F.least(F.floor(n / 8), F.lit(15))).cast("long"),
-        (
-            F.lit(80)
-            + F.least(F.floor(word_chars * 4 / n1), F.lit(47).cast("long"))
-        ).cast("long"),
-        (F.lit(128) + F.least(F.floor(n_short * 10 / n1), F.lit(10))).cast(
-            "long"
-        ),
-        (F.lit(139) + F.least(n_stop, F.lit(12))).cast("long"),
-    )
-    fx = F.concat(
-        F.array_distinct(
-            F.transform(w, lambda x: X.md5_long(F.lower(x)) % QC_NFEAT)
-        ),
-        structural,
-    )
+
+    def yfx(w: F.Column) -> F.Column:
+        n = F.size(w)
+        word_chars = F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        v_words, v_meanlen, v_short, v_stop = _gopher_flags(w, n, word_chars)
+        y = (
+            F.when(~(v_words | v_meanlen | v_short | v_stop), 1)
+            .otherwise(0)
+            .cast("long")
+        )
+        n_short = F.size(F.filter(w, lambda x: F.length(x) <= 2))
+        stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+        n_stop = F.size(
+            F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))
+        )
+        n1 = F.greatest(n, F.lit(1))
+        structural = F.array(
+            (F.lit(64) + F.least(F.floor(n / 8), F.lit(15))).cast("long"),
+            (
+                F.lit(80)
+                + F.least(F.floor(word_chars * 4 / n1), F.lit(47).cast("long"))
+            ).cast("long"),
+            (F.lit(128) + F.least(F.floor(n_short * 10 / n1), F.lit(10))).cast(
+                "long"
+            ),
+            (F.lit(139) + F.least(n_stop, F.lit(12))).cast("long"),
+        )
+        fx = F.concat(
+            F.array_distinct(
+                F.transform(w, lambda x: X.md5_long(F.lower(x)) % QC_NFEAT)
+            ),
+            structural,
+        )
+        return F.struct(y.alias("y"), fx.alias("fx"))
+
     return d.select(
+        "doc_id", "source", is_train.alias("is_train"), bind(_words(), yfx).alias("yfx")
+    ).select(
         "doc_id",
         "source",
-        is_train.alias("is_train"),
-        y.alias("y"),
-        fx.alias("fx"),
+        "is_train",
+        F.col("yfx.y").alias("y"),
+        F.col("yfx.fx").alias("fx"),
     )
 
 

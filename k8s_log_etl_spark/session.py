@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or par))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Round-8 second-decade lesson: shuffles START wide and AQE
+        # coalesces back to ~advisory size from map-output stats. With
+        # a fixed 32-way width, graph_triangle_count's array-carrying
+        # join partitions grew with the data and OOM'd a 64 GB heap at
+        # synth-sf10; starting at 8x cores bounds per-task shuffle
+        # state at any SF while small queries still coalesce to a
+        # handful of tasks (bench delta at sf0.1: within noise).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max((shuffle_partitions or par) * 8, 256)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
