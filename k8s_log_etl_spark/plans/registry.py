@@ -57,9 +57,12 @@ def register(
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (1): the unigram-LM tokenizer (full
-    # cross-engine Viterbi-EM replay — BPE's taxonomy sibling) ---
-    "unigram_tokenize_corpus",
+    # --- (a) round-8 additions (3): the unigram-LM tokenizer (full
+    # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
+    # n-gram saturation curve (dedup-ROI diagnostic), and CDC chunk
+    # dedup (content-defined chunking, the storage-class granularity
+    # between whole-doc exact dedup and n-gram spans) ---
+    "unigram_tokenize_corpus", "corpus_ngram_saturation", "dedup_cdc_chunks",
     # --- (b) round-8 modified implementations (26): every registered
     # query whose PLAN changed in round 8 — the textops.bind O(words²)
     # sweep rewrote the gram build of the whole shingle/contamination/
@@ -79,9 +82,10 @@ _CHECKED_FIRST = [
     "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
     "text_fingerprint_clusters", "text_top_bigrams",
     "text_repetition_scores", "text_boilerplate_phrases",
-    # --- (c) stalest refresh (17 of the 29 remaining r3-latest rows;
-    # the 12 left over are first in line for round 9): the reference
-    # log core (normalize/redact/transform_chain/ts_validate/
+    # --- (c) stalest refresh (15 of the 29 remaining r3-latest rows;
+    # the 14 left over — including transform_chain and ts_validate,
+    # displaced by the two late round-8 additions — lead round 9's
+    # tranche): the reference log core (normalize/redact/
     # agg_filter_reason), bench head text_perplexity_proxy, and one
     # member each for events/multimodal/sampling/streaming ---
     "agg_filter_reason", "dedup_embedding_lsh", "domain_mix_weights",
@@ -89,7 +93,6 @@ _CHECKED_FIRST = [
     "normalize_fields", "pack_chunks_budget", "pii_scan_documents",
     "q7_volume_shipping", "redact", "rfm_segments",
     "sample_domain_balanced", "stream_sliding_avg", "text_perplexity_proxy",
-    "transform_chain", "ts_validate",
     # --- (d) family representatives whose families otherwise have no
     # in-window member this round (knn, capstone, warehouse, ann-index,
     # ann-eval, graph — tests/test_registry_order.py pins coverage) ---

@@ -2189,3 +2189,182 @@ def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cluster").isNotNull(), 1).otherwise(0)
         ).alias("n_clustered_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup — storage-class chunk dedup
+# ---------------------------------------------------------------------------
+
+CDC_G = 8   # boundary iff md5_long(word) % CDC_G == 0 -> mean chunk ~8 words
+
+_CDC_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _cdc_sql() -> str:
+    wb = X.md5_long_sql("w[i]")
+    return f"""
+WITH words AS (SELECT doc_id, source, {_CDC_WORDS_SQL} AS w
+               FROM documents WHERE text IS NOT NULL),
+bounds AS (
+  SELECT doc_id, source, w,
+         list_filter(range(1, len(w) + 1), i -> {wb} % {CDC_G} = 0) AS b
+  FROM words
+),
+ends AS (
+  SELECT doc_id, source, w,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(b) >= 1 AND b[len(b)] = len(w) THEN b
+              ELSE list_concat(b, [len(w)]) END AS e
+  FROM bounds
+),
+chunks AS (
+  SELECT doc_id, source,
+         array_to_string(
+           w[(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END):(e[k])], ' '
+         ) AS chunk
+  FROM ends, unnest(range(1, len(e) + 1)) AS t(k)
+),
+hashed AS (
+  SELECT doc_id, source, {X.md5_long_sql('chunk')} AS ch,
+         length(chunk) AS clen
+  FROM chunks
+),
+tot AS (
+  SELECT source, count(*) AS n_chunks, sum(clen) AS chunk_bytes
+  FROM hashed GROUP BY source
+),
+firsts AS (
+  SELECT ch, arg_min(source, doc_id) AS source,
+         arg_min(clen, doc_id) AS fclen
+  FROM hashed GROUP BY ch
+),
+fsrc AS (
+  SELECT source, count(*) AS first_chunks, sum(fclen) AS first_bytes
+  FROM firsts GROUP BY source
+),
+docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT d.source,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(t.chunk_bytes, 0) AS BIGINT) AS chunk_bytes,
+       CAST(coalesce(f.first_chunks, 0) AS BIGINT) AS first_chunks,
+       CAST(coalesce(f.first_bytes, 0) AS BIGINT) AS first_bytes
+FROM docs d
+LEFT JOIN tot t USING (source)
+LEFT JOIN fsrc f USING (source)
+"""
+
+
+def _cdc_chunks_col() -> F.Column:
+    """Array of content-defined chunks of `text`, word-granular: a word
+    whose md5_long is divisible by CDC_G closes the current chunk (the
+    Rabin-style boundary test of LBFS/FastCDC applied at token
+    granularity — one md5 per WORD, the cost class of every other
+    text operator here, instead of one rolling hash per CHARACTER).
+    Boundary decisions are position-independent, so chunking is
+    embarrassingly parallel — the property that makes CDC usable in a
+    distributed engine at all (cf. Muthitacharoen et al., LBFS,
+    SOSP'01). Every level (words, boundary ends) is bind()-bound
+    before the next lambda indexes it: an inline reference would
+    re-run the boundary filter per chunk — the O(n^2) class the
+    round-8 textops.bind finding eliminated repo-wide."""
+    def chunk_arr(w: F.Column, e: F.Column) -> F.Column:
+        idx = F.when(
+            F.size(e) >= 1, F.sequence(F.lit(1), F.size(e))
+        ).otherwise(F.array().cast("array<int>"))
+        def one(k: F.Column) -> F.Column:
+            start = F.when(k == 1, F.lit(1)).otherwise(
+                F.element_at(e, k - 1) + 1
+            )
+            return F.concat_ws(
+                " ", F.slice(w, start, F.element_at(e, k) - start + 1)
+            )
+        return F.transform(idx, one)
+
+    def ends(w: F.Column) -> F.Column:
+        n = F.size(w)
+        b = F.when(
+            n >= 1,
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: X.md5_long(F.element_at(w, i)) % CDC_G == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return bind(
+            b,
+            lambda bb: F.when(n == 0, F.array().cast("array<int>")).otherwise(
+                F.when(
+                    (F.size(bb) >= 1)
+                    & (F.element_at(bb, F.size(bb)) == n),
+                    bb,
+                ).otherwise(F.concat(bb, F.array(n)))
+            ),
+        )
+
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    return bind(words, lambda w: bind(ends(w), lambda e: chunk_arr(w, e)))
+
+
+@register("dedup_cdc_chunks", oracle=_cdc_sql(), tags=("dedup",))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-class dedup via content-defined chunking: cut every
+    document into variable-size chunks at content-determined boundaries
+    (hash-divisible words, mean chunk ~CDC_G words), hash each chunk,
+    and report per source how many chunk occurrences / bytes the corpus
+    holds vs how many chunks FIRST occur there (attribution by min
+    doc_id — deterministic because doc ids are unique). first_bytes /
+    chunk_bytes is the storage-dedup ratio; unlike document-level
+    exact dedup (dedup_exact) and near-dup excision (substring spans),
+    CDC finds REUSED SPANS across otherwise-different documents —
+    boilerplate headers, quoted replies, license blocks — the dedup
+    granularity storage systems (LBFS, venti, borg/restic) and
+    recent training-data pipelines use between "whole doc" and
+    "every n-gram". Content-defined (not fixed-width) boundaries make
+    the chunking insertion-robust: an edit reflows only the chunk it
+    touches, neighbors re-align at the next content boundary.
+
+    Scale shape: chunking is map-side (one md5 per word + one per
+    chunk, bind()-bound, no quadratic re-evaluation); the only
+    shuffles are the chunk-hash agg (8-byte keys, map-side partials
+    — the dedup_lines_corpus class) and two tiny per-source rollups.
+    min(struct(doc_id, source, clen)) == DuckDB arg_min(·, doc_id)
+    because doc_id is the first struct field and unique; 60-bit chunk
+    hashes carry the documented 2^-60-per-pair collision bound (see
+    dedup_prefix_filter_jaccard)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    # NULL text -> zero chunks (doc still counted in n_docs): without
+    # the gate Spark's concat_ws would coerce the NULL span to one ""
+    # chunk while DuckDB's NULL list yields none (the round-7 NULL-text
+    # sweep policy: make the gate explicit in BOTH engines).
+    hashed = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", F.explode(_cdc_chunks_col()).alias("chunk")
+    ).select(
+        "doc_id",
+        "source",
+        X.md5_long(F.col("chunk")).alias("ch"),
+        F.length("chunk").alias("clen"),
+    )
+    tot = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").alias("chunk_bytes"),
+    )
+    firsts = hashed.groupBy("ch").agg(
+        F.min(F.struct("doc_id", "source", "clen")).alias("f")
+    )
+    fsrc = firsts.groupBy(F.col("f.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("first_chunks"),
+        F.sum("f.clen").alias("first_bytes"),
+    )
+    docs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        docs.join(tot, "source", "left")
+        .join(fsrc, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("chunk_bytes", F.lit(0)).alias("chunk_bytes"),
+            F.coalesce("first_chunks", F.lit(0)).alias("first_chunks"),
+            F.coalesce("first_bytes", F.lit(0)).alias("first_bytes"),
+        )
+    )

@@ -3547,3 +3547,114 @@ def domain_mix_by_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mix_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram saturation curve (dedup-ROI / data-scaling diagnostic)
+# ---------------------------------------------------------------------------
+
+SAT_SHARDS = 10    # deterministic md5 shards, ingested "in order" 0..9
+SAT_NGRAM = 5      # same gram order as the novelty/contamination family
+
+
+def _saturation_sql() -> str:
+    h = X.md5_long_sql("g")
+    shard = f"{X.md5_long_sql('CAST(doc_id AS VARCHAR)')} % {SAT_SHARDS}"
+    return f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+g AS (
+  SELECT DISTINCT {shard} AS shard, {h} AS gh
+  FROM (
+    SELECT doc_id,
+           (w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+            || ' ' || w[i+5]) AS g
+    FROM words, unnest(range(greatest(len(w) - {SAT_NGRAM - 1}, 0))) AS t(i)
+  )
+),
+firsts AS (SELECT gh, min(shard) AS shard FROM g GROUP BY gh),
+news AS (SELECT shard, count(*) AS new_grams FROM firsts GROUP BY shard),
+per AS (SELECT shard, count(*) AS shard_grams FROM g GROUP BY shard),
+docs AS (SELECT {shard} AS shard, count(*) AS n_docs FROM documents GROUP BY shard)
+SELECT d.shard,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(p.shard_grams, 0) AS BIGINT) AS shard_grams,
+       CAST(coalesce(n.new_grams, 0) AS BIGINT) AS new_grams,
+       CAST(sum(coalesce(n.new_grams, 0)) OVER (ORDER BY d.shard) AS BIGINT)
+         AS cum_grams,
+       CAST(coalesce(n.new_grams, 0) * 1000000
+            // greatest(coalesce(p.shard_grams, 0), 1) AS BIGINT)
+         AS novelty_ppm
+FROM docs d
+LEFT JOIN per p USING (shard)
+LEFT JOIN news n ON n.shard = d.shard
+"""
+
+
+@register("corpus_ngram_saturation", oracle=_saturation_sql(), tags=("llmprep", "dedup"))
+def corpus_ngram_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n-gram saturation curve: split the corpus into
+    SAT_SHARDS deterministic md5 shards (a stand-in for ingestion
+    order), and for each shard report how many of its distinct 5-grams
+    are NEW — first seen in that shard — vs already covered by earlier
+    shards. The marginal-novelty curve (novelty_ppm per shard) is the
+    classic dedup-ROI / data-scaling diagnostic: a corpus whose curve
+    stays near 10^6 is still contributing fresh text per unit ingested;
+    a curve collapsing toward 0 says additional shards mostly repeat
+    what the corpus already has (Heaps'-law saturation), i.e. dedup
+    and mixing budgets should shift to other sources.
+
+    Scale shape: ONE gram build (bind()-wrapped _word_ngrams, the
+    round-8 O(words^2) fix) feeding ONE gram-keyed agg that carries
+    BOTH statistics at once — min(shard) and collect_set(shard), the
+    set bounded by SAT_SHARDS elements, so the map-side partials stay
+    tiny. A naive two-branch form (distinct (shard, gh) consumed by a
+    per-shard count AND a per-gram min) was written first and its
+    executed plan read: Catalyst prunes the distinct under the min
+    branch, the two branches stop sharing any exchange, and the
+    expensive gram explode runs TWICE — the single-chain form halves
+    the scan/md5 work by construction instead of hoping for exchange
+    reuse. new_grams falls out of the same explode (a gram is new in
+    exactly the shard that equals its min). Everything after the
+    gh-agg runs on <= SAT_SHARDS-sized rollups; the cumulative window
+    orders 10 rows — fixed at ANY corpus size. Integer ppm via
+    truncating div (nonneg, DuckDB // == Spark div); greatest(.,1)
+    guards the empty-shard division (round-7 ANSI lesson)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    shard = (X.md5_long(F.col("doc_id").cast("string")) % SAT_SHARDS).alias("shard")
+    g = d.select(shard, F.explode(_word_ngrams(SAT_NGRAM)).alias("g")).select(
+        "shard", X.md5_long(F.col("g")).alias("gh")
+    )
+    stats = g.groupBy("gh").agg(
+        F.min("shard").alias("first_shard"),
+        F.collect_set("shard").alias("shards"),
+    )
+    ex = stats.select("first_shard", F.explode("shards").alias("shard"))
+    per = ex.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("shard_grams"),
+        F.sum(
+            F.when(F.col("shard") == F.col("first_shard"), 1).otherwise(0)
+        ).alias("new_grams"),
+    )
+    docs = d.select(shard).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    joined = (
+        docs.join(per, "shard", "left")
+        .select(
+            "shard",
+            "n_docs",
+            F.coalesce("shard_grams", F.lit(0)).alias("shard_grams"),
+            F.coalesce("new_grams", F.lit(0)).alias("new_grams"),
+        )
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "shard",
+        "n_docs",
+        "shard_grams",
+        "new_grams",
+        F.sum("new_grams").over(w).alias("cum_grams"),
+        F.expr(
+            "CAST(new_grams * 1000000 div greatest(shard_grams, 1) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
