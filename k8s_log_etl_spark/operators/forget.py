@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.operators.compaction import recover_compaction, swap_rewrite
+from k8s_log_etl_spark.tables import spill_checkpoint
 
 # Characters Hive/Spark URL-escape in partition directory names
 # (Hive FileUtils.escapePathName, mirrored by Spark's
@@ -94,15 +95,15 @@ def apply_forget(
     pass plans zero partitions. Untouched partitions keep their files
     byte-identical (pinned in tests/test_forget.py)."""
     recover_compaction(path)
-    kd = keys.select(key_col).distinct().localCheckpoint(eager=True)
+    kd = spill_checkpoint(keys.select(key_col).distinct())
     todo = plan_forget(spark, path, partition_col, kd, key_col)
     deleted = 0
     for entry in todo:
         pdir = os.path.join(path, entry)
         before = spark.read.parquet(pdir)
-        kept = before.join(F.broadcast(kd), key_col, "left_anti").localCheckpoint(
-            eager=True
-        )
+        kept = spill_checkpoint(
+            before.join(F.broadcast(kd), key_col, "left_anti")
+        )  # full surviving partition: data-sized
         deleted += before.count() - kept.count()
         swap_rewrite(kept, path, entry)
     return {"partitions": len(todo), "rows_deleted": deleted}

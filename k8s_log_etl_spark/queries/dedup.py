@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.functions.textops import bind, ngram_indices
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
+from k8s_log_etl_spark.tables import (
+    ensure_min_parallelism,
+    load_table,
+    spill_checkpoint,
+)
 
 POSTING_CAP = 100          # drop shingles appearing in more docs than this
 JACCARD_THRESHOLD = 0.5
@@ -107,7 +111,7 @@ def posting_pairs(sh: DataFrame, cap: int = POSTING_CAP):
         .groupBy("s")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .select("ds")
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)  # data-sized: serialized+spillable
     )
     sizes = (
         postings.select(F.explode("ds").alias("doc_id"))
@@ -277,7 +281,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the band self-join below would otherwise re-run the whole
     # shingle→minhash pipeline for EACH side. On a cluster this is the
     # deliberate persist of a reused intermediate; measured 4× here.
-    sig = sig.localCheckpoint(eager=True)
+    sig = sig.transform(spill_checkpoint)
     # Each band row carries the full signature so the candidate join
     # needs no join-back to sig (which would recompute the whole
     # shingle→minhash pipeline two more times — plan reuse, not caching).
@@ -387,7 +391,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _simhash_sigs); the pair scan here is the brute O(n²) baseline kept
     as an oracle-checked reference only — dedup_simhash_banded is the
     sub-quadratic scale path and the one bench.py times."""
-    sigs = _simhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = _simhash_sigs(spark, sf_dir).transform(spill_checkpoint)
     a = sigs.alias("a")
     b = sigs.alias("b")
     hamming = F.bit_count(
@@ -467,7 +471,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-8 threshold banding cannot serve exactly.) Signature build
     is map-side only (_simhash_sigs); the chunk equi-join is the one
     shuffle."""
-    sigs = _simhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = _simhash_sigs(spark, sf_dir).transform(spill_checkpoint)
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -612,7 +616,7 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(SEEDS)]
         ).alias("mh")
     )
-    sig = sig.localCheckpoint(eager=True)
+    sig = sig.transform(spill_checkpoint)
     band_structs = F.array(
         *[
             F.struct(
@@ -766,12 +770,12 @@ def cc_min_label_propagation(pairs: DataFrame) -> DataFrame:
     (node, lbl)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint(eager=True)
+    ).toDF("src", "dst").transform(spill_checkpoint)
 
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)
     )
     while True:
         neighbor_min = (
@@ -787,7 +791,7 @@ def cc_min_label_propagation(pairs: DataFrame) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .transform(spill_checkpoint)
         )
         changed = (
             new_labels.alias("n")
@@ -825,13 +829,13 @@ def cc_star(pairs: DataFrame) -> DataFrame:
     e0 = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)
     )
     nodes = (
         e0.select(F.col("u").alias("node"))
         .union(e0.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)
     )
     e = e0.filter(F.col("u") != F.col("v"))
     while True:
@@ -869,7 +873,7 @@ def cc_star(pairs: DataFrame) -> DataFrame:
             .union(smin.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(spill_checkpoint)
         )
         # Convergence: set equality of the edge frames. The exceptAll
         # pair is two full shuffles — short-circuit it with a count
@@ -1175,7 +1179,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         d.select("doc_id", F.posexplode(grams).alias("pos", "g"))
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "g")
-        .localCheckpoint(eager=False)
+        .transform(lambda _d: spill_checkpoint(_d, eager=False))
     )
     dup = (
         occ.groupBy("g")
@@ -1335,25 +1339,33 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives entirely Spark-side — only completeness matters, so no
     cross-engine ordering contract is needed."""
     t = JACCARD_THRESHOLD
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("s"))
+    # Round-8 second-decade change: hash shingles to 8-byte md5_long
+    # tokens ONCE at the source and run the ENTIRE pipeline in k-space
+    # — the round-7 form still shuffled the string shingles through
+    # the dfreq join and sorted strings in the ranking window, and at
+    # synth-sf10 those string sorts were the spill driver (decade
+    # ratio 11.6 vs the ~10 of data growth). Losslessness is
+    # unaffected: prefix filtering is complete under ANY consistent
+    # global token order (rarest-first is only the candidate-count
+    # heuristic), and the verify already counted md5_long matches, so
+    # k-space Jaccard is what was returned before. The checkpoint now
+    # stores longs instead of ~24-byte strings. Collision contract
+    # unchanged (see the verify note below): the DuckDB hash-match at
+    # every tested SF witnesses the dataset is collision-free.
+    shk = spill_checkpoint(
+        _shingles(spark, sf_dir).select(
+            "doc_id", X.md5_long(F.col("s")).alias("k")
+        )
+    )
+    dfreq = shk.groupBy("k").agg(F.count(F.lit(1)).alias("df_"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("k"))
     ranked = (
-        sh.join(dfreq, "s")
+        shk.join(dfreq, "k")
         .withColumn("rn", F.row_number().over(wdoc))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
     plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    # Prefix postings join on the 8-byte md5_long of the shingle, not
-    # the string (round-7 same-session A/B: synth-sf1 9.4 -> 8.3 s,
-    # flat at sf0.1) — a hash collision merges two posting lists, which
-    # can only ADD candidate rows (superset of the string-equality
-    # matches, each true pair still carried by its own (rn, sz) row),
-    # and the verify is exact, so losslessness is unconditional. The
-    # ranking window above stays on the string.
-    prefix = ranked.filter(F.col("rn") <= plen).select(
-        "doc_id", X.md5_long(F.col("s")).alias("k"), "rn", "sz"
-    )
+    prefix = ranked.filter(F.col("rn") <= plen).select("doc_id", "k", "rn", "sz")
     sza, szb = F.col("pa.sz"), F.col("pb.sz")
     rna, rnb = F.col("pa.rn"), F.col("pb.rn")
     length_ok = F.least(sza, szb) >= F.lit(t) * F.greatest(sza, szb) - F.lit(1e-9)
@@ -1398,9 +1410,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection and admit a false pair vs a string-exact oracle).
     # At every tested SF the DuckDB hash-match is the witness that the
     # dataset is collision-free.
-    arrs = sh.groupBy("doc_id").agg(
-        F.collect_list(X.md5_long(F.col("s"))).alias("arr")
-    )
+    arrs = shk.groupBy("doc_id").agg(F.collect_list("k").alias("arr"))
     aa = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
     bb = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
     common = (
@@ -1518,7 +1528,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ).alias("mh")
         )
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)
     )
     band_structs = F.array(
         *[
@@ -1537,9 +1547,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persisted corpus index (band rows carry the signature so the
     # verify needs no join-back — same plan-reuse discipline as
     # dedup_minhash_lsh)
-    index = bands.filter(F.col("doc_id") < CORPUS_MAX_ID).localCheckpoint(
-        eager=True
-    )
+    index = bands.filter(F.col("doc_id") < CORPUS_MAX_ID).transform(spill_checkpoint)
     batchb = bands.filter(F.col("doc_id") >= CORPUS_MAX_ID)
 
     est = (
@@ -1754,7 +1762,7 @@ def dedup_minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_docs = d.filter(
         (F.col("doc_id") >= SERVE_LO) & (F.col("doc_id") < SERVE_HI)
     )
-    batchb = _mh_band_frame(batch_docs).localCheckpoint(eager=True)
+    batchb = _mh_band_frame(batch_docs).transform(spill_checkpoint)
 
     est = (
         sum(
@@ -1874,7 +1882,7 @@ def eval_holdout_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (small) pair list against the split frame and one hash-agg.
     Nothing new shuffles at corpus scale beyond what the pair build
     already paid."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh(spark, sf_dir).transform(spill_checkpoint)
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     bucket = X.md5_long(F.col("doc_id").cast("string")) % 100
     split = (

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table
+from k8s_log_etl_spark.tables import load_table, spill_checkpoint
 
 PR_Q = 10**12       # rank quantization (integer Q-units)
 PR_ITERS = 3        # fixed unrolled iterations (oracle matches)
@@ -26,25 +26,32 @@ PR_DAMP_NUM = 85    # damping 0.85 as an integer ratio
 PR_DAMP_DEN = 100
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric distinct co-purchase edges (src, dst), checkpointed —
-    the shared graph behind PageRank and BFS. Pairs expand MAP-SIDE
-    from per-order sorted part lists (the parts_copurchased
-    grouped-expansion discipline, bounded by TPC-H's <= 7 lines/order)
-    — never a posting self-join."""
+def _ordered_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase pairs with src < dst (each undirected edge
+    ONCE), expanded MAP-SIDE from per-order sorted part lists (the
+    parts_copurchased grouped-expansion discipline, bounded by TPC-H's
+    <= 7 lines/order) — never a posting self-join. Emitting only the
+    upper triangle halves the pre-distinct pair stream (239M instead
+    of 478M rows at synth-sf10), which is the dominant shuffle of the
+    whole graph family's edge build; consumers symmetrize map-side."""
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select("l_orderkey", "l_partkey").distinct()
     per_order = po.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     ps = F.col("ps")
-    # for the sorted list [p1..pk] emit every ordered pair (pi, pj), i != j
+    # sorted distinct [p1..pk]: emit (pi, pj) for i < j only
+    idx = F.when(
+        F.size(ps) >= 2, F.sequence(F.lit(1), F.size(ps) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     pair_list = F.flatten(
         F.transform(
-            ps,
-            lambda x: F.transform(
-                F.array_remove(ps, x),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            idx,
+            lambda i: F.transform(
+                F.slice(ps, i + 1, F.size(ps) - i),
+                lambda y: F.struct(
+                    F.element_at(ps, i).alias("src"), y.alias("dst")
+                ),
             ),
         )
     )
@@ -52,7 +59,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.select(F.explode(pair_list).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-purchase edges (src, dst), checkpointed —
+    the shared graph behind PageRank and BFS. Built from the ordered
+    pair set and symmetrized MAP-SIDE (a unionAll of the two column
+    orders after ONE half-sized distinct — round-8 second-decade
+    rework; the former both-directions distinct shuffled 2x the
+    rows for the identical result)."""
+    # checkpoint the HALF list (serialized+spillable: data-sized — the
+    # deserialized default OOM'd a 64 GiB heap at synth-sf10, see
+    # tables.spill_checkpoint), then symmetrize map-side: stores half
+    # the bytes, and the unionAll branches read the same materialized
+    # blocks instead of re-running the distinct per branch
+    half = spill_checkpoint(_ordered_copurchase_pairs(spark, sf_dir))
+    return half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -140,7 +164,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("d"),
             F.collect_list("dst").alias("dsts"),
         )
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)
     )
     n_nodes = adj.count()  # the single driver scalar (pre-loop, like k-means)
     base = PR_Q // n_nodes
@@ -169,7 +193,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_q")
         )
         if it == PR_ITERS - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(spill_checkpoint)
     return ranks.select(
         F.col("node").alias("part"),
         "rank_q",
@@ -217,7 +241,7 @@ def pagerank_chunked(e: DataFrame, chunk_cap: int = PR_CHUNK_CAP) -> DataFrame:
                 )
             ).alias("dsts"),
         )
-    ).localCheckpoint(eager=True)
+    ).transform(spill_checkpoint)
     n_nodes = adj.select("src").distinct().count()
     base = PR_Q // n_nodes
     teleport = (15 * base) // PR_DAMP_DEN
@@ -240,7 +264,7 @@ def pagerank_chunked(e: DataFrame, chunk_cap: int = PR_CHUNK_CAP) -> DataFrame:
             ).alias("rank_q")
         )
         if it == PR_ITERS - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(spill_checkpoint)
     return ranks.select(
         F.col("node").alias("part"),
         "rank_q",
@@ -305,7 +329,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = srcs.select(
         F.col("src").alias("s"), F.col("src").alias("node"), F.lit(0).alias("d")
-    ).localCheckpoint(eager=True)
+    ).transform(spill_checkpoint)
     frontier = labels
     for _ in range(BFS_MAX_HOPS):
         steps = (
@@ -316,7 +340,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(steps)
             .groupBy("s", "node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(spill_checkpoint)
         )
         # next frontier: nodes whose label changed this round (a plain
         # anti-join on the (s, node, d) triple)
@@ -392,39 +416,72 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence): per-node sorted out-neighbor arrays, then triangles
     per oriented edge (a, b) = |N+(a) ∩ N+(b)| via map-side
     array_intersect — the wedge stream (sum of out-degrees squared,
-    13.8M rows at sf0.1) is never shuffled. Same-session A/B in
-    PLANS.md: sf0.1 12.1 -> 8.5 s, synth-sf1 103 -> 54 s (0.52x),
-    output identical.
+    13.8M rows at sf0.1, 8.3B at synth-sf10) is never shuffled as
+    ROWS; only the neighbor arrays travel through one keyed join.
 
-    Scale shape: 2 keyed equi-joins over the oriented edge list + one
-    degree hash-agg; degree orientation bounds out-degrees (and hence
-    the neighbor arrays the edges carry) by O(sqrt(m)) on any graph —
-    hub nodes never enumerate their neighborhood squares. Runtime is
-    edge-volume-bound: ~linear in data growth, the known price of
-    EXACT triangle enumeration (edge-sampling estimators are the
-    documented cheaper path when exactness can be traded)."""
-    sym = _copurchase_edges(spark, sf_dir)
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    Scale shape (round-8 second-decade rework, PLANS.md): half-sized
+    ordered pair distinct → skinny union-agg for undirected degrees →
+    BROADCAST degree re-orientation (the node table is
+    dimension-sized at every SF; a shuffle join is the documented
+    fallback past broadcast limits) → adj build (one edge-keyed agg)
+    → ONE array-carrying closure join (adj exploded IS e⋈adj(src),
+    so the first closure join of the former plan is free). Degree
+    orientation bounds out-degrees (and hence the arrays the join
+    carries) by O(sqrt(m)) on any graph — hub nodes never enumerate
+    their neighborhood squares. Runtime is wedge-byte-bound: ~linear
+    in data growth, the known price of EXACT triangle enumeration
+    (edge-sampling estimators are the documented cheaper path when
+    exactness can be traded)."""
+    # Round-8 second-decade rework (PLANS.md): the former plan built
+    # the SYMMETRIC edge list, degree-ordered it through two
+    # shuffle joins of the full edge stream, and then ran TWO
+    # array-carrying closure joins (e⋈adj(src), then ⋈adj(dst)) —
+    # 682 s and a filled disk at synth-sf10. This form starts from the
+    # half-sized ordered pair set, gets undirected degrees from a
+    # skinny union-agg (never materializing the symmetric list),
+    # re-orients by BROADCASTing the degree table (nodes are
+    # dimension-sized: parts ≪ edges at every SF — the shuffle-join
+    # fallback applies only if the node table ever outgrows broadcast),
+    # and derives the wedge carrier by EXPLODING adj (e⋈adj(src) is
+    # definitionally adj re-exploded — zero shuffle), leaving exactly
+    # ONE array-carrying shuffle join, whose volume is the wedge-byte
+    # floor any exact distributed triangle count pays.
+    e_id = spill_checkpoint(_ordered_copurchase_pairs(spark, sf_dir))
+    deg = (
+        e_id.select(F.col("src").alias("node"))
+        .unionAll(e_id.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    e = (
-        sym.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
-        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
-        .filter(
-            (F.col("ds") < F.col("dd"))
-            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    # degree-(then id-)ordered orientation; src < dst already holds,
+    # so ties keep the id order and only dd < ds swaps
+    keep = F.col("ds") <= F.col("dd")
+    e_o = (
+        e_id.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("ds"))),
+            "src",
         )
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))),
+            "dst",
+        )
+        .select(
+            F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
     )
     adj = (
-        e.groupBy(F.col("src").alias("node"))
+        e_o.groupBy(F.col("src").alias("node"))
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)
+    )
+    wedge_carrier = adj.select(
+        F.col("nbrs").alias("na"), F.explode("nbrs").alias("dst")
     )
     tri = (
-        e.join(adj.select(F.col("node").alias("src"), F.col("nbrs").alias("na")), "src")
-        .join(adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nb")), "dst")
+        wedge_carrier.join(
+            adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nb")), "dst"
+        )
         .select(F.size(F.array_intersect("na", "nb")).alias("k"))
         .agg(F.sum("k").alias("t"))
     )

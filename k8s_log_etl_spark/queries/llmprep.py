@@ -24,7 +24,11 @@ from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.functions.textops import bind, ngram_indices
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.queries import similarity as S
-from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
+from k8s_log_etl_spark.tables import (
+    ensure_min_parallelism,
+    load_table,
+    spill_checkpoint,
+)
 
 SAMPLE_PCT = 20          # Bernoulli keep-rate, percent
 STRATUM_CAP = 50         # per-language cap for the stratified sample
@@ -1308,7 +1312,7 @@ def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("enc"),
     )
     for _ in range(BPE_MERGE_ROUNDS):
-        enc = enc.localCheckpoint(eager=True)
+        enc = enc.transform(spill_checkpoint)
         pairs = enc.select(
             "freq",
             F.explode(
@@ -1660,14 +1664,12 @@ def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded cost sync. Per-word DP cost is O(len * UNI_MAX_PIECE) with
     O(len) list appends — bounded by word length, never document
     length."""
-    vocab = _uni_vocab(spark, sf_dir).localCheckpoint(eager=True)
-    pieces0 = _uni_seed_pieces(vocab).localCheckpoint(eager=True)
+    vocab = _uni_vocab(spark, sf_dir).transform(spill_checkpoint)
+    pieces0 = _uni_seed_pieces(vocab).transform(spill_checkpoint)
     costs = _uni_costs(pieces0, "cnt")
     usage = None
     for _ in range(UNI_ROUNDS):
-        usage = _uni_usage(vocab, pieces0, _uni_cmap(costs)).localCheckpoint(
-            eager=True
-        )
+        usage = _uni_usage(vocab, pieces0, _uni_cmap(costs)).transform(spill_checkpoint)
         costs = _uni_costs(usage, "u")
     cost_df = spark.createDataFrame(
         costs or [("", 0)], "piece string, cost_q long"
@@ -1878,9 +1880,7 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointing the words array instead is 40 bytes/token, not
     5-gram × token, and wins at every scale)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    base = d.select("doc_id", "source", _words().alias("w_arr")).localCheckpoint(
-        eager=True
-    )
+    base = d.select("doc_id", "source", _words().alias("w_arr")).transform(spill_checkpoint)
     wa = F.col("w_arr")
     grams = F.transform(
         ngram_indices(wa, CONTAM_NGRAM),
@@ -3246,7 +3246,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = (
         train.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = (

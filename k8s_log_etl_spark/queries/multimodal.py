@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.operators import multimodal as MM
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table, spill_checkpoint
 
 _PROPS_SQL = """
 SELECT event_type,
@@ -384,7 +384,7 @@ def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex, so the whole chain is hash-verified."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     corpus = MM.with_reencoded_variants(MM.attach_payload(d))
-    sig = MM.ahash_signatures(corpus).localCheckpoint(eager=True)
+    sig = spill_checkpoint(MM.ahash_signatures(corpus))  # per-image: data-sized
     bands = sig.select(
         "doc_id",
         F.explode(

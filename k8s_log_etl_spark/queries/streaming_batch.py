@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table
+from k8s_log_etl_spark.tables import load_table, spill_checkpoint
 
 SESSION_GAP_MIN = 5
 
@@ -525,7 +525,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)  # (user, day): data-sized
     )
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     cover = pairs.select(

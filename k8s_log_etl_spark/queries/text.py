@@ -17,7 +17,7 @@ from k8s_log_etl_spark.plans.registry import register
 # near-dup self-join — without it one hot shingle makes the a.s=b.s
 # join quadratic at scale.
 from k8s_log_etl_spark.queries.dedup import POSTING_CAP, posting_pairs
-from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
+from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table, spill_checkpoint
 
 # Tiny per-language function-word lists for the n-gram/stopword
 # language-ID heuristic (public-knowledge common words).
@@ -344,7 +344,7 @@ def corpus_survivors(d: DataFrame, include_text: bool = True) -> DataFrame:
         .withColumn("n_tokens", F.size("w"))
         .filter(F.col("n_tokens") >= MIN_TOKENS)
         .withColumn("h", F.md5(F.concat_ws(" ", F.transform("w", F.lower))))
-        .localCheckpoint(eager=True)
+        .transform(spill_checkpoint)  # word arrays: data-sized
     )
     exact_keep = (
         base.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
@@ -1101,7 +1101,7 @@ def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashed word-presence buckets plus the one-hot structural ids
     (see QC_NTOT note)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    return _qc_features(d).localCheckpoint(eager=True)
+    return spill_checkpoint(_qc_features(d))  # featurized corpus: data-sized
 
 
 def _qc_features(d: DataFrame) -> DataFrame:

@@ -65,6 +65,29 @@ def ensure_min_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df
 
 
+def spill_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint for DATA-SIZED intermediates: SERIALIZED
+    memory+disk storage instead of the default deserialized level.
+
+    Why (round-8 second-decade finding): `df.localCheckpoint()` stores
+    the materialized partitions as DESERIALIZED row objects
+    (MEMORY_AND_DISK_DESER) — each row becomes a JVM object whose
+    holder array must fully materialize before the block manager can
+    decide to spill. At synth-sf10 the ~40 coalesced partitions of the
+    co-purchase edge list each tried to hold ~10M row objects at once
+    and 32 concurrent tasks OOM'd a 64 GiB heap — on data that is only
+    ~6 GB serialized. PySpark's StorageLevel.MEMORY_AND_DISK is the
+    SERIALIZED level (unlike Scala's name-twin), so blocks stream
+    compactly and spill incrementally; the dataset survives any SF at
+    the cost of per-read deserialization. Use for corpus/edge-sized
+    frames; keep the plain default for the tiny iteration-sync frames
+    (vocab pieces, centroids) where object form is faster and size is
+    bounded."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 def dataset_cache_path(sf_dir: str, kind: str, *tables: str) -> str:
     """User-owned, content-fingerprinted cache directory for build-once
     artifacts derived from ``sf_dir`` (persisted LSH indexes, trained
