@@ -57,12 +57,18 @@ def register(
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (3): the unigram-LM tokenizer (full
+    # --- (a) round-8 additions (7): the unigram-LM tokenizer (full
     # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
-    # n-gram saturation curve (dedup-ROI diagnostic), and CDC chunk
+    # n-gram saturation curve (dedup-ROI diagnostic), CDC chunk
     # dedup (content-defined chunking, the storage-class granularity
-    # between whole-doc exact dedup and n-gram spans) ---
+    # between whole-doc exact dedup and n-gram spans), the WordPiece
+    # tokenizer pair (merge table + greedy longest-match encode —
+    # the THIRD tokenizer family, normalized-score argmax replayed
+    # cross-engine), PMI collocations (integer-lift ranked), and the
+    # k-anonymity audit (privacy face of the DQ gate) ---
     "unigram_tokenize_corpus", "corpus_ngram_saturation", "dedup_cdc_chunks",
+    "wordpiece_train_merges", "wordpiece_encode_corpus",
+    "text_collocations_pmi", "dq_k_anonymity",
     # --- (b) round-8 modified implementations (26): every registered
     # query whose PLAN changed in round 8 — the textops.bind O(words²)
     # sweep rewrote the gram build of the whole shingle/contamination/
@@ -82,15 +88,17 @@ _CHECKED_FIRST = [
     "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
     "text_fingerprint_clusters", "text_top_bigrams",
     "text_repetition_scores", "text_boilerplate_phrases",
-    # --- (c) stalest refresh (15 of the 29 remaining r3-latest rows;
-    # the 14 left over — including transform_chain and ts_validate,
-    # displaced by the two late round-8 additions — lead round 9's
-    # tranche): the reference log core (normalize/redact/
-    # agg_filter_reason), bench head text_perplexity_proxy, and one
-    # member each for events/multimodal/sampling/streaming ---
-    "agg_filter_reason", "dedup_embedding_lsh", "domain_mix_weights",
-    "embedding_quantize_int8", "events_dau_wau", "multimodal_decode_stats",
-    "normalize_fields", "pack_chunks_budget", "pii_scan_documents",
+    # --- (c) stalest refresh (11 of the 29 remaining r3-latest rows;
+    # the 18 left over — including transform_chain, ts_validate,
+    # dedup_embedding_lsh, domain_mix_weights, embedding_quantize_int8
+    # and pack_chunks_budget, displaced by the six late round-8
+    # additions — lead round 9's tranche): the reference log core
+    # (normalize/redact/agg_filter_reason), bench head
+    # text_perplexity_proxy, and one member each for events/
+    # multimodal/sampling/streaming; every displaced row's family
+    # keeps an in-window member ---
+    "agg_filter_reason", "events_dau_wau", "multimodal_decode_stats",
+    "normalize_fields", "pii_scan_documents",
     "q7_volume_shipping", "redact", "rfm_segments",
     "sample_domain_balanced", "stream_sliding_avg", "text_perplexity_proxy",
     # --- (d) family representatives whose families otherwise have no

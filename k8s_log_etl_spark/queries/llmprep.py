@@ -1683,6 +1683,372 @@ def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(UNI_TOP)
     )
 
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT wordpiece) —
+# the THIRD tokenizer family, completing the public taxonomy: BPE
+# merges by raw pair count, unigram-LM prunes by likelihood, WordPiece
+# merges by the NORMALIZED pair score count(ab)/(count(a)·count(b))
+# and encodes by greedy longest-match-first with ## continuations.
+# ---------------------------------------------------------------------------
+
+WP_MERGE_ROUNDS = 6
+# Merge argmax compares integer scores (w * WP_SCORE_Q) div (c_a * c_b)
+# — integer (floor) division is bit-identical in both engines, so the
+# winner needs no float comparison at all. Overflow headroom: w ≤
+# corpus tokens, so w * Q stays under 2^63 up to ~9e9 corpus tokens
+# (synth-sf10 is ~1e8); past that, drop Q a decade or train the merge
+# table on a bounded vocabulary sample, as every production tokenizer
+# does (GPT-2's BPE trained on 40 GB, not the serving corpus).
+WP_SCORE_Q = 1_000_000_000
+WP_MAX_PIECE = 8         # greedy-encode eligibility cap (chars)
+WP_ENCODE_TOP = 50
+
+
+def _wp_train(spark: SparkSession, sf_dir: str):
+    """Train WP_MERGE_ROUNDS WordPiece merges over the distinct-word
+    vocabulary (the BPE vocabulary-pricing trick — every round is
+    linear in |vocab|, not corpus tokens). Returns (final encoded
+    vocab frame (term, freq, s), merges [(rnd, a, b, w, score_q)]).
+
+    Identical loop shape to _bpe_encoded_vocab (framed \\x01/\\x02
+    symbol encoding, per-round spill_checkpoint, literal replace as
+    greedy leftmost non-overlapping merge application); the ONLY
+    difference is the argmax: WordPiece maximizes the likelihood gain
+    of the merge, count(ab)/(count(a)·count(b)), not the raw pair
+    count — compared as the integer (w * WP_SCORE_Q) div (c_a * c_b)
+    with (score DESC, a ASC, b ASC) tie-break under binary collation,
+    so both engines pick the same winner without a single float op.
+    Per round: one vocab-sized pair explode + hash-agg, one vocab-sized
+    symbol hash-agg (both map-side-partial), two BROADCAST joins of the
+    bounded symbol-count table onto the pair table, and a 1-row argmax
+    sync (TakeOrderedAndProject — the BPE/kmeans sync discipline)."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select(F.explode(_words()).alias("raw")).select(
+        F.lower(F.col("raw")).alias("term")
+    )
+    vocab = (
+        toks.filter(
+            ~F.col("term").contains(_BPE_D1) & ~F.col("term").contains(_BPE_D2)
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("term"), ""), lambda x: x != "")
+    enc = vocab.select(
+        "term",
+        "freq",
+        F.concat(
+            F.lit(_BPE_D1), F.array_join(chars, _BPE_D2 + _BPE_D1), F.lit(_BPE_D2)
+        ).alias("enc"),
+    )
+    merges: list[tuple[int, str, str, int, int]] = []
+    for r in range(WP_MERGE_ROUNDS):
+        enc = enc.transform(spill_checkpoint)
+        cnts = (
+            enc.select("freq", F.explode(_bpe_syms()).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("c"))
+        )
+        pairs = enc.select(
+            "freq",
+            F.explode(
+                bind(
+                    _bpe_syms(),
+                    lambda syms: F.transform(
+                        ngram_indices(syms, 2),
+                        lambda i: F.struct(
+                            syms[i].alias("a"), syms[i + 1].alias("b")
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
+        pw = pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        ).agg(F.sum("freq").alias("w"))
+        win = (
+            pw.join(
+                F.broadcast(cnts.select(F.col("sym").alias("a"), F.col("c").alias("ca"))),
+                "a",
+            )
+            .join(
+                F.broadcast(cnts.select(F.col("sym").alias("b"), F.col("c").alias("cb"))),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                "w",
+                F.expr(f"(w * CAST({WP_SCORE_Q} AS BIGINT)) div (ca * cb)").alias(
+                    "score_q"
+                ),
+            )
+            .orderBy(F.desc("score_q"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not win:  # vocabulary fully merged — nothing left to learn
+            break
+        a, b = win[0]["a"], win[0]["b"]
+        merges.append((r, a, b, int(win[0]["w"]), int(win[0]["score_q"])))
+        enc = enc.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(_BPE_D1 + a + _BPE_D2 + _BPE_D1 + b + _BPE_D2),
+                F.lit(_BPE_D1 + a + b + _BPE_D2),
+            ),
+        )
+    return enc.select("term", "freq", _bpe_syms().alias("s")), merges
+
+
+def _wp_cte_chain() -> str:
+    """The unrolled WordPiece merge recurrence as a CTE chain ending in
+    enc{WP_MERGE_ROUNDS} — the _bpe_cte_chain shape with the WordPiece
+    argmax: per round a pair-count CTE, a symbol-count CTE, a 1-row
+    winner ordered by the integer score (w * Q) // (c_a * c_b), and
+    the LEFT JOIN + coalesce-to-absent-pattern fixpoint replace."""
+    d1, d2 = "chr(1)", "chr(2)"
+    sep = f"{d2} || {d1}"
+    syms = f"string_split(substr(enc, 2, length(enc) - 2), {sep})"
+    sql = f"""toks AS (
+  SELECT lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+vocab AS (
+  SELECT term, count(*) AS freq FROM toks
+  WHERE NOT contains(term, {d1}) AND NOT contains(term, {d2})
+  GROUP BY term
+),
+enc0 AS MATERIALIZED (
+  SELECT term, freq,
+         {d1} || array_to_string(
+           list_transform(range(1, length(term) + 1),
+                          i -> substr(term, CAST(i AS INTEGER), 1)),
+           {sep}) || {d2} AS enc
+  FROM vocab
+)"""
+    for r in range(WP_MERGE_ROUNDS):
+        # MATERIALIZED: m{r} is referenced by enc{r+1} AND the merges
+        # output UNION, and c{r} twice inside m{r}; inlined, every
+        # reference re-derives the whole chain below it and the replay
+        # goes exponential in rounds (measured: 180 s at sf0.001 vs
+        # ~1 s materialized).
+        sql += f""",
+p{r} AS MATERIALIZED (
+  SELECT s[CAST(i AS INTEGER) + 1] AS a, s[CAST(i AS INTEGER) + 2] AS b,
+         CAST(sum(freq) AS BIGINT) AS w
+  FROM (SELECT freq, {syms} AS s FROM enc{r}),
+       unnest(range(greatest(len(s) - 1, 0))) AS t(i)
+  GROUP BY 1, 2
+),
+c{r} AS MATERIALIZED (
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, unnest({syms}) AS sym FROM enc{r})
+  GROUP BY 1
+),
+m{r} AS MATERIALIZED (
+  SELECT p.a, p.b, p.w,
+         (p.w * CAST({WP_SCORE_Q} AS BIGINT)) // (ca.c * cb.c) AS score_q
+  FROM p{r} p JOIN c{r} ca ON p.a = ca.sym JOIN c{r} cb ON p.b = cb.sym
+  ORDER BY score_q DESC, p.a, p.b LIMIT 1
+),
+enc{r + 1} AS MATERIALIZED (
+  SELECT term, freq,
+         replace(enc,
+                 coalesce({d1} || m.a || {d2} || {d1} || m.b || {d2},
+                          {d1} || {d1}),
+                 coalesce({d1} || m.a || m.b || {d2},
+                          {d1} || {d1})) AS enc
+  FROM enc{r} LEFT JOIN m{r} m ON TRUE
+)"""
+    return sql
+
+
+def _wp_merges_sql() -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, a, b, w, score_q FROM m{r}"
+        for r in range(WP_MERGE_ROUNDS)
+    )
+    return f"""
+WITH {_wp_cte_chain()}
+SELECT * FROM ({rows})
+"""
+
+
+@register("wordpiece_train_merges", oracle=_wp_merges_sql(), tags=("llmprep", "text"))
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece merge TABLE — the trained artifact a tokenizer
+    ships: one row per learned merge (round, left symbol, right
+    symbol, corpus-weighted pair count, integer score). See _wp_train
+    for the loop and determinism story; the oracle replays the whole
+    recurrence as an unrolled CTE chain (_wp_cte_chain) and emits the
+    per-round winners. If the vocabulary merges to fixpoint before
+    WP_MERGE_ROUNDS, the Spark loop breaks and the oracle's remaining
+    winner CTEs are empty — both engines emit the same shorter table."""
+    _, merges = _wp_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rnd long, a string, b string, w long, score_q long"
+    )
+
+
+def _wp_greedy_pieces(term: F.Column, pmap: F.Column) -> F.Column:
+    """Greedy longest-match-first segmentation of `term` against the
+    piece map `pmap` (piece -> true): the WordPiece ENCODE algorithm.
+    A fold over 1..length(term) carries the growing list of piece END
+    positions (init [0]); each step, if the last end p is short of the
+    word, appends p + j for the LARGEST j in WP_MAX_PIECE..1 whose
+    substring is in the map (single characters are always in the map
+    by construction, so progress is guaranteed and [UNK] never
+    arises); once p = length the fold is a fixpoint. Rendering marks
+    continuation pieces with the ## prefix. The fold list is
+    bind()-bound before rendering (the textops.bind O(n²) finding).
+    Cost is O(len · WP_MAX_PIECE) map probes per word — bounded by
+    word length, never document length — and entirely map-side."""
+    L = F.length(term)
+    steps = F.sequence(F.lit(1), L)
+
+    def gstep(acc: F.Column, _i: F.Column) -> F.Column:
+        p = F.element_at(acc, -1)
+        jb = F.coalesce(
+            *[
+                F.when(
+                    (p + F.lit(j) <= L.cast("long"))
+                    & F.try_element_at(
+                        pmap, term.substr((p + 1).cast("int"), F.lit(j))
+                    ).isNotNull(),
+                    F.lit(j).cast("long"),
+                )
+                for j in range(WP_MAX_PIECE, 0, -1)
+            ]
+        )
+        return F.when(p < L, F.concat(acc, F.array(p + jb))).otherwise(acc)
+
+    ends = F.aggregate(steps, F.array(F.lit(0).cast("long")), gstep)
+
+    def render(e: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(1), F.size(e) - 1)
+        return F.transform(
+            idx,
+            lambda k: F.concat(
+                F.when(k == 1, F.lit("")).otherwise(F.lit("##")),
+                term.substr(
+                    (F.element_at(e, k) + 1).cast("int"),
+                    (F.element_at(e, k + 1) - F.element_at(e, k)).cast("int"),
+                ),
+            ),
+        )
+
+    return bind(ends, render)
+
+
+def _wp_encode_sql() -> str:
+    n = WP_MERGE_ROUNDS
+    d1, d2 = "chr(1)", "chr(2)"
+    sep = f"{d2} || {d1}"
+    syms = f"string_split(substr(enc, 2, length(enc) - 2), {sep})"
+    jcases = ", ".join(
+        f"CASE WHEN acc[-1] + {j} <= length(term)"
+        f" AND len(map_extract(m, substr(term,"
+        f" CAST(acc[-1] + 1 AS INTEGER), {j}))) > 0"
+        f" THEN CAST({j} AS BIGINT) END"
+        for j in range(WP_MAX_PIECE, 0, -1)
+    )
+    ends = (
+        "list_reduce(list_prepend([CAST(0 AS BIGINT)],"
+        " list_transform(range(1, length(term) + 1),"
+        " i -> [CAST(i AS BIGINT)])),"
+        f" (acc, x) -> CASE WHEN acc[-1] < length(term)"
+        f" THEN list_append(acc, acc[-1] + coalesce({jcases}))"
+        " ELSE acc END)"
+    )
+    pieces = (
+        "list_transform(range(1, len(ends)), k ->"
+        " (CASE WHEN k = 1 THEN '' ELSE '##' END) ||"
+        " substr(term, CAST(ends[CAST(k AS INTEGER)] + 1 AS INTEGER),"
+        " CAST(ends[CAST(k + 1 AS INTEGER)] - ends[CAST(k AS INTEGER)]"
+        " AS INTEGER)))"
+    )
+    return f"""
+WITH {_wp_cte_chain()},
+final AS (SELECT term, freq, {syms} AS s FROM enc{n}),
+ps AS (
+  SELECT DISTINCT piece FROM (
+    SELECT unnest(s) AS piece FROM final
+    UNION ALL
+    SELECT substr(term, CAST(i AS INTEGER), 1)
+    FROM vocab, unnest(range(1, length(term) + 1)) AS t(i)
+  ) WHERE length(piece) <= {WP_MAX_PIECE}
+),
+pm AS (
+  SELECT MAP(coalesce(list(piece ORDER BY piece), []),
+             coalesce(list(TRUE ORDER BY piece), [])) AS m FROM ps
+),
+seg AS (
+  SELECT term, freq, {pieces} AS pieces
+  FROM (SELECT term, freq, {ends} AS ends FROM vocab, pm)
+),
+tot AS (SELECT CAST(sum(freq * len(pieces)) AS BIGINT) AS corpus_tokens FROM seg)
+SELECT term, array_to_string(pieces, ' ') AS token_seq,
+       CAST(len(pieces) AS BIGINT) AS n_tokens, freq, corpus_tokens
+FROM seg, tot
+ORDER BY freq DESC, term LIMIT {WP_ENCODE_TOP}
+"""
+
+
+@register("wordpiece_encode_corpus", oracle=_wp_encode_sql(), tags=("llmprep", "text"))
+def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODE — the deployed-tokenizer face: train the merge
+    table (_wp_train), derive the piece vocabulary (every distinct
+    symbol of the final encoded vocab UNION every single character, so
+    coverage is total and [UNK] never arises on the training corpus;
+    pieces longer than WP_MAX_PIECE are not eligible at encode — the
+    cap is part of the algorithm's definition in both engines), then
+    segment every distinct word by greedy longest-match-first
+    (_wp_greedy_pieces) with ## continuation rendering — BERT's
+    WordPiece encode, which is NOT merge replay: a word can segment
+    into pieces its own merge history never produced.
+
+    Scale shape: training is the BPE loop (vocab-linear rounds, 1-row
+    argmax syncs); the piece vocabulary is a bounded driver sync
+    (|alphabet| + ≤WP_MERGE_ROUNDS merge products); encode is a pure
+    map-side fold against the constant-folded literal piece map — no
+    join, no shuffle. Output: top WP_ENCODE_TOP words by corpus
+    frequency with their piece sequences plus the corpus token count
+    the packing stage would consume."""
+    final, _ = _wp_train(spark, sf_dir)
+    final = final.transform(spill_checkpoint)  # two consumers below
+    chars = F.filter(F.split(F.col("term"), ""), lambda x: x != "")
+    piece_rows = (
+        final.select(F.explode("s").alias("piece"))
+        .unionAll(final.select(F.explode(chars).alias("piece")))
+        .filter(F.length("piece") <= WP_MAX_PIECE)
+        .distinct()
+        .collect()
+    )
+    if piece_rows:
+        pmap = F.create_map(
+            *[x for r in piece_rows for x in (F.lit(r["piece"]), F.lit(True))]
+        )
+    else:  # empty-corpus guard: "" never matches a substr of length >= 1
+        pmap = F.create_map(F.lit(""), F.lit(True))
+    seg = final.select(
+        "term", "freq", _wp_greedy_pieces(F.col("term"), pmap).alias("pieces")
+    )
+    tot = seg.agg(F.sum(F.col("freq") * F.size("pieces")).alias("corpus_tokens"))
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.array_join("pieces", " ").alias("token_seq"),
+            F.size("pieces").cast("bigint").alias("n_tokens"),
+            "freq",
+            "corpus_tokens",
+        )
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(WP_ENCODE_TOP)
+    )
+
+
 CORPUS_MAX_ID = 400  # doc_id < this plays the existing corpus; rest = new batch
 
 _CANON_SQL = (

@@ -2697,6 +2697,83 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002) — the privacy face of the DQ gate
+# ---------------------------------------------------------------------------
+
+KANON_K = 5              # the k in k-anonymity
+KANON_BUCKET_CENTS = 100_000   # quasi-identifier balance bucket: $1000
+# c_acctbal >= -1000.00, so offsetting cents by 1e7 keeps every bucket
+# argument positive — integer division then agrees between Spark's
+# `div` (truncates toward zero) and DuckDB's `//` (floors), which
+# diverge on negatives.
+_KANON_OFFSET = 10_000_000
+
+_KANON_SQL = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_OFFSET})
+           // {KANON_BUCKET_CENTS} AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(sum(CASE WHEN k < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(sum(CASE WHEN k < {KANON_K} THEN k ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       CAST((sum(CASE WHEN k < {KANON_K} THEN k ELSE 0 END) * 1000000)
+            // sum(k) AS BIGINT) AS risk_ppm
+FROM classes GROUP BY c_mktsegment
+"""
+
+
+@register("dq_k_anonymity", oracle=_KANON_SQL, tags=("relational", "agg"))
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer
+    quasi-identifier tuple (nation, market segment, $1000 balance
+    bucket): an equivalence class smaller than KANON_K rows means
+    those customers are re-identifiable by joining the QI against an
+    external dataset — the audit a privacy review runs before a table
+    ships to analysts. Per segment: row/class counts, the smallest
+    class (k_min — the table's k-anonymity level), and the count and
+    ppm share of rows sitting in sub-k classes.
+
+    Determinism: the balance bucket is pure integer arithmetic on
+    rounded cents (offset positive so trunc-vs-floor integer division
+    agrees cross-engine — see _KANON_OFFSET); risk_ppm is an integer
+    division. Scale shape: ONE hash-agg over the QI tuple (map-side
+    partials collapse the table to |classes| rows) followed by a tiny
+    per-segment re-agg — the same double-agg discipline as
+    profile_key_skew; no joins, no window, 100 TB-safe by
+    construction."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.expr(
+        f"(CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_OFFSET})"
+        f" div {KANON_BUCKET_CENTS}"
+    )
+    classes = c.groupBy(
+        "c_mktsegment", "c_nationkey", bucket.alias("bal_bucket")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    below = F.when(F.col("k") < KANON_K, F.col("k")).otherwise(F.lit(0))
+    return classes.groupBy("c_mktsegment").agg(
+        F.sum("k").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("k").alias("k_min"),
+        F.sum(F.when(F.col("k") < KANON_K, 1).otherwise(0)).alias(
+            "classes_below_k"
+        ),
+        F.sum(below).alias("rows_below_k"),
+        F.expr(
+            f"(sum(CASE WHEN k < {KANON_K} THEN k ELSE 0 END) * 1000000)"
+            " div sum(k)"
+        ).alias("risk_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pagination (LIMIT + OFFSET) and value-based numeric RANGE frames
 # ---------------------------------------------------------------------------
 

@@ -1471,3 +1471,121 @@ def qc_score_with_weights(feats: DataFrame, weights: DataFrame) -> DataFrame:
             F.sum("wq").alias("zq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990) — statistically-bound word
+# pairs, the classic collocation-extraction signal a phrase-mining or
+# tokenizer-seeding pass runs over a corpus.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5        # pair support floor (hapax pairs have absurd PMI)
+PMI_TOP = 20
+# Ranking compares the integer lift (c_ab * Q) div (c_a * c_b) — with
+# the token total T and bigram total B constant, PMI is monotone in
+# lift, so the selected top-k is decided without a single float op.
+# Overflow headroom: c_ab * Q stays under 2^63 up to ~9e9 pair count.
+PMI_LIFT_Q = 1_000_000_000
+PMI_MICRO = 1_000_000    # reported PMI in integer micro-nats
+
+_PMI_SQL = f"""
+WITH words AS (
+  SELECT list_transform({_WORDS_SQL}, x -> lower(x)) AS w FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+    SELECT w[CAST(i AS INTEGER) + 1] AS w1, w[CAST(i AS INTEGER) + 2] AS w2
+    FROM words, unnest(range(greatest(len(w) - 1, 0))) AS t(i)
+  ) GROUP BY 1, 2
+),
+btot AS (SELECT CAST(sum(c2) AS BIGINT) AS b FROM c2)
+SELECT p.w1, p.w2, p.c2 AS pair_count,
+       (p.c2 * CAST({PMI_LIFT_Q} AS BIGINT)) // (ua.c1 * ub.c1) AS lift_q,
+       CAST(round((ln(p.c2 * 1.0 / ua.c1) - ln(ub.c1 * 1.0 / t.t)
+                   - ln(b.b * 1.0 / t.t)) * {PMI_MICRO}) AS BIGINT) AS pmi_micro
+FROM c2 p JOIN uni ua ON p.w1 = ua.w1 JOIN uni ub ON p.w2 = ub.w1, tot t, btot b
+WHERE p.c2 >= {PMI_MIN_COUNT}
+ORDER BY lift_q DESC, p.w1, p.w2 LIMIT {PMI_TOP}
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_SQL, tags=("text", "llmprep"))
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations: adjacent lowercased word pairs scored by
+    pointwise mutual information ln(P(ab) / (P(a)·P(b))) (Church &
+    Hanks 1990), support-floored at PMI_MIN_COUNT. The top-k SET is
+    selected by the integer lift (c_ab·Q) div (c_a·c_b) — monotone in
+    PMI at fixed corpus totals — with (lift DESC, w1, w2) tie-break,
+    so selection never touches a float; the reported pmi_micro is the
+    micro-nat quantization of three single-division ln terms written
+    identically in both engines (the text_bigram_lm_score ln
+    discipline): ln(c_ab/c_a) − ln(c_b/T) − ln(B/T).
+
+    Scale shape: ONE hash-agg builds the unigram table and ONE the
+    bigram table (map-side partials; the bigram table is data-sized
+    and checkpointed — two consumers: the total and the scoring join);
+    the unigram joins are keyed SHUFFLED joins, never broadcast,
+    because a real unigram table is billions of rows at 100 TB (the
+    bigram-LM precedent); T and B are the only broadcast scalars; the
+    final top-k is TakeOrderedAndProject."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w_lower = F.transform(_words(), lambda x: F.lower(x))
+    uni = (
+        d.select(F.explode(w_lower).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .transform(spill_checkpoint)  # three consumers: tot + two joins
+    )
+    tot = uni.agg(F.sum("c1").alias("t"))
+    pairs = bind(
+        w_lower,
+        lambda w: F.transform(
+            ngram_indices(w, 2),
+            lambda i: F.struct(w[i].alias("w1"), w[i + 1].alias("w2")),
+        ),
+    )
+    c2 = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .transform(spill_checkpoint)  # two consumers: btot + scoring
+    )
+    btot = c2.agg(F.sum("c2").alias("b"))
+    ua = uni.select(F.col("w1").alias("uw1"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w1").alias("uw2"), F.col("c1").alias("cb"))
+    scored = (
+        c2.filter(F.col("c2") >= PMI_MIN_COUNT)
+        .join(ua, F.col("w1") == F.col("uw1"))
+        .join(ub, F.col("w2") == F.col("uw2"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    lift_q = F.expr(f"(c2 * CAST({PMI_LIFT_Q} AS BIGINT)) div (ca * cb)")
+    pmi_micro = (
+        F.round(
+            (
+                F.log(F.col("c2") * 1.0 / F.col("ca"))
+                - F.log(F.col("cb") * 1.0 / F.col("t"))
+                - F.log(F.col("b") * 1.0 / F.col("t"))
+            )
+            * PMI_MICRO
+        )
+        .cast("bigint")
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_count"),
+            lift_q.alias("lift_q"),
+            pmi_micro.alias("pmi_micro"),
+        )
+        .orderBy(F.desc("lift_q"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP)
+    )
