@@ -57,7 +57,7 @@ def register(
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (7): the unigram-LM tokenizer (full
+    # --- (a) round-8 additions (9): the unigram-LM tokenizer (full
     # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
     # n-gram saturation curve (dedup-ROI diagnostic), CDC chunk
     # dedup (content-defined chunking, the storage-class granularity
@@ -65,10 +65,15 @@ _CHECKED_FIRST = [
     # tokenizer pair (merge table + greedy longest-match encode —
     # the THIRD tokenizer family, normalized-score argmax replayed
     # cross-engine), PMI collocations (integer-lift ranked), and the
-    # k-anonymity audit (privacy face of the DQ gate) ---
+    # k-anonymity audit (privacy face of the DQ gate), plus RAKE and
+    # CUSUM below ---
     "unigram_tokenize_corpus", "corpus_ngram_saturation", "dedup_cdc_chunks",
     "wordpiece_train_merges", "wordpiece_encode_corpus",
     "text_collocations_pmi", "dq_k_anonymity",
+    # (a, cont.) RAKE keyword extraction (phrase-level keyword signal
+    # beside tf-idf and PMI) and the CUSUM changepoint detector
+    # (prefix-sum/running-min identity distributes Page's recursion)
+    "text_keyword_rake", "events_changepoint_cusum",
     # --- (b) round-8 modified implementations (26): every registered
     # query whose PLAN changed in round 8 — the textops.bind O(words²)
     # sweep rewrote the gram build of the whole shingle/contamination/
@@ -88,18 +93,18 @@ _CHECKED_FIRST = [
     "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
     "text_fingerprint_clusters", "text_top_bigrams",
     "text_repetition_scores", "text_boilerplate_phrases",
-    # --- (c) stalest refresh (11 of the 29 remaining r3-latest rows;
-    # the 18 left over — including transform_chain, ts_validate,
-    # dedup_embedding_lsh, domain_mix_weights, embedding_quantize_int8
-    # and pack_chunks_budget, displaced by the six late round-8
-    # additions — lead round 9's tranche): the reference log core
-    # (normalize/redact/agg_filter_reason), bench head
-    # text_perplexity_proxy, and one member each for events/
-    # multimodal/sampling/streaming; every displaced row's family
-    # keeps an in-window member ---
+    # --- (c) stalest refresh (9 of the 29 remaining r3-latest rows;
+    # the 20 left over — including transform_chain, ts_validate,
+    # dedup_embedding_lsh, domain_mix_weights, embedding_quantize_int8,
+    # pack_chunks_budget, pii_scan_documents and rfm_segments,
+    # displaced by the eight late round-8 additions — lead round 9's
+    # tranche): the reference log core (normalize/redact/
+    # agg_filter_reason), bench head text_perplexity_proxy, and one
+    # member each for events/multimodal/sampling/streaming; every
+    # displaced row's family keeps an in-window member ---
     "agg_filter_reason", "events_dau_wau", "multimodal_decode_stats",
-    "normalize_fields", "pii_scan_documents",
-    "q7_volume_shipping", "redact", "rfm_segments",
+    "normalize_fields",
+    "q7_volume_shipping", "redact",
     "sample_domain_balanced", "stream_sliding_avg", "text_perplexity_proxy",
     # --- (d) family representatives whose families otherwise have no
     # in-window member this round (knn, capstone, warehouse, ann-index,

@@ -1371,3 +1371,112 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         z.alias("z_vs_pooled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (Page 1954) on the hourly event rate
+# ---------------------------------------------------------------------------
+
+CUSUM_SLACK_DIV = 2   # slack k = mean/2: alarm accumulates past 1.5x mean
+CUSUM_H_MULT = 3      # alarm threshold h = 3x mean (cumulative excess hours)
+
+_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST((CAST(sum(x) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+              AS BIGINT) AS mean_milli
+  FROM hourly GROUP BY 1
+),
+d AS (
+  SELECT h.event_type, h.hour_start, m.mean_milli,
+         h.x * 1000 - m.mean_milli - (m.mean_milli // {CUSUM_SLACK_DIV}) AS d
+  FROM hourly h JOIN m ON h.event_type = m.event_type
+),
+p AS (
+  SELECT event_type, hour_start, mean_milli,
+         sum(d) OVER (PARTITION BY event_type ORDER BY hour_start
+                      ROWS UNBOUNDED PRECEDING) AS p
+  FROM d
+),
+s AS (
+  SELECT event_type, hour_start, mean_milli,
+         p - least(CAST(0 AS BIGINT),
+                   min(p) OVER (PARTITION BY event_type ORDER BY hour_start
+                                ROWS UNBOUNDED PRECEDING)) AS s
+  FROM p
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(min(mean_milli) AS BIGINT) AS mean_milli,
+       CAST(sum(CASE WHEN s >= {CUSUM_H_MULT} * mean_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarm_hours,
+       min(CASE WHEN s >= {CUSUM_H_MULT} * mean_milli THEN hour_start END)
+         AS first_alarm,
+       CAST(max(s) AS BIGINT) AS max_cusum_milli
+FROM s GROUP BY event_type
+"""
+
+
+@register("events_changepoint_cusum", oracle=_CUSUM_SQL, tags=("events", "temporal"))
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector (Page 1954) on the hourly
+    event rate per type: s_i = max(0, s_{i-1} + (x_i − μ − k)) with
+    slack k = μ/2 and alarm threshold h = 3μ — the sequential test an
+    ops pipeline runs to catch a sustained rate shift that no
+    single-point z-score flags. The recursive max is NOT a window
+    function; it distributes via the prefix-sum identity
+    s_i = P_i − min(0, min_{j≤i} P_j) (P = running sum of the slacked
+    deviations), so the whole detector is two stacked running
+    aggregates over each series — no iteration, no UDF.
+
+    Determinism: μ is quantized to integer milli-events/hour by floor
+    division before any use, so deviations, prefix sums, and alarms
+    are pure BIGINT arithmetic (hour buckets make series order total —
+    one row per (type, hour)).
+
+    Scale shape: the data-sized step is the hourly hash-agg (map-side
+    partials); everything after operates on |types| × |hours| rows —
+    bounded by calendar time, not data volume. The per-type window
+    sort is the only per-series state; a type's series at 100 TB is
+    still just its hour count (~9k rows/year). Detects rate INCREASES
+    on observed hours (an absent hour has no row; pair with
+    events_resample_1h's spine when downshift detection matters)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    m = hourly.groupBy("event_type").agg(
+        F.expr("(sum(x) * 1000) div count(1)").alias("mean_milli")
+    )
+    d = hourly.join(m, "event_type").select(
+        "event_type",
+        "hour_start",
+        "mean_milli",
+        (
+            F.col("x") * 1000
+            - F.col("mean_milli")
+            - F.expr(f"mean_milli div {CUSUM_SLACK_DIV}")
+        ).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.withColumn("p", F.sum("d").over(w))
+    s = p.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    alarm = F.col("s") >= CUSUM_H_MULT * F.col("mean_milli")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.min("mean_milli").alias("mean_milli"),
+        F.sum(F.when(alarm, 1).otherwise(0)).alias("n_alarm_hours"),
+        F.min(F.when(alarm, F.col("hour_start"))).alias("first_alarm"),
+        F.max("s").alias("max_cusum_milli"),
+    )

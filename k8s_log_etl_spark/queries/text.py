@@ -1589,3 +1589,154 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_q"), F.asc("w1"), F.asc("w2"))
         .limit(PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) — the
+# phrase-level keyword signal beside tf-idf (term-level) and PMI
+# (pair-level): candidate phrases are maximal stopword-free word runs,
+# scored by the sum of their words' degree/frequency ratios.
+# ---------------------------------------------------------------------------
+
+RAKE_TOP = 20
+RAKE_MAX_PHRASE = 4      # candidate phrases longer than this are noise runs
+RAKE_SCORE_Q = 1_000_000  # per-word deg/freq ratio in integer micro-units
+
+_RAKE_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.i AS pos, lower(w[CAST(t.i AS INTEGER)]) AS word
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+tagged AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN word IN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+),
+segged AS (
+  SELECT doc_id, pos, word, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM tagged
+),
+phrases AS MATERIALIZED (
+  SELECT doc_id, seg,
+         array_to_string(list(word ORDER BY pos), ' ') AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM segged WHERE is_stop = 0
+  GROUP BY doc_id, seg
+  HAVING count(*) <= {RAKE_MAX_PHRASE}
+),
+occur AS MATERIALIZED (
+  SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS word
+  FROM phrases
+),
+wscore AS MATERIALIZED (
+  SELECT word,
+         (CAST(sum(n_words) AS BIGINT) * {RAKE_SCORE_Q})
+           // CAST(count(*) AS BIGINT) AS ws_q
+  FROM occur GROUP BY word
+),
+pscore AS (
+  SELECT o.phrase, CAST(sum(s.ws_q) AS BIGINT) AS score_q
+  FROM occur o JOIN wscore s ON o.word = s.word
+  GROUP BY o.phrase
+),
+pcount AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(min(n_words) AS BIGINT) AS n_words
+  FROM phrases GROUP BY phrase
+)
+SELECT p.phrase, c.n_words, c.n_occurrences,
+       CAST((p.score_q // c.n_occurrences) AS BIGINT) AS score_micro
+FROM pscore p JOIN pcount c ON p.phrase = c.phrase
+ORDER BY score_micro DESC, p.phrase LIMIT {RAKE_TOP}
+"""
+
+
+@register("text_keyword_rake", oracle=_RAKE_SQL, tags=("text", "llmprep"))
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): split each document
+    into candidate phrases at stopwords (maximal stopword-free runs,
+    capped at RAKE_MAX_PHRASE words), score each word as
+    degree/frequency — degree = the summed length of every phrase
+    occurrence containing it, frequency = its occurrence count — and
+    each phrase as the sum of its words' scores. The classic cheap
+    keyword extractor a corpus-exploration pass runs before anything
+    learned.
+
+    Determinism: per-word scores are quantized FIRST ((deg · Q) div
+    freq — integer division, bit-identical cross-engine), so phrase
+    scores are order-free integer sums; every phrase occurrence of the
+    same text contributes the same word multiset, so scoring the
+    distinct phrase is exact (score_q accumulates per occurrence and
+    divides back by the occurrence count — integers throughout).
+
+    Scale shape: one posexplode, ONE per-doc window (a running sum of
+    the stopword flag assigns segment ids — partitions are documents,
+    so state is one doc's tokens), then phrase/word hash-aggs, one
+    keyed word→score join (shuffled; the word-score table is
+    vocabulary-sized), and a TakeOrderedAndProject top-k. No
+    cartesian, no broadcast of data-sized frames; everything keyed on
+    8-byte-or-string hash-agg keys — the dedup_lines_corpus cost
+    class."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = d.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "raw")
+    ).select("doc_id", "pos", F.lower(F.col("raw")).alias("word"))
+    tagged = toks.withColumn(
+        "is_stop",
+        F.when(F.array_contains(stop_arr, F.col("word")), 1).otherwise(0),
+    )
+    seg_w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    segged = tagged.withColumn("seg", F.sum("is_stop").over(seg_w))
+    phrases = (
+        segged.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= RAKE_MAX_PHRASE)
+        .transform(spill_checkpoint)  # two consumers: occur + pcount
+    )
+    occur = phrases.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("word")
+    ).transform(spill_checkpoint)  # two consumers: wscore + pscore
+    wscore = occur.groupBy("word").agg(
+        F.expr(
+            f"(sum(n_words) * {RAKE_SCORE_Q}) div count(1)"
+        ).alias("ws_q")
+    )
+    pscore = (
+        occur.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(F.sum("ws_q").alias("score_q"))
+    )
+    pcount = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("n_words").alias("n_words"),
+    )
+    return (
+        pscore.join(pcount, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.expr("score_q div n_occurrences").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )
