@@ -57,7 +57,7 @@ def register(
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (9): the unigram-LM tokenizer (full
+    # --- (a) round-8 additions (11): the unigram-LM tokenizer (full
     # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
     # n-gram saturation curve (dedup-ROI diagnostic), CDC chunk
     # dedup (content-defined chunking, the storage-class granularity
@@ -71,9 +71,15 @@ _CHECKED_FIRST = [
     "wordpiece_train_merges", "wordpiece_encode_corpus",
     "text_collocations_pmi", "dq_k_anonymity",
     # (a, cont.) RAKE keyword extraction (phrase-level keyword signal
-    # beside tf-idf and PMI) and the CUSUM changepoint detector
-    # (prefix-sum/running-min identity distributes Page's recursion)
+    # beside tf-idf and PMI), the CUSUM changepoint detector
+    # (prefix-sum/running-min identity distributes Page's recursion),
+    # the interpolated Kneser-Ney bigram LM (the smoothing-taxonomy
+    # sibling of the add-one bigram LM — P stays one integer ratio so
+    # nll is a single cross-engine ln), and the Benford first-digit
+    # audit (fraud/synthetic-amount screen; digits read from exact
+    # cents-integer strings, never float log10)
     "text_keyword_rake", "events_changepoint_cusum",
+    "text_kneser_ney_lm", "dq_benford_first_digit",
     # --- (b) round-8 modified implementations (26): every registered
     # query whose PLAN changed in round 8 — the textops.bind O(words²)
     # sweep rewrote the gram build of the whole shingle/contamination/
@@ -93,18 +99,19 @@ _CHECKED_FIRST = [
     "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
     "text_fingerprint_clusters", "text_top_bigrams",
     "text_repetition_scores", "text_boilerplate_phrases",
-    # --- (c) stalest refresh (9 of the 29 remaining r3-latest rows;
-    # the 20 left over — including transform_chain, ts_validate,
+    # --- (c) stalest refresh (7 of the 29 remaining r3-latest rows;
+    # the 22 left over — including transform_chain, ts_validate,
     # dedup_embedding_lsh, domain_mix_weights, embedding_quantize_int8,
-    # pack_chunks_budget, pii_scan_documents and rfm_segments,
-    # displaced by the eight late round-8 additions — lead round 9's
-    # tranche): the reference log core (normalize/redact/
-    # agg_filter_reason), bench head text_perplexity_proxy, and one
-    # member each for events/multimodal/sampling/streaming; every
-    # displaced row's family keeps an in-window member ---
+    # pack_chunks_budget, pii_scan_documents, rfm_segments,
+    # normalize_fields and redact, displaced by the ten late round-8
+    # additions (every addition has NO driver row at all, strictly
+    # ahead of refreshing a green r3 row) — lead round 9's tranche):
+    # the log-family rep agg_filter_reason, bench head
+    # text_perplexity_proxy, and one member each for events/
+    # multimodal/sampling/streaming/relational; every displaced row's
+    # family keeps an in-window member ---
     "agg_filter_reason", "events_dau_wau", "multimodal_decode_stats",
-    "normalize_fields",
-    "q7_volume_shipping", "redact",
+    "q7_volume_shipping",
     "sample_domain_balanced", "stream_sliding_avg", "text_perplexity_proxy",
     # --- (d) family representatives whose families otherwise have no
     # in-window member this round (knn, capstone, warehouse, ann-index,

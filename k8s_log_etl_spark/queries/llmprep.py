@@ -4024,3 +4024,156 @@ def corpus_ngram_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(new_grams * 1000000 div greatest(shard_grams, 1) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (Kneser & Ney 1995) — the smoothing
+# taxonomy sibling of text_bigram_lm_score's add-one model
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT_MILLI = 750   # absolute discount d = 0.75, in milli-counts
+_KN_Q = 1000              # count scale matching the milli discount
+# Per-bigram probability stays ONE exact integer ratio num/den (see
+# below), so nll is a single ln of integers — the established
+# cross-engine discipline. Overflow headroom: the num/den terms are
+# count · _KN_Q · (bigram types + vocab); they stay under 2^63 up to
+# ~1e8-token training corpora per product term — past that, drop _KN_Q
+# or train the LM on a bounded sample (the WordPiece score note).
+
+_KN_SQL = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_SQL} AS w,
+         ({X.md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT})
+           AS is_train
+  FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, is_train, w[t.i+1] AS w1, w[t.i+2] AS w2
+  FROM words, unnest(range(greatest(len(w) - 1, 0))) AS t(i)
+),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bg WHERE is_train GROUP BY w1, w2
+),
+c1 AS MATERIALIZED (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM c2 GROUP BY w1
+),
+cont AS MATERIALIZED (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1pc FROM c2 GROUP BY w2
+),
+tots AS (
+  SELECT CAST(count(*) AS BIGINT) AS nbt,
+         CAST(count(DISTINCT w2) AS BIGINT) AS v
+  FROM c2
+),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN a.c1 IS NULL
+              THEN {_KN_Q} * (coalesce(k.n1pc, 0) + 1)
+              ELSE greatest({_KN_Q} * coalesce(b.c2, 0)
+                            - {KN_DISCOUNT_MILLI}, 0) * (s.nbt + s.v)
+                   + {KN_DISCOUNT_MILLI} * a.n1p * (coalesce(k.n1pc, 0) + 1)
+         END AS num,
+         CASE WHEN a.c1 IS NULL
+              THEN {_KN_Q} * (s.nbt + s.v)
+              ELSE {_KN_Q} * a.c1 * (s.nbt + s.v)
+         END AS den
+  FROM bg t
+  LEFT JOIN c2 b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN c1 a ON t.w1 = a.w1
+  LEFT JOIN cont k ON t.w2 = k.w2
+  CROSS JOIN tots s
+  WHERE NOT t.is_train
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(round(ln(den * 1.0 / num) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_nll_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_kneser_ney_lm", oracle=_KN_SQL, tags=("llmprep", "text"))
+def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995) — the
+    smoothing that made n-gram LMs work, beside text_bigram_lm_score's
+    add-one baseline: P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1)
+    + d·N1+(w1,·)/c(w1) · Pcont(w2), where the continuation
+    probability Pcont(w2) = (N1+(·,w2) + 1)/(|bigram types| + V)
+    counts how many CONTEXTS a word follows, not how often ("francisco"
+    is frequent but only ever follows "san"). The +1/+V floor keeps
+    unseen continuations finite; a held-out bigram with an unseen
+    context backs off to Pcont alone. Trained on the md5 90% split,
+    scores every held-out document (the bigram-LM train/apply shape).
+
+    Determinism: with d in milli-counts, P is ONE exact integer ratio
+    num/den (common denominator Q·c1·(nbt+v)), so per-bigram nll is a
+    single ln of an integer ratio quantized to micro-nats — the
+    text_bigram_lm_score discipline extended to interpolated
+    smoothing; sums are order-free integers.
+
+    Scale shape: identical to text_bigram_lm_score — the model is two
+    hash-aggs over the train bigram stream (c2, then the c1/N1+ and
+    continuation tables DERIVED from c2, vocab-sized); the held-out
+    stream joins the model on keyed SHUFFLED joins (never broadcast —
+    billions of model rows at 100 TB); the (nbt, v) scalar pair is the
+    only broadcast."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
+    pairs = bind(
+        _words(),
+        lambda w: F.transform(
+            ngram_indices(w, 2),
+            lambda i: F.struct(w[i].alias("w1"), w[i + 1].alias("w2")),
+        ),
+    )
+    bg = d.select(
+        "doc_id", is_train.alias("is_train"), F.explode(pairs).alias("p")
+    ).select(
+        "doc_id", "is_train", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = (
+        bg.filter(F.col("is_train"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .transform(spill_checkpoint)  # three consumers: c1, cont, tots (+join)
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1pc"))
+    tots = c2.agg(
+        F.count(F.lit(1)).alias("nbt"), F.countDistinct("w2").alias("v")
+    )
+    test = bg.filter(~F.col("is_train"))
+    num = F.when(
+        F.col("c1").isNull(),
+        _KN_Q * (F.coalesce(F.col("n1pc"), F.lit(0)) + 1),
+    ).otherwise(
+        F.greatest(
+            _KN_Q * F.coalesce(F.col("c2"), F.lit(0)) - KN_DISCOUNT_MILLI,
+            F.lit(0),
+        )
+        * (F.col("nbt") + F.col("v"))
+        + KN_DISCOUNT_MILLI
+        * F.col("n1p")
+        * (F.coalesce(F.col("n1pc"), F.lit(0)) + 1)
+    )
+    den = F.when(
+        F.col("c1").isNull(), _KN_Q * (F.col("nbt") + F.col("v"))
+    ).otherwise(_KN_Q * F.col("c1") * (F.col("nbt") + F.col("v")))
+    nll_micro = F.round(F.log(den * 1.0 / num) * 1_000_000).cast("bigint")
+    return (
+        test.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", nll_micro.alias("nll_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_micro").alias("sum_nll_micro"),
+        )
+    )

@@ -2774,6 +2774,78 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benford's-law first-digit audit (Newcomb 1881, Benford 1938) — the
+# fraud/synthetic-data screen beside the k-anonymity privacy audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
+SELECT d.digit,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST((count(*) * 1000000) // t.n AS BIGINT) AS share_ppm,
+       CAST(round(ln((d.digit + 1) * 1.0 / d.digit) / ln(10) * 1000000)
+            AS BIGINT) AS benford_ppm,
+       CAST((count(*) * 1000000) // t.n
+            - round(ln((d.digit + 1) * 1.0 / d.digit) / ln(10) * 1000000)
+            AS BIGINT) AS delta_ppm
+FROM digits d, tot t
+GROUP BY d.digit, t.n
+"""
+
+
+@register("dq_benford_first_digit", oracle=_BENFORD_SQL, tags=("relational", "agg"))
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic screen for fabricated or synthetically-generated
+    amounts (real multiplicative-process data follows
+    P(d) = log10(1 + 1/d); uniform generators don't). One row per
+    digit with the observed count, observed share, the Benford
+    expectation, and the deviation, all in integer ppm.
+
+    Determinism: the first digit comes from the DECIMAL STRING of the
+    exact rounded-cents integer (no float log10 thresholding at
+    power-of-ten boundaries — 999.999... cents round identically in
+    both engines before any digit is read); shares are integer floor
+    divisions; the Benford expectation is one ln ratio per digit
+    (the established single-expression ln discipline). TPC-H-style
+    uniform prices should FAIL this audit — the interesting output is
+    the delta column, not a pass flag.
+
+    Scale shape: one narrow scan + one 9-key hash-agg with map-side
+    partials, plus a broadcast total scalar. Nothing to optimize at
+    any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    digits = o.filter(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    benford_ppm = F.round(
+        F.log((F.col("digit") + 1) * 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(n_orders * 1000000) div n").alias("share_ppm"),
+            benford_ppm.alias("benford_ppm"),
+            (
+                F.expr("(n_orders * 1000000) div n") - benford_ppm
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pagination (LIMIT + OFFSET) and value-based numeric RANGE frames
 # ---------------------------------------------------------------------------
 
