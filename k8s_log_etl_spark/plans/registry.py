@@ -57,7 +57,7 @@ def register(
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (11): the unigram-LM tokenizer (full
+    # --- (a) round-8 additions (13): the unigram-LM tokenizer (full
     # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
     # n-gram saturation curve (dedup-ROI diagnostic), CDC chunk
     # dedup (content-defined chunking, the storage-class granularity
@@ -80,6 +80,12 @@ _CHECKED_FIRST = [
     # cents-integer strings, never float log10)
     "text_keyword_rake", "events_changepoint_cusum",
     "text_kneser_ney_lm", "dq_benford_first_digit",
+    # (a, cont.) cross-source exact-overlap matrix (provenance audit;
+    # grouped expansion from per-hash source sets — NOTE it returns 0
+    # rows at sf0.01 because the synthetic corpus has no cross-source
+    # exact dups; semantics carried by tests/test_overlap_readability)
+    # and Flesch-Kincaid readability (integer milli-grades map-side)
+    "corpus_source_overlap", "text_readability_fk",
     # --- (b) round-8 modified implementations (26): every registered
     # query whose PLAN changed in round 8 — the textops.bind O(words²)
     # sweep rewrote the gram build of the whole shingle/contamination/
@@ -99,20 +105,21 @@ _CHECKED_FIRST = [
     "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
     "text_fingerprint_clusters", "text_top_bigrams",
     "text_repetition_scores", "text_boilerplate_phrases",
-    # --- (c) stalest refresh (7 of the 29 remaining r3-latest rows;
-    # the 22 left over — including transform_chain, ts_validate,
+    # --- (c) stalest refresh (5 of the 29 remaining r3-latest rows;
+    # the 24 left over — transform_chain, ts_validate,
     # dedup_embedding_lsh, domain_mix_weights, embedding_quantize_int8,
     # pack_chunks_budget, pii_scan_documents, rfm_segments,
-    # normalize_fields and redact, displaced by the ten late round-8
-    # additions (every addition has NO driver row at all, strictly
-    # ahead of refreshing a green r3 row) — lead round 9's tranche):
-    # the log-family rep agg_filter_reason, bench head
-    # text_perplexity_proxy, and one member each for events/
-    # multimodal/sampling/streaming/relational; every displaced row's
-    # family keeps an in-window member ---
+    # normalize_fields, redact, stream_sliding_avg,
+    # text_perplexity_proxy and the rest, displaced by the twelve late
+    # round-8 additions (every addition has NO driver row at all,
+    # strictly ahead of refreshing a green r3 row) — lead round 9's
+    # tranche, which MUST start with stream_sliding_avg (streaming's
+    # only candidate slot; its coverage this round rides the two
+    # streaming bench heads + the pytest equivalence twins): the five
+    # remaining rows are exactly the family representatives the
+    # registry-order test pins ---
     "agg_filter_reason", "events_dau_wau", "multimodal_decode_stats",
-    "q7_volume_shipping",
-    "sample_domain_balanced", "stream_sliding_avg", "text_perplexity_proxy",
+    "q7_volume_shipping", "sample_domain_balanced",
     # --- (d) family representatives whose families otherwise have no
     # in-window member this round (knn, capstone, warehouse, ann-index,
     # ann-eval, graph — tests/test_registry_order.py pins coverage) ---

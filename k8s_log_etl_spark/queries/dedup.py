@@ -2376,3 +2376,90 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("first_bytes", F.lit(0)).alias("first_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source exact-overlap matrix — the provenance audit a data team
+# runs before paying for a new source
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_filter(string_split_regex(lower(trim(text)),
+             '\\s+'), x -> x <> ''), ' ')) AS h
+  FROM documents
+),
+stot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hashes FROM hashed GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       ta.n_hashes AS n_hashes_a, tb.n_hashes AS n_hashes_b,
+       CAST((s.n_shared * 1000000) // least(ta.n_hashes, tb.n_hashes)
+            AS BIGINT) AS containment_ppm
+FROM shared s
+JOIN stot ta ON s.source_a = ta.source
+JOIN stot tb ON s.source_b = tb.source
+"""
+
+
+@register("corpus_source_overlap", oracle=_SRC_OVERLAP_SQL, tags=("dedup", "llmprep"))
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every source pair,
+    how many canonical text hashes they SHARE, and that count as ppm
+    of the smaller source's distinct corpus (containment of the
+    smaller in the larger) — the audit that tells a sourcing team a
+    candidate dataset is already 40% inside what they own before they
+    pay for it. Dedup_exact's canonicalization (lowercase, whitespace
+    collapsed, md5).
+
+    Scale shape: the per-(source, hash) distinct collapses the corpus
+    once (hash-agg, 32 B keys); pairs then expand MAP-SIDE from the
+    per-hash sorted source set — bounded by |sources| per hash, never
+    a doc-level self-join (the parts_copurchased grouped-expansion
+    discipline; the oracle keeps the literal self-join to pin the
+    equivalence). Source totals are a |sources|-row broadcast."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    canon = F.concat_ws(
+        " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    )
+    hashed = d.select("source", F.md5(canon).alias("h")).distinct()
+    stot = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n_hashes"))
+    srcs = hashed.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    ss = F.col("ss")
+    pair_list = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + 2, F.size(ss)),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
+        )
+    )
+    shared = (
+        srcs.select(F.explode(pair_list).alias("p"))
+        .groupBy(F.col("p.sa").alias("source_a"), F.col("p.sb").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = stot.select(F.col("source").alias("source_a"), F.col("n_hashes").alias("n_hashes_a"))
+    tb = stot.select(F.col("source").alias("source_b"), F.col("n_hashes").alias("n_hashes_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_hashes_a",
+            "n_hashes_b",
+            F.expr(
+                "(n_shared * 1000000) div least(n_hashes_a, n_hashes_b)"
+            ).alias("containment_ppm"),
+        )
+    )

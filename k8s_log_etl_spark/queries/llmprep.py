@@ -1995,7 +1995,15 @@ ORDER BY freq DESC, term LIMIT {WP_ENCODE_TOP}
 """
 
 
-@register("wordpiece_encode_corpus", oracle=_wp_encode_sql(), tags=("llmprep", "text"))
+# bench=True: the round-8 tokenizer capstone — trains the WordPiece
+# merge table AND greedy-encodes the vocabulary in one run; ~2 s at
+# sf0.1 and near-flat across both measured decades (vocab-linear).
+@register(
+    "wordpiece_encode_corpus",
+    oracle=_wp_encode_sql(),
+    tags=("llmprep", "text"),
+    bench=True,
+)
 def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece ENCODE — the deployed-tokenizer face: train the merge
     table (_wp_train), derive the piece vocabulary (every distinct

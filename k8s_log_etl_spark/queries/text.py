@@ -1740,3 +1740,102 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch-Kincaid readability (Kincaid et al. 1975) — the classic
+# grade-level signal corpus quality filters bucket documents by
+# ---------------------------------------------------------------------------
+
+_FK_SYL_RE = "[aeiouy]+"
+_FK_SENT_RE = "[.!?]+"
+
+_FK_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(w) AS BIGINT) AS nw,
+         greatest(CAST(len(list_filter(string_split_regex(text, '{_FK_SENT_RE}'),
+                                       x -> trim(x) <> '')) AS BIGINT), 1) AS ns,
+         CAST(list_sum(list_transform(w,
+              x -> greatest(len(regexp_extract_all(lower(x), '{_FK_SYL_RE}')), 1)))
+              AS BIGINT) AS ny
+  FROM (SELECT source, text, {_WORDS_SQL} AS w FROM documents)
+  WHERE len(w) >= 1
+),
+graded AS (
+  SELECT source,
+         (390 * nw) // ns + (11800 * ny) // nw - 15590 AS g_milli
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(g_milli) AS BIGINT) AS min_grade_milli,
+       CAST(max(g_milli) AS BIGINT) AS max_grade_milli,
+       round(sum(g_milli) * 1.0 / count(*) / 1000, 6) AS avg_grade
+FROM graded GROUP BY source
+"""
+
+
+@register("text_readability_fk", oracle=_FK_SQL, tags=("text", "llmprep"))
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per source (Kincaid et al. 1975):
+    0.39·(words/sentences) + 11.8·(syllables/word) − 15.59, the
+    readability bucket corpus-quality filters use alongside Gopher
+    rules. Syllables are vowel-group runs ([aeiouy]+ matches, floored
+    at 1/word — the standard heuristic), sentences split on [.!?]+
+    runs (floored at 1 so terminator-free docs count as one
+    sentence); empty docs are excluded (no words = no grade).
+
+    Determinism: each document's grade is computed in integer
+    milli-grades with floor division on all-positive operands
+    ((390·W) div S + (11800·Y) div W − 15590), so per-source sums are
+    order-free; only the final per-source average divides floats
+    (single division, round 6 — the avg_nll pattern). Both regexes
+    are in the Java-regex/RE2-common subset.
+
+    Scale shape: entirely map-side per document (one split + one
+    per-word regex fold; no explode — the syllable sum is an array
+    aggregate) followed by one |sources|-key hash-agg. Scan-bound at
+    any scale."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    w = _words()
+    sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), _FK_SENT_RE), lambda x: F.trim(x) != ""
+            )
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syl = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(F.lower(x), F.lit(_FK_SYL_RE), 0)),
+            F.lit(1),
+        ).cast("long"),
+    )
+    per_doc = (
+        d.select(
+            "source",
+            F.size(w).cast("long").alias("nw"),
+            sent.alias("ns"),
+            syl.alias("ny"),
+        )
+        .filter(F.col("nw") >= 1)
+    )
+    graded = per_doc.select(
+        "source",
+        F.expr("(390 * nw) div ns + (11800 * ny) div nw - 15590").alias(
+            "g_milli"
+        ),
+    )
+    return graded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("g_milli").alias("min_grade_milli"),
+        F.max("g_milli").alias("max_grade_milli"),
+        F.round(F.sum("g_milli") / F.count(F.lit(1)) / 1000, 6).alias(
+            "avg_grade"
+        ),
+    )
