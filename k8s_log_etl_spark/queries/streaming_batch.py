@@ -1450,6 +1450,14 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
     ).agg(F.count(F.lit(1)).alias("x"))
+    return cusum_from_hourly(hourly)
+
+
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Read-side CUSUM over a (event_type, hour_start, x) hourly count
+    table — shared verbatim by the batch query above and the streaming
+    twin (streaming/changepoint.py), so the streamed detector is
+    value-identical to the batch one by construction."""
     m = hourly.groupBy("event_type").agg(
         F.expr("(sum(x) * 1000) div count(1)").alias("mean_milli")
     )
