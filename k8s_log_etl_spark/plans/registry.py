@@ -50,14 +50,14 @@ def register(
 # the plan of the entire shingle/contamination/tokenizer/text-census
 # surface, and the classifier re-pin (QC_ROUNDS=8, lr=1/2) changed the
 # VALUES of the trained-weights family — all of it re-driven in (b).
-# (a) is the round-8 addition, (c) refreshes 17 of the 34 r3-latest
-# rows (the stalest tail; the 12 left over lead round 9's tranche),
-# (d) holds family coverage. Everything rotated out keeps its r4-r7
+# (a) holds the round-8 additions (grown to 14 by the closing block),
+# (c) shrank to the five pinned family reps as additions displaced
+# refreshes, (d) holds family coverage. Everything rotated out keeps its r4-r7
 # green row, is unchanged since, and stays continuously covered by the
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (13): the unigram-LM tokenizer (full
+    # --- (a) round-8 additions (14): the unigram-LM tokenizer (full
     # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
     # n-gram saturation curve (dedup-ROI diagnostic), CDC chunk
     # dedup (content-defined chunking, the storage-class granularity
@@ -84,8 +84,11 @@ _CHECKED_FIRST = [
     # grouped expansion from per-hash source sets — NOTE it returns 0
     # rows at sf0.01 because the synthetic corpus has no cross-source
     # exact dups; semantics carried by tests/test_overlap_readability)
-    # and Flesch-Kincaid readability (integer milli-grades map-side)
+    # and Flesch-Kincaid readability (integer milli-grades map-side),
+    # plus the NEAR-dup source matrix (rides the LSH pair stream; 39
+    # real cross-source pairs at sf0.01, unlike its exact sibling)
     "corpus_source_overlap", "text_readability_fk",
+    "corpus_source_overlap_neardup",
     # --- (b) round-8 modified implementations (26): every registered
     # query whose PLAN changed in round 8 — the textops.bind O(words²)
     # sweep rewrote the gram build of the whole shingle/contamination/
@@ -103,7 +106,10 @@ _CHECKED_FIRST = [
     "benchmark_contamination", "contamination_spans",
     "decontam_filter_corpus", "decontam_bloom_prescreen",
     "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
-    "text_fingerprint_clusters", "text_top_bigrams",
+    "text_fingerprint_clusters",
+    # (text_top_bigrams yields its slot to the 14th addition: its
+    # bind-sweep gram-build change is the same code path as
+    # text_repetition_scores/text_boilerplate_phrases, which stay)
     "text_repetition_scores", "text_boilerplate_phrases",
     # --- (c) stalest refresh (5 of the 29 remaining r3-latest rows;
     # the 24 left over — transform_chain, ts_validate,

@@ -2463,3 +2463,70 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
     )
+
+
+_SRC_NEARDUP_SQL = f"""
+WITH mh AS ({_MINHASH_SQL}),
+ds AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN a.source < b.source
+                                THEN mh.doc_a ELSE mh.doc_b END) AS BIGINT)
+         AS n_docs_a,
+       CAST(count(DISTINCT CASE WHEN a.source < b.source
+                                THEN mh.doc_b ELSE mh.doc_a END) AS BIGINT)
+         AS n_docs_b
+FROM mh
+JOIN ds a ON mh.doc_a = a.doc_id
+JOIN ds b ON mh.doc_b = b.doc_id
+WHERE a.source <> b.source
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_source_overlap_neardup", oracle=_SRC_NEARDUP_SQL, tags=("dedup", "llmprep"))
+def corpus_source_overlap_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup companion of corpus_source_overlap: the cross-source
+    matrix of MinHash-LSH-verified near-duplicate pairs — which
+    sources are rehosting lightly-edited copies of each other, the
+    question exact hashing cannot answer (and the one that produces
+    rows on real crawl data, where cross-source copies are edited, not
+    byte-identical). Rides dedup_minhash_lsh's banded pair stream
+    unchanged (shingle→minhash→band→bucket-join, sub-quadratic by
+    banding); this query adds only two keyed joins of the doc→source
+    projection onto the pair endpoints and a |source-pairs|-key
+    hash-agg reporting pair counts and the distinct docs involved per
+    side (pair ordered by source name, so each unordered source pair
+    appears once).
+
+    Determinism: inherits the minhash estimate's exactness (integer
+    signature equality counts divided once, round 6); counts are
+    integers. Scale shape: the LSH stage is the established one; the
+    source joins are 8-byte doc-id equi-joins on the (small) verified
+    pair stream."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    ds = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = ds.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = ds.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    j = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    doc_lo = F.when(F.col("sa") < F.col("sb"), F.col("doc_a")).otherwise(F.col("doc_b"))
+    doc_hi = F.when(F.col("sa") < F.col("sb"), F.col("doc_b")).otherwise(F.col("doc_a"))
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            doc_lo.alias("doc_lo"),
+            doc_hi.alias("doc_hi"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_lo").alias("n_docs_a"),
+            F.countDistinct("doc_hi").alias("n_docs_b"),
+        )
+    )
