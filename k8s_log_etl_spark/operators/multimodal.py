@@ -302,3 +302,80 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
             yield pdf_out
 
     return _drop_null_payloads(df).mapInPandas(fn, AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (pHash — Zauner 2010) over the same fake-decoded
+# pixel channel as ahash_signatures
+# ---------------------------------------------------------------------------
+
+# Integer DCT-II basis, round(cos(pi*(2x+1)*u/16) * 1024): hardcoded so
+# the Python kernel and the DuckDB oracle share the EXACT same
+# literals — every coefficient is then pure int64 arithmetic
+# (|F| <= 255*64*1024^2 ~ 1.7e10, far inside int64).
+DCT_BASIS_Q = [
+    [1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024],
+    [1004, 851, 569, 200, -200, -569, -851, -1004],
+    [946, 392, -392, -946, -946, -392, 392, 946],
+    [851, -200, -1004, -569, 569, 1004, 200, -851],
+    [724, -724, -724, 724, 724, -724, -724, 724],
+    [569, -1004, 200, 851, -851, -200, 1004, -569],
+    [392, -946, 946, -392, -392, 946, -946, 392],
+    [200, -569, 851, -1004, 1004, -851, 569, -200],
+]
+
+# Flattened Kronecker weight table W[64*i + j] with i = 8u+v, j = 8x+y:
+# F_i = sum_j W[64*i+j] * p_j — the form both the numpy kernel's
+# B @ P @ B.T and the oracle's list fold compute.
+DCT_W_FLAT = [
+    DCT_BASIS_Q[i // 8][j // 8] * DCT_BASIS_Q[i % 8][j % 8]
+    for i in range(64)
+    for j in range(64)
+]
+
+
+def dct_phash_signatures(df: DataFrame) -> DataFrame:
+    """DCT perceptual hash (the pHash shape, Zauner 2010) over the
+    SAME stub pixel channel as ahash_signatures — the robust member of
+    the perceptual family: aHash thresholds pixels against their mean
+    (cheap, brittle to global luminance), pHash thresholds DCT
+    COEFFICIENTS against their AC median, so the 64 bits encode the
+    image's low-frequency structure. All-integer: the 8x8 DCT-II basis
+    is quantized to 1/1024 units (DCT_BASIS_Q), F = B.P.Bt is exact
+    int64 matmul, and the threshold is the 32nd-smallest of the 63 AC
+    coefficients (strict >, so the DC bit is structurally 1 and ~half
+    the AC bits set). Same 4 x 16-bit band signature and NULL-payload
+    gate as aHash; low-nibble re-encode noise never moves a pixel, so
+    twins hash identically here too. Swap the pixel derivation for a
+    real decode + 32x32 downscale outside this environment."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(DCT_BASIS_Q, dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_id": [], "digest": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = [x >> 4 for x in b[:16]]
+                p = [
+                    h[i % 16] * 16 + h[(3 * i + i // 16) % 16]
+                    for i in range(PHASH_PIXELS)
+                ]
+                P = np.array(p, dtype=np.int64).reshape(8, 8)
+                f = (B @ P @ B.T).reshape(64)
+                med = int(np.sort(f[1:])[31])  # 32nd smallest of 63 AC
+                bits = [1 if int(c) > med else 0 for c in f]
+                out["doc_id"].append(doc_id)
+                out["digest"].append(b.hex())
+                for k in range(PHASH_BANDS):
+                    out[f"b{k}"].append(
+                        sum(bit << j for j, bit in enumerate(bits[16 * k : 16 * k + 16]))
+                    )
+            pdf_out = pd.DataFrame(out)
+            for k in range(PHASH_BANDS):
+                pdf_out[f"b{k}"] = pdf_out[f"b{k}"].astype("int32")
+            yield pdf_out
+
+    return _drop_null_payloads(df).mapInPandas(fn, AHASH_SCHEMA)

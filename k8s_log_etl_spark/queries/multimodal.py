@@ -297,7 +297,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEXD = "0123456789abcdef"
 
-_PHASH_SIG_CTES = f"""
+_PHASH_PIX_CTES = f"""
 base AS (SELECT doc_id, md5(text) AS hex FROM documents WHERE text IS NOT NULL),
 corpus AS (
   SELECT doc_id, hex FROM base
@@ -321,7 +321,9 @@ pix AS (
            h[CAST(i % 16 AS INTEGER) + 1] * 16
            + h[CAST((3 * i + i // 16) % 16 AS INTEGER) + 1]) AS p
   FROM nib
-),
+)"""
+
+_PHASH_SIG_CTES = f"""{_PHASH_PIX_CTES},
 sig AS (
   SELECT doc_id, hex,
          list_transform(range({MM.PHASH_BANDS}), b ->
@@ -678,5 +680,130 @@ def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(F.col("cos_raw"), 6).alias("cos_sim"),
             "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (pHash) — the robust member of the perceptual
+# family beside dedup_perceptual_ahash
+# ---------------------------------------------------------------------------
+
+_DCT_W_SQL = "[" + ", ".join(str(w) for w in MM.DCT_W_FLAT) + "]"
+
+_DCT_SIG_CTES = f"""{_PHASH_PIX_CTES},
+wm AS (SELECT {_DCT_W_SQL} AS w),
+co AS (
+  SELECT doc_id, hex,
+         list_transform(range(64), i ->
+           list_sum(list_transform(range(64), j ->
+             w[CAST(i * 64 + j AS INTEGER) + 1]
+             * p[CAST(j AS INTEGER) + 1]))) AS f
+  FROM pix, wm
+),
+md AS (
+  SELECT doc_id, hex, f, list_sort(f[2:])[32] AS med FROM co
+),
+sig AS (
+  SELECT doc_id, hex,
+         list_transform(range({MM.PHASH_BANDS}), b ->
+           list_sum(list_transform(range(16), k ->
+             (CASE WHEN f[CAST(16 * b + k AS INTEGER) + 1] > med
+                   THEN 1 ELSE 0 END)
+             * (1 << CAST(k AS INTEGER))))) AS bands
+  FROM md
+)"""
+
+_DCT_PHASH_SQL = f"""
+WITH {_DCT_SIG_CTES},
+bl AS (
+  SELECT doc_id, CAST(t.b AS INTEGER) AS band_idx,
+         bands[CAST(t.b AS INTEGER) + 1] AS val
+  FROM sig, unnest(range({MM.PHASH_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       CAST({_PHASH_HAMMING} AS BIGINT) AS hamming,
+       (sa.hex = sb.hex) AS digest_equal
+FROM cand c
+JOIN sig sa ON c.da = sa.doc_id
+JOIN sig sb ON c.db = sb.doc_id
+WHERE {_PHASH_HAMMING} <= {MM.PHASH_MAX_HAMMING}
+"""
+
+
+@register("dedup_perceptual_phash_dct", oracle=_DCT_PHASH_SQL, tags=("multimodal", "dedup"))
+def dedup_perceptual_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual near-dup (pHash, Zauner 2010) — the frequency-
+    domain sibling of dedup_perceptual_ahash: bits come from
+    thresholding the 8x8 integer DCT-II coefficient block against its
+    AC median instead of thresholding pixels against their mean, so
+    the signature encodes low-frequency STRUCTURE (what survives
+    re-encoding, scaling, mild blur) rather than raw luminance. The
+    1/1024-quantized basis is hardcoded in both engines
+    (MM.DCT_BASIS_Q / the oracle's literal Kronecker weight table), so
+    every coefficient, the median, and every bit are exact int64
+    cross-engine — the whole chain from md5 payload to Hamming
+    distance is hash-verified.
+
+    Shape: identical to the aHash query — one Arrow mapInPandas
+    signature pass (numpy B.P.Bt per image, batch-columnar),
+    4 x 16-bit bands, pigeonhole-lossless candidate join for
+    Hamming <= 3, bit_count(xor) verify on candidates only. The
+    re-encoded twins (low-nibble noise, pixels unchanged) hash
+    identically and surface at Hamming 0 with digest_equal false."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    corpus = MM.with_reencoded_variants(MM.attach_payload(d))
+    sig = spill_checkpoint(MM.dct_phash_signatures(corpus))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("val")
+                )
+                for k in range(MM.PHASH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("da"),
+        F.col("digest").alias("ha"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(MM.PHASH_BANDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"),
+        F.col("digest").alias("hb"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(MM.PHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{k} ^ bb{k}"))
+        for k in range(MM.PHASH_BANDS)
+    )
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= MM.PHASH_MAX_HAMMING)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "hamming",
+            (F.col("ha") == F.col("hb")).alias("digest_equal"),
         )
     )
