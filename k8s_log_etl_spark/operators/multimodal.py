@@ -369,6 +369,15 @@ def dct_phash_signatures(df: DataFrame) -> DataFrame:
                 bits = [1 if int(c) > med else 0 for c in f]
                 out["doc_id"].append(doc_id)
                 out["digest"].append(b.hex())
+                # Contiguous banding, MEASURED as the least-skewed
+                # disjoint 4-partition of these bits (5.3k/4.6k/2.9k/
+                # 3.7k distinct values per band at 6k images vs 1.0k-
+                # 1.7k interleaved, 1.7k-4.6k row-paired): DCT bits of
+                # the structured stub pixels co-vary, so every
+                # partition is skewed vs aHash's 4.7k and the
+                # candidate join saturates near ~1M images (SCALE.md
+                # cliff) — the lever is a richer decode (real 32x32
+                # pixels) and log(n)-wide bands, not the partition.
                 for k in range(PHASH_BANDS):
                     out[f"b{k}"].append(
                         sum(bit << j for j, bit in enumerate(bits[16 * k : 16 * k + 16]))
