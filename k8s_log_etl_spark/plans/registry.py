@@ -57,7 +57,7 @@ def register(
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (15): the unigram-LM tokenizer (full
+    # --- (a) round-8 additions (16): the unigram-LM tokenizer (full
     # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
     # n-gram saturation curve (dedup-ROI diagnostic), CDC chunk
     # dedup (content-defined chunking, the storage-class granularity
@@ -90,8 +90,10 @@ _CHECKED_FIRST = [
     "corpus_source_overlap", "text_readability_fk",
     "corpus_source_overlap_neardup",
     # (a, cont.) DCT pHash — the frequency-domain perceptual sibling
-    # (integer 1/1024 DCT basis hardcoded in both engines)
-    "dedup_perceptual_phash_dct",
+    # (integer 1/1024 DCT basis hardcoded in both engines) — and the
+    # tokenizer-taxonomy capstone (all three replay chains in ONE
+    # oracle WITH clause via CTE prefixing)
+    "dedup_perceptual_phash_dct", "tokenizer_compare",
     # --- (b) round-8 modified implementations (26): every registered
     # query whose PLAN changed in round 8 — the textops.bind O(words²)
     # sweep rewrote the gram build of the whole shingle/contamination/
@@ -105,7 +107,9 @@ _CHECKED_FIRST = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh",
     # (minhash_estimate_quality yields its slot to the 15th addition:
     # its shingle-build sweep class is covered by dedup_minhash_lsh)
-    "dedup_containment", "dedup_edit_distance", "dedup_prefix_filter_jaccard",
+    # (dedup_edit_distance yields its slot to the 16th addition: its
+    # verify-side sweep class is covered by dedup_prefix_filter_jaccard)
+    "dedup_containment", "dedup_prefix_filter_jaccard",
     "dedup_minhash_incremental", "dedup_minhash_index_serve",
     "dedup_substring_spans", "dedup_excise_spans", "dedup_lines_corpus",
     "benchmark_contamination", "contamination_spans",

@@ -1164,6 +1164,25 @@ BPE_ENCODE_TOP = 50
 _BPE_D1, _BPE_D2 = "\x01", "\x02"
 
 
+def _prefix_ctes(sql: str, names: list[str], pfx: str) -> str:
+    """Rename the CTEs in `names` to `pfx+name` (word-boundary regex),
+    so two unrolled replay chains can coexist in one WITH clause
+    (tokenizer_compare). Column/alias names are not in `names`, so
+    they survive; every chain's name list is maintained next to its
+    builder."""
+    import re
+
+    for n in sorted(names, key=len, reverse=True):
+        sql = re.sub(rf"\b{re.escape(n)}\b", pfx + n, sql)
+    return sql
+
+
+def _bpe_chain_names() -> list[str]:
+    return ["toks", "vocab"] + [f"enc{r}" for r in range(BPE_MERGE_ROUNDS + 1)] + [
+        f"p{r}" for r in range(BPE_MERGE_ROUNDS)
+    ] + [f"m{r}" for r in range(BPE_MERGE_ROUNDS)] + ["final"]
+
+
 def _bpe_cte_chain() -> str:
     """The unrolled BPE merge recurrence as a CTE chain ending in
     `final(term, freq, s)` — shared by the encode oracle and the
@@ -1531,6 +1550,21 @@ def _uni_usage(vocab: DataFrame, pieces0: DataFrame, cmap: F.Column) -> DataFram
     )
 
 
+def _uni_chain_names() -> list[str]:
+    return ["toks", "vocab", "subs", "top_subs", "chars", "p0", "s0", "c0"] + [
+        x
+        for r in range(1, UNI_ROUNDS + 1)
+        for x in (f"m{r}", f"seg{r}", f"u{r}", f"t{r}", f"c{r}")
+    ]
+
+
+def _uni_cte_chain() -> str:
+    """The unigram Viterbi-EM replay's CTE chain (everything between
+    WITH and the final SELECT) — shared by _uni_sql and the
+    tokenizer_compare oracle (prefixed there)."""
+    return _uni_sql_parts()[0]
+
+
 def _uni_sql() -> str:
     """Unrolled Viterbi-EM replay (the _bpe_cte_chain / classifier-CTE
     discipline): seed counts -> c0 costs; each round rebuilds the piece
@@ -1538,6 +1572,11 @@ def _uni_sql() -> str:
     backtrack fold, re-counts usage, re-prices. DuckDB's list_reduce
     has no explicit init, so the fold list is list_prepend(init-list,
     [i] singletons) — the accumulator is the growing DP list itself."""
+    chain, tail = _uni_sql_parts()
+    return f"WITH {chain}{tail}"
+
+
+def _uni_sql_parts() -> tuple[str, str]:
     P, Q, INF = UNI_MAX_PIECE, UNI_Q, _UNI_INF
 
     def dp_sql() -> str:
@@ -1575,7 +1614,7 @@ def _uni_sql() -> str:
         " CAST(e - (dp[CAST(e + 1 AS INTEGER)] % 8) + 1 AS INTEGER),"
         " CAST(dp[CAST(e + 1 AS INTEGER)] % 8 AS INTEGER)))"
     )
-    sql = f"""WITH toks AS (
+    sql = f"""toks AS (
   SELECT lower(unnest({_WORDS_SQL})) AS term FROM documents
 ),
 vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term),
@@ -1626,12 +1665,12 @@ c{r} AS (
   FROM u{r}, t{r}
 )"""
     R = UNI_ROUNDS
-    sql += f"""
+    tail = f"""
 SELECT u.piece, u.u AS usage, c.cost AS cost_q
 FROM u{R} u JOIN c{R} c USING (piece)
 ORDER BY usage DESC, piece LIMIT {UNI_TOP}
 """
-    return sql
+    return sql, tail
 
 
 @register("unigram_tokenize_corpus", oracle=_uni_sql(), tags=("llmprep", "text"))
@@ -1802,6 +1841,14 @@ def _wp_train(spark: SparkSession, sf_dir: str):
     return enc.select("term", "freq", _bpe_syms().alias("s")), merges
 
 
+def _wp_chain_names() -> list[str]:
+    return ["toks", "vocab"] + [f"enc{r}" for r in range(WP_MERGE_ROUNDS + 1)] + [
+        f"p{r}" for r in range(WP_MERGE_ROUNDS)
+    ] + [f"c{r}" for r in range(WP_MERGE_ROUNDS)] + [
+        f"m{r}" for r in range(WP_MERGE_ROUNDS)
+    ]
+
+
 def _wp_cte_chain() -> str:
     """The unrolled WordPiece merge recurrence as a CTE chain ending in
     enc{WP_MERGE_ROUNDS} — the _bpe_cte_chain shape with the WordPiece
@@ -1941,11 +1988,9 @@ def _wp_greedy_pieces(term: F.Column, pmap: F.Column) -> F.Column:
     return bind(ends, render)
 
 
-def _wp_encode_sql() -> str:
-    n = WP_MERGE_ROUNDS
-    d1, d2 = "chr(1)", "chr(2)"
-    sep = f"{d2} || {d1}"
-    syms = f"string_split(substr(enc, 2, length(enc) - 2), {sep})"
+def _wp_ends_sql() -> str:
+    """The greedy longest-match fold (DuckDB list_reduce) — shared by
+    _wp_encode_sql and the tokenizer_compare oracle."""
     jcases = ", ".join(
         f"CASE WHEN acc[-1] + {j} <= length(term)"
         f" AND len(map_extract(m, substr(term,"
@@ -1953,7 +1998,7 @@ def _wp_encode_sql() -> str:
         f" THEN CAST({j} AS BIGINT) END"
         for j in range(WP_MAX_PIECE, 0, -1)
     )
-    ends = (
+    return (
         "list_reduce(list_prepend([CAST(0 AS BIGINT)],"
         " list_transform(range(1, length(term) + 1),"
         " i -> [CAST(i AS BIGINT)])),"
@@ -1961,16 +2006,27 @@ def _wp_encode_sql() -> str:
         f" THEN list_append(acc, acc[-1] + coalesce({jcases}))"
         " ELSE acc END)"
     )
-    pieces = (
+
+
+def _wp_pieces_sql() -> str:
+    return (
         "list_transform(range(1, len(ends)), k ->"
         " (CASE WHEN k = 1 THEN '' ELSE '##' END) ||"
         " substr(term, CAST(ends[CAST(k AS INTEGER)] + 1 AS INTEGER),"
         " CAST(ends[CAST(k + 1 AS INTEGER)] - ends[CAST(k AS INTEGER)]"
         " AS INTEGER)))"
     )
-    return f"""
-WITH {_wp_cte_chain()},
-final AS (SELECT term, freq, {syms} AS s FROM enc{n}),
+
+
+def _wp_seg_ctes() -> str:
+    """final/ps/pm/seg — the piece-vocabulary + greedy segmentation
+    CTEs on top of the WP merge chain; shared by _wp_encode_sql and
+    the tokenizer_compare oracle."""
+    n = WP_MERGE_ROUNDS
+    d1, d2 = "chr(1)", "chr(2)"
+    sep = f"{d2} || {d1}"
+    syms = f"string_split(substr(enc, 2, length(enc) - 2), {sep})"
+    return f"""final AS (SELECT term, freq, {syms} AS s FROM enc{n}),
 ps AS (
   SELECT DISTINCT piece FROM (
     SELECT unnest(s) AS piece FROM final
@@ -1984,9 +2040,19 @@ pm AS (
              coalesce(list(TRUE ORDER BY piece), [])) AS m FROM ps
 ),
 seg AS (
-  SELECT term, freq, {pieces} AS pieces
-  FROM (SELECT term, freq, {ends} AS ends FROM vocab, pm)
-),
+  SELECT term, freq, {_wp_pieces_sql()} AS pieces
+  FROM (SELECT term, freq, {_wp_ends_sql()} AS ends FROM vocab, pm)
+)"""
+
+
+def _wp_seg_names() -> list[str]:
+    return ["final", "ps", "pm", "seg"]
+
+
+def _wp_encode_sql() -> str:
+    return f"""
+WITH {_wp_cte_chain()},
+{_wp_seg_ctes()},
 tot AS (SELECT CAST(sum(freq * len(pieces)) AS BIGINT) AS corpus_tokens FROM seg)
 SELECT term, array_to_string(pieces, ' ') AS token_seq,
        CAST(len(pieces) AS BIGINT) AS n_tokens, freq, corpus_tokens
@@ -4184,4 +4250,133 @@ def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("nll_micro").alias("sum_nll_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer taxonomy side-by-side — BPE vs unigram-LM vs WordPiece on
+# one corpus, one set of metrics
+# ---------------------------------------------------------------------------
+
+
+def _tok_compare_sql() -> str:
+    """All three tokenizer replay chains in ONE WITH clause, CTE names
+    prefixed b_/u_/w_ (_prefix_ctes), metrics unioned."""
+    b = _prefix_ctes(_bpe_cte_chain(), _bpe_chain_names(), "b_")
+    u = _prefix_ctes(_uni_cte_chain(), _uni_chain_names(), "u_")
+    w = _prefix_ctes(
+        _wp_cte_chain() + ",\n" + _wp_seg_ctes(),
+        _wp_chain_names() + _wp_seg_names(),
+        "w_",
+    )
+    R = UNI_ROUNDS
+    return f"""
+WITH {b},
+{u},
+{w},
+nw AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM b_vocab)
+SELECT * FROM (
+SELECT 'bpe' AS family,
+       CAST(sum(freq * len(s)) AS BIGINT) AS corpus_tokens,
+       (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+        FROM (SELECT unnest(s) AS sym FROM b_final)) AS pieces_used,
+       CAST((sum(freq * len(s)) * 1000) // max(nw.n) AS BIGINT)
+         AS tokens_per_kword
+FROM b_final, nw
+UNION ALL
+SELECT 'unigram',
+       CAST(sum(freq * len(pieces)) AS BIGINT),
+       (SELECT CAST(count(DISTINCT piece) AS BIGINT)
+        FROM (SELECT unnest(pieces) AS piece FROM u_seg{R})),
+       CAST((sum(freq * len(pieces)) * 1000) // max(nw.n) AS BIGINT)
+FROM u_seg{R}, nw
+UNION ALL
+SELECT 'wordpiece',
+       CAST(sum(freq * len(pieces)) AS BIGINT),
+       (SELECT CAST(count(DISTINCT piece) AS BIGINT)
+        FROM (SELECT unnest(pieces) AS piece FROM w_seg)),
+       CAST((sum(freq * len(pieces)) * 1000) // max(nw.n) AS BIGINT)
+FROM w_seg, nw
+)
+"""
+
+
+@register("tokenizer_compare", oracle=_tok_compare_sql(), tags=("llmprep", "text"))
+def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-taxonomy capstone: BPE, unigram-LM, and WordPiece
+    trained on the SAME corpus at their pinned constants, compared on
+    one metric row each — corpus tokens after encoding, distinct
+    pieces actually used, and integer tokens-per-1000-words (the
+    fertility number a tokenizer selection study reads first). The
+    word total is the BPE-filtered vocabulary's (identical across
+    families on any real corpus — the framing-byte filter never fires
+    on text).
+
+    The oracle replays ALL THREE training recurrences in one WITH
+    clause — the chains' CTE names are prefixed b_/u_/w_ via
+    _prefix_ctes, which is why each chain builder publishes its name
+    list. Each family's Spark twin reuses the exact machinery of its
+    standalone query (_bpe_encoded_vocab, the unigram EM loop +
+    Viterbi DP, _wp_train + greedy fold), so this query adds metrics,
+    not a fourth implementation; per-family metrics are two scalar
+    aggs (token sum, distinct-piece count) collected as literals.
+
+    Scale shape: three vocab-linear training loops (each the
+    established shape) + two bounded aggregates per family. On an
+    empty corpus every family yields one row with NULL token counts
+    and 0 pieces — both engines (agg over empty join)."""
+    rows: list[tuple] = []
+
+    bpe_final = _bpe_encoded_vocab(spark, sf_dir).transform(spill_checkpoint)
+    nw_row = bpe_final.agg(F.sum("freq").alias("n")).collect()[0]
+    nw = nw_row["n"]  # None on an empty corpus
+
+    def metrics(family: str, seg: DataFrame, col: str) -> tuple:
+        t_row = seg.agg(
+            F.sum(F.col("freq") * F.size(F.col(col))).alias("t")
+        ).collect()[0]
+        t = t_row["t"]
+        pu = seg.select(F.explode(F.col(col)).alias("p")).distinct().count()
+        tpk = (int(t) * 1000) // int(nw) if t is not None and nw else None
+        return (family, None if t is None else int(t), int(pu), tpk)
+
+    rows.append(metrics("bpe", bpe_final, "s"))
+
+    uni_vocab = _uni_vocab(spark, sf_dir).transform(spill_checkpoint)
+    pieces0 = _uni_seed_pieces(uni_vocab).transform(spill_checkpoint)
+    costs = _uni_costs(pieces0, "cnt")
+    for _ in range(UNI_ROUNDS - 1):
+        usage = _uni_usage(uni_vocab, pieces0, _uni_cmap(costs)).transform(
+            spill_checkpoint
+        )
+        costs = _uni_costs(usage, "u")
+    uni_seg = uni_vocab.select(
+        "freq", _uni_dp_pieces(F.col("term"), _uni_cmap(costs)).alias("pieces")
+    )
+    rows.append(metrics("unigram", uni_seg, "pieces"))
+
+    wp_final, _ = _wp_train(spark, sf_dir)
+    wp_final = wp_final.transform(spill_checkpoint)
+    chars = F.filter(F.split(F.col("term"), ""), lambda x: x != "")
+    piece_rows = (
+        wp_final.select(F.explode("s").alias("piece"))
+        .unionAll(wp_final.select(F.explode(chars).alias("piece")))
+        .filter(F.length("piece") <= WP_MAX_PIECE)
+        .distinct()
+        .collect()
+    )
+    if piece_rows:
+        pmap = F.create_map(
+            *[x for r in piece_rows for x in (F.lit(r["piece"]), F.lit(True))]
+        )
+    else:
+        pmap = F.create_map(F.lit(""), F.lit(True))
+    wp_seg = wp_final.select(
+        "freq", _wp_greedy_pieces(F.col("term"), pmap).alias("pieces")
+    )
+    rows.append(metrics("wordpiece", wp_seg, "pieces"))
+
+    return spark.createDataFrame(
+        rows,
+        "family string, corpus_tokens long, pieces_used long, tokens_per_kword long",
     )

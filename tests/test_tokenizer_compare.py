@@ -1,0 +1,62 @@
+"""tokenizer_compare must agree with the standalone family queries on
+the same corpus (it adds metrics, not a fourth implementation), and
+yield the documented NULL/0 rows on an empty corpus."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_compare_consistent_with_family_queries(spark, tmp_path):
+    from k8s_log_etl_spark.queries.llmprep import (
+        bpe_encode_corpus,
+        tokenizer_compare,
+        wordpiece_encode_corpus,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the five boxing wizards jump quickly",
+    ] * 3
+    d = _write_docs(tmp_path, texts)
+    got = {r.family: r.asDict() for r in tokenizer_compare(spark, d).collect()}
+    assert set(got) == {"bpe", "unigram", "wordpiece"}
+
+    bpe_ct = bpe_encode_corpus(spark, d).collect()[0]["corpus_tokens"]
+    assert got["bpe"]["corpus_tokens"] == bpe_ct
+    wp_ct = wordpiece_encode_corpus(spark, d).collect()[0]["corpus_tokens"]
+    assert got["wordpiece"]["corpus_tokens"] == wp_ct
+
+    # fertility sanity: every family tokenizes a word into >= 1 piece,
+    # and character-heavy early-merge tokenizers sit above 1000/kword
+    nw = sum(len(t.split()) for t in texts)
+    for fam, m in got.items():
+        assert m["corpus_tokens"] >= nw // 3, fam
+        assert m["tokens_per_kword"] == (m["corpus_tokens"] * 1000) // nw, fam
+        assert m["pieces_used"] >= 1, fam
+
+
+def test_compare_empty_corpus_rows(spark, tmp_path):
+    from k8s_log_etl_spark.queries.llmprep import tokenizer_compare
+
+    d = _write_docs(tmp_path, [])
+    got = {r.family: r.asDict() for r in tokenizer_compare(spark, d).collect()}
+    assert set(got) == {"bpe", "unigram", "wordpiece"}
+    for m in got.values():
+        assert m["corpus_tokens"] is None
+        assert m["pieces_used"] == 0
+        assert m["tokens_per_kword"] is None
