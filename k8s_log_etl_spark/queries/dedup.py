@@ -2389,6 +2389,7 @@ WITH hashed AS (
          md5(array_to_string(list_filter(string_split_regex(lower(trim(text)),
              '\\s+'), x -> x <> ''), ' ')) AS h
   FROM documents
+  WHERE text IS NOT NULL
 ),
 stot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hashes FROM hashed GROUP BY source),
 shared AS (
@@ -2427,7 +2428,15 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.concat_ws(
         " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
     )
-    hashed = d.select("source", F.md5(canon).alias("h")).distinct()
+    # NULL text must not form a group: Spark's groupBy keeps a NULL
+    # hash key while the oracle's equi-self-join drops it — two NULL
+    # docs in different sources would diverge cross-engine (repo
+    # convention: every md5(text) query filters NULLs first).
+    hashed = (
+        d.filter(F.col("text").isNotNull())
+        .select("source", F.md5(canon).alias("h"))
+        .distinct()
+    )
     stot = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n_hashes"))
     srcs = hashed.groupBy("h").agg(
         F.sort_array(F.collect_set("source")).alias("ss")

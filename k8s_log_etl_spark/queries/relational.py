@@ -2711,7 +2711,8 @@ _KANON_OFFSET = 10_000_000
 _KANON_SQL = f"""
 WITH classes AS (
   SELECT c_mktsegment, c_nationkey,
-         (CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_OFFSET})
+         (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           + {_KANON_OFFSET})
            // {KANON_BUCKET_CENTS} AS bal_bucket,
          CAST(count(*) AS BIGINT) AS k
   FROM customer GROUP BY 1, 2, 3
@@ -2750,8 +2751,12 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile_key_skew; no joins, no window, 100 TB-safe by
     construction."""
     c = load_table(spark, sf_dir, "customer")
+    # cents via the DECIMAL(18,2) cast (_dec discipline), not
+    # round(double * 100): half-up vs half-even rounding is the one
+    # documented cross-engine trap on exact-.5 doubles (round-8 ADVICE)
     bucket = F.expr(
-        f"(CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_OFFSET})"
+        f"(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" + {_KANON_OFFSET})"
         f" div {KANON_BUCKET_CENTS}"
     )
     classes = c.groupBy(
@@ -2780,8 +2785,8 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BENFORD_SQL = """
 WITH digits AS (
-  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
   FROM orders WHERE o_totalprice > 0
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
@@ -2807,10 +2812,11 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit with the observed count, observed share, the Benford
     expectation, and the deviation, all in integer ppm.
 
-    Determinism: the first digit comes from the DECIMAL STRING of the
-    exact rounded-cents integer (no float log10 thresholding at
-    power-of-ten boundaries — 999.999... cents round identically in
-    both engines before any digit is read); shares are integer floor
+    Determinism: the first digit comes from the STRING of the exact
+    DECIMAL(18,2)-cast cents integer (no float log10 thresholding at
+    power-of-ten boundaries, and no half-up-vs-half-even round(double)
+    ambiguity — the decimal cast quantizes identically in both engines
+    before any digit is read); shares are integer floor
     divisions; the Benford expectation is one ln ratio per digit
     (the established single-expression ln discipline). TPC-H-style
     uniform prices should FAIL this audit — the interesting output is
@@ -2820,8 +2826,10 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, plus a broadcast total scalar. Nothing to optimize at
     any scale."""
     o = load_table(spark, sf_dir, "orders")
+    # cents via the DECIMAL(18,2) cast (_dec discipline) — see
+    # dq_k_anonymity's bucket note on the round(double*100) trap
     digit = F.substring(
-        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        (_dec("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
     ).cast("bigint")
     digits = o.filter(F.col("o_totalprice") > 0).select(digit.alias("digit"))
     tot = digits.agg(F.count(F.lit(1)).alias("n"))
