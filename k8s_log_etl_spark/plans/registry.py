@@ -43,103 +43,56 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 8 rotation: after round 7 the r1-r7 union covers 210 of 211
-# then-registered queries with every latest row green (the one without
-# a row is the permanently-no-oracle Misra-Gries). Round 8's window is
-# dominated by MODIFIED code: the textops.bind O(words²) sweep changed
-# the plan of the entire shingle/contamination/tokenizer/text-census
-# surface, and the classifier re-pin (QC_ROUNDS=8, lr=1/2) changed the
-# VALUES of the trained-weights family — all of it re-driven in (b).
-# (a) holds the round-8 additions (grown to 14 by the closing block),
-# (c) shrank to the five pinned family reps as additions displaced
-# refreshes, (d) holds family coverage. Everything rotated out keeps its r4-r7
-# green row, is unchanged since, and stays continuously covered by the
-# full-surface pytest oracle run (tests/test_oracle_parity.py runs
-# every oracled query every time).
+# Round 9 rotation: CORRECTNESS_r08 closed 50/50 green, so every one
+# of the 225 oracled queries now holds a green driver row and the
+# window's job is (1) re-driving code MODIFIED this round, (2) the
+# long-promised r3-latest refresh tranche (the 24 rows displaced by
+# round-8's additions — the oldest greens on the books), and (3) new
+# additions as they land (an addition with NO driver row outranks
+# refreshing any green row). Everything rotated out keeps its r4-r8
+# green row, is unchanged since, and stays continuously covered by
+# the full-surface pytest oracle run (tests/test_oracle_parity.py
+# runs every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-8 additions (16): the unigram-LM tokenizer (full
-    # cross-engine Viterbi-EM replay — BPE's taxonomy sibling), the
-    # n-gram saturation curve (dedup-ROI diagnostic), CDC chunk
-    # dedup (content-defined chunking, the storage-class granularity
-    # between whole-doc exact dedup and n-gram spans), the WordPiece
-    # tokenizer pair (merge table + greedy longest-match encode —
-    # the THIRD tokenizer family, normalized-score argmax replayed
-    # cross-engine), PMI collocations (integer-lift ranked), and the
-    # k-anonymity audit (privacy face of the DQ gate), plus RAKE and
-    # CUSUM below ---
-    "unigram_tokenize_corpus", "corpus_ngram_saturation", "dedup_cdc_chunks",
-    "wordpiece_train_merges", "wordpiece_encode_corpus",
-    "text_collocations_pmi", "dq_k_anonymity",
-    # (a, cont.) RAKE keyword extraction (phrase-level keyword signal
-    # beside tf-idf and PMI), the CUSUM changepoint detector
-    # (prefix-sum/running-min identity distributes Page's recursion),
-    # the interpolated Kneser-Ney bigram LM (the smoothing-taxonomy
-    # sibling of the add-one bigram LM — P stays one integer ratio so
-    # nll is a single cross-engine ln), and the Benford first-digit
-    # audit (fraud/synthetic-amount screen; digits read from exact
-    # cents-integer strings, never float log10)
-    "text_keyword_rake", "events_changepoint_cusum",
-    "text_kneser_ney_lm", "dq_benford_first_digit",
-    # (a, cont.) cross-source exact-overlap matrix (provenance audit;
-    # grouped expansion from per-hash source sets — NOTE it returns 0
-    # rows at sf0.01 because the synthetic corpus has no cross-source
-    # exact dups; semantics carried by tests/test_overlap_readability)
-    # and Flesch-Kincaid readability (integer milli-grades map-side),
-    # plus the NEAR-dup source matrix (rides the LSH pair stream; 39
-    # real cross-source pairs at sf0.01, unlike its exact sibling)
-    "corpus_source_overlap", "text_readability_fk",
-    "corpus_source_overlap_neardup",
-    # (a, cont.) DCT pHash — the frequency-domain perceptual sibling
-    # (integer 1/1024 DCT basis hardcoded in both engines) — and the
-    # tokenizer-taxonomy capstone (all three replay chains in ONE
-    # oracle WITH clause via CTE prefixing)
-    "dedup_perceptual_phash_dct", "tokenizer_compare",
-    # --- (b) round-8 modified implementations (26): every registered
-    # query whose PLAN changed in round 8 — the textops.bind O(words²)
-    # sweep rewrote the gram build of the whole shingle/contamination/
-    # tokenizer/text-census surface (output identical, plan new), the
-    # classifier was re-pinned to QC_ROUNDS=8 at lr=1/2 (weights, and
-    # therefore all three consumers, changed VALUES), the novelty scan
-    # was restructured, and the serve index moved to the fingerprinted
-    # cache path. A green r7 row says nothing about new code. ---
-    "quality_classifier_train", "corpus_quality_gate", "quality_gate_serve",
-    "holdout_novelty_scan",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    # (minhash_estimate_quality yields its slot to the 15th addition:
-    # its shingle-build sweep class is covered by dedup_minhash_lsh)
-    # (dedup_edit_distance yields its slot to the 16th addition: its
-    # verify-side sweep class is covered by dedup_prefix_filter_jaccard)
-    "dedup_containment", "dedup_prefix_filter_jaccard",
-    "dedup_minhash_incremental", "dedup_minhash_index_serve",
-    "dedup_substring_spans", "dedup_excise_spans", "dedup_lines_corpus",
-    "benchmark_contamination", "contamination_spans",
-    "decontam_filter_corpus", "decontam_bloom_prescreen",
-    "text_bigram_lm_score", "bpe_encode_corpus", "pack_chunks_bpe_budget",
-    "text_fingerprint_clusters",
-    # (text_top_bigrams yields its slot to the 14th addition: its
-    # bind-sweep gram-build change is the same code path as
-    # text_repetition_scores/text_boilerplate_phrases, which stay)
-    "text_repetition_scores", "text_boilerplate_phrases",
-    # --- (c) stalest refresh (5 of the 29 remaining r3-latest rows;
-    # the 24 left over — transform_chain, ts_validate,
-    # dedup_embedding_lsh, domain_mix_weights, embedding_quantize_int8,
-    # pack_chunks_budget, pii_scan_documents, rfm_segments,
-    # normalize_fields, redact, stream_sliding_avg,
-    # text_perplexity_proxy and the rest, displaced by the twelve late
-    # round-8 additions (every addition has NO driver row at all,
-    # strictly ahead of refreshing a green r3 row) — lead round 9's
-    # tranche, which MUST start with stream_sliding_avg (streaming's
-    # only candidate slot; its coverage this round rides the two
-    # streaming bench heads + the pytest equivalence twins): the five
-    # remaining rows are exactly the family representatives the
-    # registry-order test pins ---
-    "agg_filter_reason", "events_dau_wau", "multimodal_decode_stats",
-    "q7_volume_shipping", "sample_domain_balanced",
+    # --- (a) round-9 modified implementations: the three ADVICE fixes
+    # (NULL-text guard in the exact source-overlap matrix; DECIMAL-cast
+    # cents replacing round(double*100) in the k-anonymity and Benford
+    # audits — VALUES may legally shift on half-cent doubles) and the
+    # WordPiece de-literal (piece vocabulary now a one-row broadcast
+    # map frame, plan changed, in both the standalone encode and the
+    # tokenizer capstone) ---
+    "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
+    "wordpiece_encode_corpus", "tokenizer_compare",
+    # --- (b) the r3-latest refresh tranche (all 24 remaining rows
+    # whose newest green is round 3 — displaced twice by addition
+    # waves; stream_sliding_avg leads as streaming's only displaced
+    # slot) ---
+    "stream_sliding_avg",
+    "transform_chain", "ts_validate", "normalize_fields", "redact",
+    "dedup_embedding_lsh", "domain_mix_weights", "embedding_quantize_int8",
+    "pack_chunks_budget", "pii_scan_documents", "rfm_segments",
+    "text_perplexity_proxy", "chunk_sliding_windows", "split_train_holdout",
+    "events_anomaly_zscore", "events_retention_cohorts", "events_rolling_1h",
+    "events_value_histogram", "promo_revenue_share", "q10_returned_items",
+    "q19_disjunctive_revenue", "redact_documents",
+    "udaf_embedding_norm", "udtf_sentence_split",
+    # --- (c) streaming-twin batch faces (round-8 verdict #6): the
+    # quantile-sketch read-side recovery and the incremental-ingest
+    # near-dup face keep a driver-level signal on the streaming store
+    # formats (their streaming twins are pytest-equivalence-pinned) ---
+    "events_quantile_sketch", "dedup_incremental_batch",
     # --- (d) family representatives whose families otherwise have no
-    # in-window member this round (knn, capstone, warehouse, ann-index,
-    # ann-eval, graph — tests/test_registry_order.py pins coverage) ---
-    "knn_brute_cosine", "training_mix_pipeline", "corpus_merge_upsert",
-    "knn_ivf_grid", "ann_recall_eval", "graph_pagerank_copurchase",
+    # in-window member this round (tests/test_registry_order.py pins
+    # coverage; most reps are organic tranche members this round) ---
+    "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
+    "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
+    "ann_recall_eval", "graph_pagerank_copurchase",
+    # --- (e) stale-r4 backfill (11 slots): the next-oldest greens,
+    # displaced one-for-one by round-9 ADDITIONS as they land ---
+    "agg_null_semantics", "dq_constraint_checks", "events_weekly_seasonality",
+    "join_null_safe", "knn_sq8_adc", "multimodal_feature_extract",
+    "orders_page_offset", "parts_copurchased", "pq_codebook_train",
+    "q21_sole_late_supplier", "text_zipf_slope",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

@@ -358,6 +358,15 @@ CONTRACTS = {
     # Q20 shape: both INs as keyed semi-joins, correlated aggregate
     # pre-grouped then joined — never a per-row subquery loop
     "q20_recent_demand_suppliers": (["LeftSemi"], ["NestedLoop", "Window"]),
+    # WordPiece encode: the piece vocabulary rides as a ONE-row
+    # broadcast map frame (BroadcastNestedLoopJoin) over the
+    # checkpointed final vocab — never a collect + create_map literal
+    # embedded in the plan (a 30k-piece production vocabulary would be
+    # a driver/plan-size hazard)
+    "wordpiece_encode_corpus": (
+        ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],
+        [],
+    ),
 }
 
 

@@ -8,23 +8,22 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-8 rotation: the window is dominated by the bind-sweep /
-# classifier-re-pin MODIFIED queries plus the stalest r3 tranche (see
-# plans/registry.py), so most reps move to their family's organic
-# in-window member; families with no organic member this round (knn,
-# capstone, warehouse, ann-index, ann-eval, graph) hold explicit
-# slots via their reps. Rotated-out greens stay covered by the full
-# pytest oracle run.
+# Round-9 rotation: the window is dominated by the r3-latest refresh
+# tranche (see plans/registry.py), so most reps are their family's
+# organic tranche member; families with no organic member this round
+# (multimodal, knn, capstone, sampling, warehouse, ann-index,
+# ann-eval, graph) hold explicit slots via their reps. Rotated-out
+# greens stay covered by the full pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "agg_filter_reason",
-    "dedup": "dedup_prefix_filter_jaccard",
+    "log": "normalize_fields",
+    "dedup": "dedup_embedding_lsh",
     "multimodal": "multimodal_decode_stats",
     "knn": "knn_brute_cosine",
-    "text": "text_fingerprint_clusters",
+    "text": "text_perplexity_proxy",
     "capstone": "training_mix_pipeline",
-    "relational": "q7_volume_shipping",
-    "events": "events_dau_wau",
-    "llmprep": "bpe_encode_corpus",
+    "relational": "rfm_segments",
+    "events": "events_anomaly_zscore",
+    "llmprep": "pack_chunks_budget",
     "sampling": "sample_domain_balanced",
     "warehouse": "corpus_merge_upsert",
     "ann-index": "knn_ivf_grid",
