@@ -201,9 +201,60 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 PHASH_VARIANT_MOD = 5          # every mod-th doc gets a re-encoded twin
 PHASH_VARIANT_OFFSET = 10_000_000
-PHASH_PIXELS = 64
-PHASH_BANDS = 4                # 4 x 16-bit bands over the 64 aHash bits
+PHASH_DECODE_SIDE = 32         # stub decode emits a 32x32 pixel field
+PHASH_PIXELS = 64              # 8x8 block sums fed to aHash / the DCT
+PHASH_BANDS = 4                # 4 x 16-bit bands over the 64 hash bits
 PHASH_MAX_HAMMING = 3          # pigeonhole-lossless with 4 bands
+# Hot-bucket cap (the POSTING_CAP discipline from dedup_minhash_lsh):
+# a (band, value) bucket holding more docs than this is dropped from
+# candidate generation on BOTH engines. Bounds the per-bucket pair
+# blowup sum C(k,2) that saturated the skewed round-8 DCT bands
+# (SCALE.md cliff #7); the lossless pigeonhole guarantee weakens to
+# "lossless unless EVERY band a pair shares is over-cap" — with the
+# full-entropy 32x32 decode below, buckets at 1M images average ~16
+# docs and the cap is a skew safety net, not a recall tax (twin
+# coverage re-measured after the cap landed — see the query tests).
+PHASH_BUCKET_CAP = 64
+
+
+def decoded_block_sums(payload: bytes) -> "list[int]":
+    """STUB 32x32 decode + exact 8x8 downscale — the perceptual
+    channel both hash kernels and both DuckDB oracles share.
+
+    Decode (fake, honestly marked): a real decoder would emit a 32x32
+    luminance field whose entropy is the image's, invariant to
+    re-encoding bytes. The stub mirrors both properties from the
+    16-byte payload: the HIGH nibbles (the re-encode-invariant
+    channel; low-nibble noise is the fake compression error) seed 64
+    md5 block digests — md5(hh || ':' || blk), blk 0..63 — whose 1024
+    bytes are the pixels. Full-entropy pixels are what kill round-8's
+    band-saturation cliff: the old 16-nibble mixing confined the 64
+    DCT coefficients to a 16-dim subspace, so band values skewed and
+    the pigeonhole buckets saturated near ~1M images (SCALE.md cliff
+    #7, measured 18.2x on the second decade).
+
+    Downscale: 4x4 block SUMS (exact int64; both aHash's mean
+    threshold and the DCT median threshold are scale-invariant, so
+    sums == means without a division). Swap this function for a real
+    decode + box-filter outside this environment; everything
+    downstream is the real operator."""
+    import hashlib
+
+    import numpy as np
+
+    hh = payload.hex()[0::2]  # 16 high-nibble chars, re-encode-invariant
+    raw = b"".join(
+        hashlib.md5(f"{hh}:{blk}".encode()).digest()
+        for blk in range(PHASH_PIXELS)
+    )
+    px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    side = PHASH_DECODE_SIDE
+    return [
+        int(v)
+        for v in px.reshape(side // 4, 4, side // 4, 4)
+        .sum(axis=(1, 3))
+        .reshape(PHASH_PIXELS)
+    ]
 
 VARIANT_SCHEMA = StructType(
     [
@@ -259,22 +310,20 @@ AHASH_SCHEMA = StructType(
 
 
 def ahash_signatures(df: DataFrame) -> DataFrame:
-    """STUB perceptual hash — the aHash (average-hash) shape over the
-    fake decoder's pixel channel, NOT a real image hash. Decode: the
-    16 payload high nibbles are the stable "pixels" a real decoder
-    would produce regardless of encoding; 64 fake pixels are mixed
-    nibble pairs p_i = h[i mod 16]*16 + h[(3i + i div 16) mod 16]
-    (the second index is aperiodic over the 64 positions, so the four
-    bands below carry distinct bits). aHash: bit_i = 1 iff
-    64*p_i >= sum(p) — the integer-exact form of "pixel above mean".
-    Signature = 4 x 16-bit band ints (b0..b3), avoiding 64-bit sign
-    games in either engine; digest = payload hex (byte identity).
-    Swap the pixel derivation for a real decode + 8x8 downscale
-    outside this environment; everything downstream (banding, the
-    pigeonhole join, Hamming verify) is the real operator. Low-nibble
-    noise never moves any pixel, so a re-encoded twin hashes
-    IDENTICALLY; Hamming <= PHASH_MAX_HAMMING is caught losslessly by
-    the 4-band pigeonhole (d+1 bands catch any d-bit difference)."""
+    """aHash (average-hash) over the decoded-channel block sums, NOT a
+    real image hash (the decode itself is the honestly-marked stub —
+    see decoded_block_sums; everything downstream is the real
+    operator). Decode: 32x32 full-entropy pixels from the payload's
+    re-encode-invariant high-nibble channel; downscale: exact 4x4
+    block sums. aHash: bit_i = 1 iff 64*q_i >= sum(q) — the
+    integer-exact form of "block above mean" (sums == means under a
+    scale-invariant threshold). Signature = 4 x 16-bit band ints
+    (b0..b3), avoiding 64-bit sign games in either engine; digest =
+    payload hex (byte identity). Low-nibble noise never moves any
+    pixel, so a re-encoded twin hashes IDENTICALLY; Hamming <=
+    PHASH_MAX_HAMMING is caught by the 4-band pigeonhole (d+1 bands
+    catch any d-bit difference), lossless up to the documented
+    PHASH_BUCKET_CAP hot-bucket drop."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -283,11 +332,7 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
             out = {"doc_id": [], "digest": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                h = [x >> 4 for x in b[:16]]
-                p = [
-                    h[i % 16] * 16 + h[(3 * i + i // 16) % 16]
-                    for i in range(PHASH_PIXELS)
-                ]
+                p = decoded_block_sums(b)
                 s = sum(p)
                 bits = [1 if 64 * px >= s else 0 for px in p]
                 out["doc_id"].append(doc_id)
@@ -312,7 +357,8 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
 # Integer DCT-II basis, round(cos(pi*(2x+1)*u/16) * 1024): hardcoded so
 # the Python kernel and the DuckDB oracle share the EXACT same
 # literals — every coefficient is then pure int64 arithmetic
-# (|F| <= 255*64*1024^2 ~ 1.7e10, far inside int64).
+# (block sums <= 16*255, so |F| <= 4080*64*1024^2 ~ 2.7e11, far
+# inside int64).
 DCT_BASIS_Q = [
     [1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024],
     [1004, 851, 569, 200, -200, -569, -851, -1004],
@@ -346,8 +392,17 @@ def dct_phash_signatures(df: DataFrame) -> DataFrame:
     coefficients (strict >, so the DC bit is structurally 1 and ~half
     the AC bits set). Same 4 x 16-bit band signature and NULL-payload
     gate as aHash; low-nibble re-encode noise never moves a pixel, so
-    twins hash identically here too. Swap the pixel derivation for a
-    real decode + 32x32 downscale outside this environment."""
+    twins hash identically here too.
+
+    Round-9 decode rework (SCALE.md cliff #7): the former 16-nibble
+    mixed channel confined the 64 DCT coefficients to a 16-dim
+    subspace — bits co-varied, band values skewed (2.6k-5.3k distinct
+    per band at 6k images; three disjoint 4-partitions of the bits
+    were measured and contiguous was already the best), and the
+    pigeonhole join went 18.2x super-linear on the second decade as
+    buckets saturated. The full-entropy 32x32 decode
+    (decoded_block_sums) decorrelates the coefficients at the root;
+    PHASH_BUCKET_CAP bounds whatever residual skew remains."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -358,26 +413,12 @@ def dct_phash_signatures(df: DataFrame) -> DataFrame:
             out = {"doc_id": [], "digest": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                h = [x >> 4 for x in b[:16]]
-                p = [
-                    h[i % 16] * 16 + h[(3 * i + i // 16) % 16]
-                    for i in range(PHASH_PIXELS)
-                ]
-                P = np.array(p, dtype=np.int64).reshape(8, 8)
+                P = np.array(decoded_block_sums(b), dtype=np.int64).reshape(8, 8)
                 f = (B @ P @ B.T).reshape(64)
                 med = int(np.sort(f[1:])[31])  # 32nd smallest of 63 AC
                 bits = [1 if int(c) > med else 0 for c in f]
                 out["doc_id"].append(doc_id)
                 out["digest"].append(b.hex())
-                # Contiguous banding, MEASURED as the least-skewed
-                # disjoint 4-partition of these bits (5.3k/4.6k/2.9k/
-                # 3.7k distinct values per band at 6k images vs 1.0k-
-                # 1.7k interleaved, 1.7k-4.6k row-paired): DCT bits of
-                # the structured stub pixels co-vary, so every
-                # partition is skewed vs aHash's 4.7k and the
-                # candidate join saturates near ~1M images (SCALE.md
-                # cliff) — the lever is a richer decode (real 32x32
-                # pixels) and log(n)-wide bands, not the partition.
                 for k in range(PHASH_BANDS):
                     out[f"b{k}"].append(
                         sum(bit << j for j, bit in enumerate(bits[16 * k : 16 * k + 16]))

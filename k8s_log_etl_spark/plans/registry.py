@@ -63,6 +63,11 @@ _CHECKED_FIRST = [
     # tokenizer capstone) ---
     "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
     "wordpiece_encode_corpus", "tokenizer_compare",
+    # (a, cont.) the perceptual rework closing SCALE.md cliff #7: both
+    # kernels + both oracles moved to the full-entropy 32x32 decode
+    # channel and gained the PHASH_BUCKET_CAP hot-bucket drop — VALUES
+    # legally changed (new signatures), so both need fresh rows
+    "dedup_perceptual_ahash", "dedup_perceptual_phash_dct",
     # --- (b) the r3-latest refresh tranche (all 24 remaining rows
     # whose newest green is round 3 — displaced twice by addition
     # waves; stream_sliding_avg leads as streaming's only displaced
@@ -87,12 +92,11 @@ _CHECKED_FIRST = [
     "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
     "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
     "ann_recall_eval", "graph_pagerank_copurchase",
-    # --- (e) stale-r4 backfill (11 slots): the next-oldest greens,
+    # --- (e) stale-r4 backfill (9 slots): the next-oldest greens,
     # displaced one-for-one by round-9 ADDITIONS as they land ---
     "agg_null_semantics", "dq_constraint_checks", "events_weekly_seasonality",
     "join_null_safe", "knn_sq8_adc", "multimodal_feature_extract",
     "orders_page_offset", "parts_copurchased", "pq_codebook_train",
-    "q21_sole_late_supplier", "text_zipf_slope",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

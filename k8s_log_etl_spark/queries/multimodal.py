@@ -309,18 +309,40 @@ corpus AS (
            AS hex
   FROM base WHERE doc_id % {MM.PHASH_VARIANT_MOD} = 0
 ),
-nib AS (
+hh AS (
+  -- the re-encode-invariant perceptual channel: the 16 high-nibble
+  -- hex chars (odd positions of the payload hex)
   SELECT doc_id, hex,
-         list_transform(range(16), j ->
-           strpos('{_HEXD}', substr(hex, CAST(2 * j + 1 AS INTEGER), 1)) - 1) AS h
+         array_to_string(list_transform(range(16), j ->
+           substr(hex, CAST(2 * j + 1 AS INTEGER), 1)), '') AS hh
   FROM corpus
 ),
+bd AS (
+  -- stub 32x32 decode: 64 md5 block digests seeded by the perceptual
+  -- channel = 1024 full-entropy pixel bytes (decoded_block_sums)
+  SELECT doc_id, hex,
+         list_transform(range({MM.PHASH_PIXELS}), blk ->
+           md5(hh || ':' || CAST(blk AS VARCHAR))) AS bd
+  FROM hh
+),
+px AS (
+  SELECT doc_id, hex,
+         flatten(list_transform(bd, d ->
+           list_transform(range(16), k ->
+             (strpos('{_HEXD}', substr(d, CAST(2 * k + 1 AS INTEGER), 1)) - 1) * 16
+             + strpos('{_HEXD}', substr(d, CAST(2 * k + 2 AS INTEGER), 1)) - 1)))
+           AS px
+  FROM bd
+),
 pix AS (
+  -- exact 8x8 downscale: 4x4 block SUMS of the 32x32 field (sums ==
+  -- means under both scale-invariant thresholds)
   SELECT doc_id, hex,
          list_transform(range({MM.PHASH_PIXELS}), i ->
-           h[CAST(i % 16 AS INTEGER) + 1] * 16
-           + h[CAST((3 * i + i // 16) % 16 AS INTEGER) + 1]) AS p
-  FROM nib
+           list_sum(list_transform(range(16), t ->
+             px[CAST(((i // 8) * 4 + t // 4) * 32
+                     + (i % 8) * 4 + t % 4 AS INTEGER) + 1]))) AS p
+  FROM px
 )"""
 
 _PHASH_SIG_CTES = f"""{_PHASH_PIX_CTES},
@@ -346,9 +368,14 @@ bl AS (
          bands[CAST(t.b AS INTEGER) + 1] AS val
   FROM sig, unnest(range({MM.PHASH_BANDS})) AS t(b)
 ),
+ok AS (
+  SELECT band_idx, val FROM bl GROUP BY band_idx, val
+  HAVING count(*) <= {MM.PHASH_BUCKET_CAP}
+),
+blc AS (SELECT bl.* FROM bl JOIN ok USING (band_idx, val)),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bl a JOIN bl b
+  FROM blc a JOIN blc b
     ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
 )
 SELECT c.da AS doc_a, c.db AS doc_b,
@@ -359,6 +386,23 @@ JOIN sig sa ON c.da = sa.doc_id
 JOIN sig sb ON c.db = sb.doc_id
 WHERE {_PHASH_HAMMING} <= {MM.PHASH_MAX_HAMMING}
 """
+
+
+def _capped_bands(bands: DataFrame) -> DataFrame:
+    """Hot-bucket cap (the POSTING_CAP discipline, mirrored in both
+    perceptual oracles): drop any (band, value) bucket holding more
+    docs than PHASH_BUCKET_CAP from candidate generation — the bucket
+    occupancy k drives a sum C(k,2) pair blowup, the measured round-8
+    saturation cliff. Occupancy counting is one hash-agg with map-side
+    partials; the keep-join is keyed on (band_idx, val) and AQE
+    broadcasts the (small) survivor set at fixture scale."""
+    ok = (
+        bands.groupBy("band_idx", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= MM.PHASH_BUCKET_CAP)
+        .drop("n")
+    )
+    return bands.join(ok, ["band_idx", "val"])
 
 
 @register("dedup_perceptual_ahash", oracle=_PHASH_SQL, tags=("multimodal", "dedup"))
@@ -373,17 +417,20 @@ def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this query catches every twin at Hamming 0 while digest_equal
     is false — the rows the digest path provably misses.
 
-    Shape: Arrow mapInPandas decode->aHash (the only Python pass),
+    Shape: Arrow mapInPandas decode->aHash (the only Python pass;
+    32x32 stub decode + exact 4x4 block sums, decoded_block_sums),
     4 x 16-bit band signature, pigeonhole candidate join (a pair
     within Hamming <= 3 of 64 bits MUST share one of 4 bands — the
-    banded join is lossless for the reported radius, unlike the
-    probabilistic MinHash bands), then exact Hamming verify via
-    bit_count(xor) on candidates only. At 100 TB: signatures are one
-    partition-parallel Python pass + checkpoint; candidates are a
-    keyed equi-join on (band, value) — never all-pairs; verify is
-    JVM-side bit math on the candidate set. The oracle recomputes
-    decode, pixels, bits, bands, candidates, and Hamming from the md5
-    hex, so the whole chain is hash-verified."""
+    banded join is lossless for the reported radius unless every band
+    a pair shares is over the PHASH_BUCKET_CAP hot-bucket drop, the
+    documented lossy guard mirrored in the oracle), then exact Hamming
+    verify via bit_count(xor) on candidates only. At 100 TB:
+    signatures are one partition-parallel Python pass + checkpoint;
+    candidates are a keyed equi-join on (band, value) with bucket
+    occupancy capped — never all-pairs; verify is JVM-side bit math on
+    the candidate set. The oracle recomputes decode, block sums, bits,
+    bands, the cap, candidates, and Hamming from the md5 hex, so the
+    whole chain is hash-verified."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     corpus = MM.with_reencoded_variants(MM.attach_payload(d))
     sig = spill_checkpoint(MM.ahash_signatures(corpus))  # per-image: data-sized
@@ -398,6 +445,7 @@ def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bv"),
     ).select("doc_id", "bv.band_idx", "bv.val")
+    bands = _capped_bands(bands)
     cand = (
         bands.alias("ba")
         .join(bands.alias("bb"), ["band_idx", "val"])
@@ -721,9 +769,14 @@ bl AS (
          bands[CAST(t.b AS INTEGER) + 1] AS val
   FROM sig, unnest(range({MM.PHASH_BANDS})) AS t(b)
 ),
+ok AS (
+  SELECT band_idx, val FROM bl GROUP BY band_idx, val
+  HAVING count(*) <= {MM.PHASH_BUCKET_CAP}
+),
+blc AS (SELECT bl.* FROM bl JOIN ok USING (band_idx, val)),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bl a JOIN bl b
+  FROM blc a JOIN blc b
     ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
 )
 SELECT c.da AS doc_a, c.db AS doc_b,
@@ -751,11 +804,21 @@ def dedup_perceptual_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is hash-verified.
 
     Shape: identical to the aHash query — one Arrow mapInPandas
-    signature pass (numpy B.P.Bt per image, batch-columnar),
-    4 x 16-bit bands, pigeonhole-lossless candidate join for
-    Hamming <= 3, bit_count(xor) verify on candidates only. The
-    re-encoded twins (low-nibble noise, pixels unchanged) hash
-    identically and surface at Hamming 0 with digest_equal false."""
+    signature pass (32x32 stub decode -> 4x4 block sums -> numpy
+    B.P.Bt per image, batch-columnar), 4 x 16-bit bands, pigeonhole
+    candidate join for Hamming <= 3 (lossless up to the documented
+    PHASH_BUCKET_CAP hot-bucket drop, mirrored in the oracle),
+    bit_count(xor) verify on candidates only. The re-encoded twins
+    (low-nibble noise, pixels unchanged) hash identically and surface
+    at Hamming 0 with digest_equal false.
+
+    Round-9 rework closing SCALE.md cliff #7: the old 16-nibble mixed
+    channel confined the DCT coefficients to a 16-dim subspace — band
+    values skewed and the candidate join went 18.2x super-linear on
+    the second decade. The full-entropy decode decorrelates the bits
+    (band values ~uniform over 2^16, expected bucket occupancy n/65536
+    per band) and the cap bounds any residual hot bucket; decade
+    ratios re-measured after the rework (see SCALE.md)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     corpus = MM.with_reencoded_variants(MM.attach_payload(d))
     sig = spill_checkpoint(MM.dct_phash_signatures(corpus))
@@ -770,6 +833,7 @@ def dedup_perceptual_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bv"),
     ).select("doc_id", "bv.band_idx", "bv.val")
+    bands = _capped_bands(bands)
     cand = (
         bands.alias("a")
         .join(

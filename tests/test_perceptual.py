@@ -63,6 +63,27 @@ def test_signature_invariant_to_low_nibble_noise_only(spark):
     assert b(sigs[1]) != b(sigs[3])
 
 
+def test_capped_bands_drops_hot_buckets_only(spark):
+    """PHASH_BUCKET_CAP: a (band, value) bucket holding more than CAP
+    docs is dropped wholesale from candidate generation; buckets at or
+    under the cap pass through untouched (the POSTING_CAP discipline —
+    mirrored by the HAVING clause in both perceptual oracles)."""
+    from k8s_log_etl_spark.queries.multimodal import _capped_bands
+
+    hot = [(i, 0, 7) for i in range(MM.PHASH_BUCKET_CAP + 1)]
+    cool = [(1, 1, 9), (2, 1, 9)]
+    df = spark.createDataFrame(
+        hot + cool, "doc_id long, band_idx int, val int"
+    )
+    got = _capped_bands(df).collect()
+    assert len(got) == 2
+    assert all(r["band_idx"] == 1 and r["val"] == 9 for r in got)
+    # exactly at the cap: kept
+    at_cap = [(i, 2, 5) for i in range(MM.PHASH_BUCKET_CAP)]
+    df2 = spark.createDataFrame(at_cap, "doc_id long, band_idx int, val int")
+    assert _capped_bands(df2).count() == MM.PHASH_BUCKET_CAP
+
+
 def test_variant_rows_are_flatmap_of_originals(spark):
     """with_reencoded_variants: originals pass through byte-identical,
     twins appear only for doc_id % mod == 0, offset by the constant."""

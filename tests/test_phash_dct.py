@@ -17,9 +17,25 @@ from k8s_log_etl_spark.operators.multimodal import (
 )
 
 
+def py_block_sums(payload: bytes) -> list[int]:
+    """Independent pure-Python reference of decoded_block_sums: 32x32
+    stub decode (md5 block digests off the high-nibble channel) + 4x4
+    block sums — no numpy, loop-indexed like the DuckDB oracle."""
+    hh = "".join("%x" % (x >> 4) for x in payload[:16])
+    px: list[int] = []
+    for blk in range(64):
+        px.extend(hashlib.md5(f"{hh}:{blk}".encode()).digest())
+    return [
+        sum(
+            px[((i // 8) * 4 + t // 4) * 32 + (i % 8) * 4 + t % 4]
+            for t in range(16)
+        )
+        for i in range(PHASH_PIXELS)
+    ]
+
+
 def py_dct_bands(payload: bytes) -> list[int]:
-    h = [x >> 4 for x in payload[:16]]
-    p = [h[i % 16] * 16 + h[(3 * i + i // 16) % 16] for i in range(PHASH_PIXELS)]
+    p = py_block_sums(payload)
     f = [
         sum(
             DCT_BASIS_Q[i // 8][x] * DCT_BASIS_Q[i % 8][y] * p[8 * x + y]
