@@ -61,6 +61,12 @@ _CHECKED_FIRST = [
     # WordPiece de-literal (piece vocabulary now a one-row broadcast
     # map frame, plan changed, in both the standalone encode and the
     # tokenizer capstone) ---
+    # --- (a0) round-9 additions: the DOULION triangle estimator (the
+    # documented exactness-tradeable path beside the wedge-byte-bound
+    # exact count; deterministic md5 coin makes the whole estimate
+    # oracle-exact, accuracy band pinned in tests/test_approx.py) ---
+    "graph_triangle_estimate",
+    # --- (a) round-9 modified implementations ---
     "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
     "wordpiece_encode_corpus", "tokenizer_compare",
     # (a, cont.) the perceptual rework closing SCALE.md cliff #7: both
@@ -92,11 +98,11 @@ _CHECKED_FIRST = [
     "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
     "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
     "ann_recall_eval", "graph_pagerank_copurchase",
-    # --- (e) stale-r4 backfill (9 slots): the next-oldest greens,
+    # --- (e) stale-r4 backfill (8 slots): the next-oldest greens,
     # displaced one-for-one by round-9 ADDITIONS as they land ---
     "agg_null_semantics", "dq_constraint_checks", "events_weekly_seasonality",
     "join_null_safe", "knn_sq8_adc", "multimodal_feature_extract",
-    "orders_page_offset", "parts_copurchased", "pq_codebook_train",
+    "orders_page_offset", "parts_copurchased",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

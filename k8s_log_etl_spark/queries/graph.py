@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
 from k8s_log_etl_spark.tables import load_table, spill_checkpoint
 
@@ -26,7 +27,9 @@ PR_DAMP_NUM = 85    # damping 0.85 as an integer ratio
 PR_DAMP_DEN = 100
 
 
-def _ordered_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ordered_copurchase_pairs(
+    spark: SparkSession, sf_dir: str, pre_filter=None
+) -> DataFrame:
     """Distinct co-purchase pairs with src < dst (each undirected edge
     ONCE), expanded MAP-SIDE from per-order sorted part lists (the
     parts_copurchased grouped-expansion discipline, bounded by TPC-H's
@@ -55,11 +58,17 @@ def _ordered_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        per_order.select(F.explode(pair_list).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
+    pairs = per_order.select(F.explode(pair_list).alias("p")).select(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
     )
+    if pre_filter is not None:
+        # push a pair-keyed predicate BELOW the distinct: the distinct
+        # is the graph family's dominant shuffle (239M rows at
+        # synth-sf10), and a filter on (src, dst) commutes with it —
+        # the DOULION coin rides here so the sparsified run shuffles
+        # ~p of the pair stream instead of sparsifying after paying it
+        pairs = pairs.filter(pre_filter(F.col("src"), F.col("dst")))
+    return pairs.distinct()
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +366,59 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle counting (degree-ordered orientation) + clustering coefficient
 # ---------------------------------------------------------------------------
 
+def _undirected_degrees(e_id: DataFrame) -> DataFrame:
+    """Undirected degrees from the half-sized ordered pair list via a
+    skinny union-agg — the symmetric edge list is never materialized."""
+    return (
+        e_id.select(F.col("src").alias("node"))
+        .unionAll(e_id.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _cf_triangles(e_id: DataFrame, deg: DataFrame) -> DataFrame:
+    """COMPACT-FORWARD exact triangle count over an ordered (src<dst)
+    edge list: broadcast degree re-orientation, per-node sorted
+    out-neighbor arrays, triangles per oriented edge (a, b) =
+    |N+(a) ∩ N+(b)| via map-side array_intersect — ONE array-carrying
+    shuffle join (the wedge-byte floor), shared by the exact query and
+    the DOULION estimator (which feeds it the sparsified edges).
+    Returns a 1-row frame with column ``t``."""
+    # degree-(then id-)ordered orientation; src < dst already holds,
+    # so ties keep the id order and only dd < ds swaps
+    keep = F.col("ds") <= F.col("dd")
+    e_o = (
+        e_id.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("ds"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))),
+            "dst",
+        )
+        .select(
+            F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+    )
+    adj = (
+        e_o.groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .transform(spill_checkpoint)
+    )
+    wedge_carrier = adj.select(
+        F.col("nbrs").alias("na"), F.explode("nbrs").alias("dst")
+    )
+    return (
+        wedge_carrier.join(
+            adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nb")), "dst"
+        )
+        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
+        .agg(F.sum("k").alias("t"))
+    )
+
+
 _TRI_SQL = """
 WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -447,44 +509,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE array-carrying shuffle join, whose volume is the wedge-byte
     # floor any exact distributed triangle count pays.
     e_id = spill_checkpoint(_ordered_copurchase_pairs(spark, sf_dir))
-    deg = (
-        e_id.select(F.col("src").alias("node"))
-        .unionAll(e_id.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # degree-(then id-)ordered orientation; src < dst already holds,
-    # so ties keep the id order and only dd < ds swaps
-    keep = F.col("ds") <= F.col("dd")
-    e_o = (
-        e_id.join(
-            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("ds"))),
-            "src",
-        )
-        .join(
-            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))),
-            "dst",
-        )
-        .select(
-            F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("src"),
-            F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("dst"),
-        )
-    )
-    adj = (
-        e_o.groupBy(F.col("src").alias("node"))
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .transform(spill_checkpoint)
-    )
-    wedge_carrier = adj.select(
-        F.col("nbrs").alias("na"), F.explode("nbrs").alias("dst")
-    )
-    tri = (
-        wedge_carrier.join(
-            adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nb")), "dst"
-        )
-        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
-        .agg(F.sum("k").alias("t"))
-    )
+    deg = _undirected_degrees(e_id)
+    tri = _cf_triangles(e_id, deg)
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.floor(F.sum("d") / 2).cast("bigint").alias("n_edges"),
@@ -496,4 +522,104 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_wedges",
         F.col("t").cast("bigint").alias("n_triangles"),
         F.round(3.0 * F.col("t") / F.col("n_wedges"), 6).alias("global_clustering"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle ESTIMATION via edge sparsification (DOULION — Tsourakakis,
+# Kang, Miller & Faloutsos, KDD 2009)
+# ---------------------------------------------------------------------------
+
+TRI_EST_KEEP_NUM = 1   # keep probability p = NUM/DEN per undirected edge
+TRI_EST_KEEP_DEN = 4
+# each surviving triangle needed all 3 edges kept -> unbiased estimator
+# T_hat = t_sparse / p^3; with p = 1/4 the scale factor is an exact
+# integer, so the estimate stays in BIGINT cross-engine
+TRI_EST_SCALE = TRI_EST_KEEP_DEN**3 // TRI_EST_KEEP_NUM**3
+
+_TRI_EST_COIN = (
+    "CAST(least(src, dst) AS VARCHAR) || '_' || CAST(greatest(src, dst) AS VARCHAR)"
+)
+
+_TRI_EST_SQL = f"""
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+es AS (
+  SELECT src, dst FROM e
+  WHERE {X.md5_long_sql(_TRI_EST_COIN)} % {TRI_EST_KEEP_DEN} < {TRI_EST_KEEP_NUM}
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM es GROUP BY src),
+ori AS (
+  SELECT es.src, es.dst
+  FROM es
+  JOIN deg ds ON ds.node = es.src
+  JOIN deg dd ON dd.node = es.dst
+  WHERE (ds.d, es.src) < (dd.d, es.dst)
+),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ori e1 JOIN ori e2 ON e1.dst = e2.src
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM wedges w JOIN ori e3 ON w.a = e3.src AND w.c = e3.dst
+),
+kept AS (SELECT CAST(count(*) // 2 AS BIGINT) AS kept_edges FROM es)
+SELECT kept_edges,
+       CAST(t AS BIGINT) AS sampled_triangles,
+       CAST(t * {TRI_EST_SCALE} AS BIGINT) AS est_triangles
+FROM kept, tri
+"""
+
+
+@register("graph_triangle_estimate", oracle=_TRI_EST_SQL, tags=("graph",))
+def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle estimator (Tsourakakis et al., KDD 2009) — the
+    documented cheaper path beside graph_triangle_count when exactness
+    is tradeable (SCALE.md cliff #6): sparsify the edge set by keeping
+    each undirected edge with probability p = 1/4, count triangles
+    EXACTLY on the sparsified graph (the same compact-forward
+    machinery, _cf_triangles), and scale by p^-3 = 64 — each surviving
+    triangle needed all three of its edges kept, so the estimator is
+    unbiased; variance vanishes as wedge work shrinks by ~p^2 and
+    closure work by ~p^3. The coin is DETERMINISTIC — md5_long of the
+    ordered edge key modulo 4 — so the sample is reproducible across
+    engines and the whole estimate (sparsification, orientation,
+    wedges, closure, scaling) is oracle-exact, not bounds-only like
+    the sketch family; the accuracy-vs-exact band is pinned separately
+    in tests/test_approx.py against graph_triangle_count.
+
+    Scale shape: identical plan skeleton to the exact query but every
+    volume term is scaled — the coin is pushed map-side BELOW the pair
+    distinct (a (src, dst) predicate commutes with it; the oracle
+    applies it above, output-equivalent), so the graph family's
+    dominant shuffle moves ~p of the pair stream, the adjacency
+    arrays carry ~p of the out-neighbors, and the one array-carrying
+    closure join (the exact query's wedge-byte floor, ~67 GB at
+    synth-sf10) moves ~p^2 of the bytes. p is the single
+    cost/variance knob; DOULION's guarantee (relative error ~
+    1/sqrt(p^3 T)) holds for any fixed p."""
+    def coin(src: F.Column, dst: F.Column) -> F.Column:
+        return (
+            X.md5_long(
+                F.concat_ws("_", src.cast("string"), dst.cast("string"))
+            )
+            % TRI_EST_KEEP_DEN
+            < TRI_EST_KEEP_NUM
+        )
+
+    e_id = spill_checkpoint(
+        _ordered_copurchase_pairs(spark, sf_dir, pre_filter=coin)
+    )
+    deg = _undirected_degrees(e_id)
+    tri = _cf_triangles(e_id, deg)
+    kept = e_id.agg(F.count(F.lit(1)).alias("kept_edges"))
+    return kept.crossJoin(F.broadcast(tri)).select(
+        F.col("kept_edges").cast("bigint").alias("kept_edges"),
+        F.col("t").cast("bigint").alias("sampled_triangles"),
+        (F.col("t") * TRI_EST_SCALE).cast("bigint").alias("est_triangles"),
     )

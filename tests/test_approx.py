@@ -586,3 +586,27 @@ def test_ann_recall_fourth_scale_point(spark):
     )
     assert r_lsh >= 0.5, f"LSH recall@5 {r_lsh} below floor at n={n}"
     assert r_refine >= 0.5, f"refine recall@5 {r_refine} below floor at n={n}"
+
+
+def test_triangle_estimate_tracks_exact_count(spark, sf_dir):
+    """DOULION estimator (graph_triangle_estimate): the p=1/4
+    deterministic-coin sparsification must land within a tight band of
+    the exact compact-forward count on the dense co-purchase graph
+    (measured 410,752 vs 413,718 at sf0.01 — 0.7% relative error; the
+    band leaves room for other fixtures), kept_edges must be ~p of the
+    edge set, and the integer scaling must be exact."""
+    from k8s_log_etl_spark.queries.graph import (
+        TRI_EST_SCALE,
+        graph_triangle_count,
+        graph_triangle_estimate,
+    )
+
+    exact = graph_triangle_count(spark, sf_dir).collect()[0]
+    est = graph_triangle_estimate(spark, sf_dir).collect()[0]
+    assert est["est_triangles"] == est["sampled_triangles"] * TRI_EST_SCALE
+    # coin fairness: kept edges within 10% of p * |E|
+    expected_kept = exact["n_edges"] / 4
+    assert abs(est["kept_edges"] - expected_kept) <= 0.1 * expected_kept
+    # estimator accuracy: within 25% of the exact count (0.7% measured)
+    t = exact["n_triangles"]
+    assert 0.75 * t <= est["est_triangles"] <= 1.25 * t
