@@ -66,6 +66,9 @@ _CHECKED_FIRST = [
     # exact count; deterministic md5 coin makes the whole estimate
     # oracle-exact, accuracy band pinned in tests/test_approx.py) ---
     "graph_triangle_estimate",
+    # (a0, cont.) keyset pagination — the deep-page alternative to the
+    # OFFSET frontier, contract-pinned to no global sort
+    "orders_page_keyset",
     # --- (a) round-9 modified implementations ---
     "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
     "wordpiece_encode_corpus", "tokenizer_compare",
@@ -98,11 +101,11 @@ _CHECKED_FIRST = [
     "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
     "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
     "ann_recall_eval", "graph_pagerank_copurchase",
-    # --- (e) stale-r4 backfill (8 slots): the next-oldest greens,
+    # --- (e) stale-r4 backfill (7 slots): the next-oldest greens,
     # displaced one-for-one by round-9 ADDITIONS as they land ---
     "agg_null_semantics", "dq_constraint_checks", "events_weekly_seasonality",
     "join_null_safe", "knn_sq8_adc", "multimodal_feature_extract",
-    "orders_page_offset", "parts_copurchased",
+    "orders_page_offset",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

@@ -2894,6 +2894,73 @@ def orders_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEYSET_SQL = f"""
+WITH cur AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS cp, o_orderkey AS ck
+  FROM orders
+  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+  LIMIT 1 OFFSET {PAGE_SIZE - 1}
+)
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders, cur
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) < cur.cp
+   OR (CAST(o_totalprice AS DECIMAL(18,2)) = cur.cp AND o_orderkey > cur.ck)
+ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+LIMIT {PAGE_SIZE}
+"""
+
+
+@register("orders_page_keyset", oracle=_KEYSET_SQL, tags=("sort", "topk"))
+def orders_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (seek) pagination — the deep-page shape
+    orders_page_offset's docstring promises: instead of an
+    OFFSET+LIMIT frontier (whose per-partition heaps hold
+    OFFSET+LIMIT rows — the known deep-page killer once OFFSET is
+    page_n * PAGE_SIZE), the client carries the fully-tie-broken
+    cursor of the last row it saw and the next page is
+    WHERE (price, key) AFTER cursor ORDER BY ... LIMIT PAGE_SIZE —
+    cost O(PAGE_SIZE) per page at ANY depth. Here the cursor (the
+    PAGE_SIZE-th row) is derived in-query so the result provably
+    equals offset-pagination's page 2: a TakeOrderedAndProject top-K
+    reduced to its last row (max of the inverted sort struct), then a
+    one-row broadcast into the scan-side filter.
+
+    Scale shape: BOTH the cursor derivation and the page fetch are
+    TakeOrderedAndProject (per-partition K-row heaps + driver merge,
+    no rangepartitioning exchange anywhere — contract-pinned); the
+    cursor rides a BroadcastNestedLoopJoin of one row, and at page N
+    the fetch-side predicate prunes everything above the cursor at
+    the scan (a real deployment additionally gets parquet min/max
+    pruning on the sort column). DECIMAL keys keep both the cursor
+    row and the page boundary engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    price = _dec("o_totalprice")
+    base = o.select(
+        "o_orderkey", "o_custkey", price.alias("price_d")
+    )
+    top = base.orderBy(F.desc("price_d"), F.asc("o_orderkey")).limit(PAGE_SIZE)
+    cur = top.agg(
+        F.max(F.struct((-F.col("price_d")).alias("np"), F.col("o_orderkey"))).alias(
+            "c"
+        )
+    ).select((-F.col("c.np")).alias("cp"), F.col("c.o_orderkey").alias("ck"))
+    after = (F.col("price_d") < F.col("cp")) | (
+        (F.col("price_d") == F.col("cp")) & (F.col("o_orderkey") > F.col("ck"))
+    )
+    return (
+        base.crossJoin(F.broadcast(cur))
+        .filter(after)
+        .orderBy(F.desc("price_d"), F.asc("o_orderkey"))
+        .limit(PAGE_SIZE)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("price_d").cast("double").alias("price"),
+        )
+    )
+
+
 PRICE_BAND = 100
 
 _PRICE_RANGE_SQL = f"""

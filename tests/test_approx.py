@@ -610,3 +610,18 @@ def test_triangle_estimate_tracks_exact_count(spark, sf_dir):
     # estimator accuracy: within 25% of the exact count (0.7% measured)
     t = exact["n_triangles"]
     assert 0.75 * t <= est["est_triangles"] <= 1.25 * t
+
+
+def test_keyset_page_equals_offset_page(spark, sf_dir):
+    """orders_page_keyset must return EXACTLY offset-pagination's
+    page 2 (same fully-tie-broken total order, cursor = last row of
+    page 1) — the correctness contract that lets a client switch from
+    OFFSET to keyset mid-scroll without skipping or repeating rows."""
+    from k8s_log_etl_spark.queries.relational import (
+        orders_page_keyset,
+        orders_page_offset,
+    )
+
+    off = [tuple(r) for r in orders_page_offset(spark, sf_dir).collect()]
+    key = [tuple(r) for r in orders_page_keyset(spark, sf_dir).collect()]
+    assert key == off and len(key) == 20

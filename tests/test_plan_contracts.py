@@ -367,6 +367,14 @@ CONTRACTS = {
         ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],
         [],
     ),
+    # keyset pagination: cursor derivation AND page fetch are both
+    # TakeOrderedAndProject (per-partition K-heaps), cursor rides a
+    # 1-row broadcast — NO global sort (rangepartitioning) anywhere,
+    # the property that makes deep pages O(PAGE_SIZE)
+    "orders_page_keyset": (
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+        ["rangepartitioning"],
+    ),
 }
 
 
