@@ -69,6 +69,14 @@ _CHECKED_FIRST = [
     # (a0, cont.) keyset pagination — the deep-page alternative to the
     # OFFSET frontier, contract-pinned to no global sort
     "orders_page_keyset",
+    # (a0, cont.) BM25 ranked retrieval (the lexical baseline beside
+    # the embedding RAG path; integer-exact via the single-ln idf),
+    # winnowing fingerprints (MOSS — the LOCAL fingerprint sketch with
+    # the shared-run guarantee), rendezvous corpus sharding (minimal-
+    # disruption shard growth, the property pinned by test), and
+    # CCNet head/middle/tail perplexity buckets
+    "text_bm25_retrieval", "text_winnow_fingerprints",
+    "corpus_shard_rendezvous", "corpus_ccnet_buckets",
     # --- (a) round-9 modified implementations ---
     "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
     "wordpiece_encode_corpus", "tokenizer_compare",
@@ -101,11 +109,9 @@ _CHECKED_FIRST = [
     "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
     "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
     "ann_recall_eval", "graph_pagerank_copurchase",
-    # --- (e) stale-r4 backfill (7 slots): the next-oldest greens,
+    # --- (e) stale-r4 backfill (3 slots): the next-oldest greens,
     # displaced one-for-one by round-9 ADDITIONS as they land ---
     "agg_null_semantics", "dq_constraint_checks", "events_weekly_seasonality",
-    "join_null_safe", "knn_sq8_adc", "multimodal_feature_extract",
-    "orders_page_offset",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

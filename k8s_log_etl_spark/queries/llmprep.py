@@ -4416,3 +4416,374 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "family string, corpus_tokens long, pieces_used long, tokens_per_kword long",
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Sparck Jones probabilistic
+# weighting; the Okapi BM25 form with Lucene's non-negative idf)
+# ---------------------------------------------------------------------------
+
+BM25_QMOD = 25       # docs with doc_id % QMOD == 0 play the queries
+BM25_QW = 12         # first QW words of a query doc form its term set
+BM25_TOPK = 5        # results per query
+BM25_Q = 1_000_000   # idf quantization (micro-nats)
+# k1 = 6/5 (1.2), b = 3/4 (0.75) as integer ratios: the per-term score
+#   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# with avgdl = T/N multiplies out (by 10*T) to
+#   idf_micro * (22*tf*T) div (10*T*tf + 3*T + 9*dl*N)
+# — one integer division per term AFTER the one quantized ln, so the
+# whole score is exact BIGINT cross-engine. (At extreme corpus sizes
+# 22*tf*T*idf_micro approaches int64 range near T ~ 1e10 tokens;
+# downscale T and dl*N by a common power of two first — the ratio, and
+# therefore the score, is unchanged.)
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+sized AS (SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS dl FROM documents),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t
+  FROM sized WHERE dl IS NOT NULL
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, lower(unnest(list_slice({_WORDS_SQL}, 1, {BM25_QW}))) AS term
+  FROM documents WHERE doc_id % {BM25_QMOD} = 0
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qdf AS (
+  SELECT q.query_id, q.term,
+         CAST(round(ln((2 * tot.n + 2) * 1.0 / (2 * df.df + 1)) * {BM25_Q})
+              AS BIGINT) AS idf_micro
+  FROM qterms q JOIN df USING (term), tot
+),
+hits AS (
+  SELECT q.query_id, p.doc_id,
+         CAST((q.idf_micro * (22 * p.tf * tot.t))
+              // (10 * tot.t * p.tf + 3 * tot.t + 9 * s.dl * tot.n)
+              AS BIGINT) AS term_score
+  FROM qdf q
+  JOIN tf p USING (term)
+  JOIN sized s ON s.doc_id = p.doc_id
+  CROSS JOIN tot
+  WHERE p.doc_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(term_score) AS BIGINT) AS score_micro
+  FROM hits GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, score_micro, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {BM25_TOPK}
+"""
+
+
+@register("text_bm25_retrieval", oracle=_BM25_SQL, tags=("llmprep", "text"))
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Sparck Jones weighting, the
+    Okapi/Lucene form) — the lexical-retrieval baseline every RAG and
+    eval-retrieval stack compares against, beside the embedding path
+    (rag_retrieval_pipeline) and tf-idf (tfidf_top_terms): every
+    BM25_QMOD-th document plays a more-like-this query (its first
+    BM25_QW distinct words), scored against the whole corpus with
+    k1 = 1.2, b = 0.75 and Lucene's always-positive idf
+    ln((N + 1)/(df + 0.5)); top BM25_TOPK docs per query, self-matches
+    excluded.
+
+    Determinism: idf is the suite's single-transcendental pattern —
+    round(ln((2N+2)/(2df+1)) * 1e6) — and the tf/length normalization
+    multiplies out to ONE integer division per term (see the constant
+    block), so scores are exact BIGINTs and ties break on doc_id.
+
+    Scale shape: one explode → (doc, term) hash-agg builds the
+    postings (tf) and term stats (df) — the inverted index; the query
+    frame is small by construction, so idf attaches via a keyed join
+    whose small side AQE-broadcasts, and the postings probe is the
+    classic broadcast-query-into-index equi-join on term (the index —
+    the unbounded side — NEVER broadcasts or shuffles beyond its one
+    build agg); doc lengths attach by a doc-keyed join; per-(query,
+    doc) sum + WindowGroupLimit top-k. 100 TB: the index is the thing
+    you persist; per-query-batch cost is |matched postings|."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
+        "doc_id", F.lower(F.col("raw")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.transform(spill_checkpoint)  # postings feed df AND the probe
+    sized = d.select(
+        "doc_id", F.size(_words()).cast("long").alias("dl")
+    )
+    tot = sized.filter(F.col("dl").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    )
+    qterms = (
+        d.filter(F.col("doc_id") % BM25_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(_words(), 1, BM25_QW)).alias("raw"),
+        )
+        .select("query_id", F.lower(F.col("raw")).alias("term"))
+        .distinct()
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_micro = F.round(
+        F.log((2 * F.col("n") + 2) / (2 * F.col("df") + 1)) * BM25_Q
+    ).cast("bigint")
+    qdf = (
+        qterms.join(df, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("query_id", "term", idf_micro.alias("idf_micro"))
+    )
+    hits = (
+        tf.join(F.broadcast(qdf), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(sized, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "CAST((idf_micro * (22 * tf * t))"
+                " div (10 * t * tf + 3 * t + 9 * dl * n) AS BIGINT)"
+            ).alias("term_score"),
+        )
+    )
+    scored = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            "score_micro",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (highest-random-weight) corpus sharding — Thaler &
+# Ravishankar 1996, the consistent-assignment scheme behind cache /
+# shard routing
+# ---------------------------------------------------------------------------
+
+RDV_SHARDS = 8  # current layout; the query also evaluates SHARDS + 1
+
+
+def _rdv_shard_sql(n_shards: int) -> str:
+    """DuckDB: argmax-by-hash shard id in 0..n_shards-1 (first-position
+    tie-break; md5_long values collide with probability ~2^-60)."""
+    hs = (
+        f"list_transform(range({n_shards}), s -> "
+        + X.md5_long_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+        + ")"
+    )
+    return f"(list_position({hs}, list_max({hs})) - 1)"
+
+
+def _rdv_shard(n_shards: int) -> F.Column:
+    hs = F.array(
+        *[
+            X.md5_long(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.lit(str(s))
+                )
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return bind(hs, lambda h: F.array_position(h, F.array_max(h)) - 1)
+
+
+_RDV_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         {_rdv_shard_sql(RDV_SHARDS)} AS s8,
+         {_rdv_shard_sql(RDV_SHARDS + 1)} AS s9
+  FROM documents
+),
+old AS (SELECT s8 AS shard, CAST(count(*) AS BIGINT) AS n_docs_old FROM assigned GROUP BY s8),
+new AS (
+  SELECT s9 AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs_new,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_new,
+         CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_in
+  FROM assigned GROUP BY s9
+)
+SELECT new.shard, COALESCE(old.n_docs_old, 0) AS n_docs_old,
+       new.n_docs_new, new.n_chars_new, new.moved_in
+FROM new LEFT JOIN old ON new.shard = old.shard
+"""
+
+
+@register("corpus_shard_rendezvous", oracle=_RDV_SQL, tags=("llmprep", "warehouse"))
+def corpus_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler &
+    Ravishankar 1996) — the assignment scheme a 100 TB corpus store
+    uses so that GROWING the shard count moves the minimum possible
+    data: every doc goes to argmax_s md5(doc:s), and when a shard is
+    added, a doc moves IFF its new argmax is the new shard (docs never
+    reshuffle between surviving shards — the property this query
+    audits side by side for RDV_SHARDS and RDV_SHARDS+1). One row per
+    new-layout shard: old/new doc counts, new byte load, and moved_in
+    — which MUST be 0 for every pre-existing shard (pinned by test)
+    and ~n/(S+1) in total for the new one.
+
+    Determinism: the per-shard weights are md5_long values (ties at
+    ~2^-60 broken by first position identically in both engines); all
+    outputs are exact integer counts/sums.
+
+    Scale shape: assignment is pure map-side array arithmetic (S md5
+    calls per doc, bind()-bound); the only shuffles are two bounded
+    hash-aggs to |shards| rows and a |shards|-row join. Rebalancing
+    100 TB = moving exactly the new shard's docs."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        _rdv_shard(RDV_SHARDS).alias("s8"),
+        _rdv_shard(RDV_SHARDS + 1).alias("s9"),
+    )
+    old = assigned.groupBy(F.col("s8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs_old")
+    )
+    new = assigned.groupBy(F.col("s9").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs_new"),
+        F.sum("n_chars").alias("n_chars_new"),
+        F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0)).alias(
+            "moved_in"
+        ),
+    )
+    return new.join(old, "shard", "left").select(
+        "shard",
+        F.coalesce("n_docs_old", F.lit(0)).alias("n_docs_old"),
+        "n_docs_new",
+        "n_chars_new",
+        "moved_in",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al., LREC 2020) — per-language
+# head/middle/tail split by LM perplexity
+# ---------------------------------------------------------------------------
+
+_CCNET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM vocab),
+scored AS (
+  SELECT term, CAST(round(ln((n + v) * 1.0 / (c + 1)) * {NLL_QUANT}) AS BIGINT) AS nll_q
+  FROM vocab, tot
+),
+docs AS (
+  SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(s.nll_q) // count(*) AS BIGINT) AS nll_micro
+  FROM toks t JOIN scored s ON t.term = s.term
+  GROUP BY 1, 2
+),
+lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY lang),
+ranked AS (
+  SELECT d.lang, d.n_tokens, d.nll_micro, lc.n,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY d.nll_micro, d.doc_id) AS r
+  FROM docs d JOIN lc ON d.lang = lc.lang
+)
+SELECT lang,
+       CASE WHEN r * 3 <= n THEN 'head'
+            WHEN r * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(nll_micro) AS BIGINT) AS min_nll_micro,
+       CAST(max(nll_micro) AS BIGINT) AS max_nll_micro
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@register("corpus_ccnet_buckets", oracle=_CCNET_SQL, tags=("llmprep", "text"))
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per
+    language, rank documents by LM perplexity (the unigram micro-nat
+    proxy text_perplexity_proxy computes — swap in KenLM outside this
+    environment) and split into equal-count head / middle / tail
+    buckets — the partition CCNet publishes and downstream recipes
+    (LLaMA et al.) sample from preferentially. One row per (lang,
+    bucket) with doc/token counts and the bucket's nll range, i.e.
+    the per-language perplexity cut-points a sampling config needs.
+
+    Determinism: per-doc score is an exact integer (floor of the
+    micro-nat sum over tokens — the established NLL_QUANT discipline);
+    ranking breaks ties on doc_id; bucket boundaries are integer
+    comparisons (r*3 vs n), so both engines agree on every boundary
+    doc even with tied scores.
+
+    Scale shape: the vocab stats and token-stream join are exactly
+    text_perplexity_proxy's (vocab stays a shuffled hash join, never
+    collected); the ranking is ONE row_number window per language over
+    the doc-level frame (corpus-sized input collapses to |docs| rows
+    BEFORE the sort). At 100 TB swap the exact rank for value-based
+    cut-points sampled per language (the epoch_shuffle_order
+    range-ranking discipline) — equal-count semantics then hold to
+    sampling error; here the exact rank keeps the oracle bit-exact."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id", "lang", F.explode(_words()).alias("raw")
+    ).select("doc_id", "lang", F.lower(F.col("raw")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") + F.col("v")) / (F.col("c") + F.lit(1.0)))
+            * NLL_QUANT
+        )
+        .cast("bigint")
+        .alias("nll_q"),
+    )
+    docs = (
+        toks.join(scored, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("CAST(sum(nll_q) div count(*) AS BIGINT)").alias(
+                "nll_micro"
+            ),
+        )
+    )
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.asc("nll_micro"), F.asc("doc_id"))
+    ranked = docs.join(F.broadcast(lc), "lang").select(
+        "lang",
+        "n_tokens",
+        "nll_micro",
+        "n",
+        F.row_number().over(w).alias("r"),
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("r") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.select("lang", bucket.alias("bucket"), "n_tokens", "nll_micro")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("nll_micro").alias("min_nll_micro"),
+            F.max("nll_micro").alias("max_nll_micro"),
+        )
+    )

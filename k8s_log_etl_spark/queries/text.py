@@ -1839,3 +1839,121 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_grade"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+# the MOSS local document-fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3           # word k-grams hashed into the winnowing stream
+WINNOW_W = 4           # window of consecutive k-gram hashes
+WINNOW_CAP = 50        # posting cap: drop fingerprints in > CAP docs
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fps
+
+_WINNOW_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, WINNOW_K + 1))
+
+_WINNOW_SQL = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE text IS NOT NULL
+),
+gh AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(w) - {WINNOW_K - 1}, 0)),
+           i -> {X.md5_long_sql(f"({_WINNOW_GRAM})")}) AS g
+  FROM words
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(g) - least({WINNOW_W}, len(g)) + 2),
+           i -> list_min(list_slice(g, i, i + least({WINNOW_W}, len(g)) - 1))
+         ))) AS h
+  FROM gh WHERE len(g) >= 1
+),
+okh AS (
+  SELECT h FROM fps GROUP BY h
+  HAVING count(*) BETWEEN 2 AND {WINNOW_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM fps a
+  JOIN okh ON okh.h = a.h
+  JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fps FROM pairs
+WHERE shared_fps >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register("text_winnow_fingerprints", oracle=_WINNOW_SQL, tags=("text", "dedup"))
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    algorithm): per document, hash every WINNOW_K-word gram, slide a
+    window of WINNOW_W consecutive hashes, and keep each window's
+    MINIMUM as a fingerprint — a LOCAL sketch with the paper's
+    guarantee that any shared run of at least w + k - 1 words yields
+    at least one shared fingerprint (unlike the global-min
+    text_fingerprint_clusters sketch, which can miss a long shared
+    passage entirely). Output: document pairs sharing >=
+    WINNOW_MIN_SHARED fingerprints with the shared count — the
+    plagiarism/provenance-detection face of the fingerprint family.
+    Expected fingerprint density is 2/(w+1) of gram positions, so the
+    sketch is ~3x smaller than the gram stream before dedup even
+    starts.
+
+    Determinism: hashes are md5_long (the suite's cross-engine 60-bit
+    hash); each window's selected VALUE is its minimum, so the
+    rightmost-tie positional rule of the paper — which affects only
+    which position is recorded, never the hash value — does not enter
+    the distinct-hash fingerprint set both engines compare.
+
+    Scale shape: the gram hash stream and window minima are pure
+    map-side array work (bind()-bound, O(words * w) per doc); the
+    only shuffles are one (doc, fingerprint) distinct-ish explode agg
+    and the capped-posting pair expansion (the corpus_source_overlap
+    grouped-expansion discipline: per-fingerprint sorted doc sets,
+    bounded by WINNOW_CAP, pairs emitted map-side — never an uncapped
+    fingerprint self-join); the oracle keeps the literal self-join to
+    pin equivalence. 100 TB: identical to the MinHash family's
+    banded-join bound."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    gh = bind(
+        _word_ngrams(WINNOW_K),
+        lambda gs: F.transform(gs, lambda g: X.md5_long(g)),
+    )
+
+    def select_fps(g: F.Column) -> F.Column:
+        wl = F.least(F.lit(WINNOW_W), F.size(g))
+        wins = F.sequence(F.lit(1), F.size(g) - wl + 1)
+        mins = F.transform(wins, lambda i: F.array_min(F.slice(g, i, wl)))
+        return F.when(F.size(g) >= 1, F.array_distinct(mins)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    fps = d.select(
+        "doc_id", F.explode(bind(gh, select_fps)).alias("h")
+    )
+    sets = (
+        fps.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_CAP))
+    )
+    ds = F.col("ds")
+    pair_list = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("da"), y.alias("db")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pair_list).alias("p"))
+        .groupBy(F.col("p.da").alias("doc_a"), F.col("p.db").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )

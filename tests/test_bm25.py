@@ -1,0 +1,96 @@
+"""text_bm25_retrieval: the integer-exact BM25 scoring must match a
+pure-Python reference on a hand corpus, self-matches must be excluded,
+and the idf must be Lucene's always-positive form."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from k8s_log_etl_spark.queries.llmprep import (
+    BM25_Q,
+    BM25_QMOD,
+    BM25_QW,
+    BM25_TOPK,
+    text_bm25_retrieval,
+)
+
+
+def py_bm25(texts: dict[int, str]) -> list[tuple[int, int, int, int]]:
+    """Loop-form reference: same tokenization (whitespace, lowercase),
+    same integer math — idf_micro = round(ln((2N+2)/(2df+1)) * 1e6),
+    term score = (idf_micro * 22*tf*T) // (10*T*tf + 3*T + 9*dl*N)."""
+    words = {i: [w.lower() for w in t.split()] for i, t in texts.items()}
+    n = len(words)
+    t_total = sum(len(w) for w in words.values())
+    df: dict[str, int] = {}
+    for ws in words.values():
+        for term in set(ws):
+            df[term] = df.get(term, 0) + 1
+    out = []
+    for qid, ws in words.items():
+        if qid % BM25_QMOD != 0:
+            continue
+        qts = sorted(set(ws[:BM25_QW]))
+        scores: dict[int, int] = {}
+        for did, dws in words.items():
+            if did == qid:
+                continue
+            s = 0
+            dl = len(dws)
+            for term in qts:
+                tf = dws.count(term)
+                if tf == 0:
+                    continue
+                idf = round(
+                    math.log((2 * n + 2) / (2 * df[term] + 1)) * BM25_Q
+                )
+                s += (idf * (22 * tf * t_total)) // (
+                    10 * t_total * tf + 3 * t_total + 9 * dl * n
+                )
+            if s > 0:
+                scores[did] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rn, (did, s) in enumerate(ranked[:BM25_TOPK], start=1):
+            out.append((qid, did, s, rn))
+    return sorted(out)
+
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    texts = {
+        i: t
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "a quick brown dog outpaces a lazy fox",
+                "machine learning models train on large corpora",
+                "the corpus of training data grows very large",
+                "fox and dog stories repeat common words often",
+                "entirely unrelated text about spark query engines",
+                "query engines optimize large analytical workloads",
+                "the the the repeated stopword heavy document",
+                "brown fox brown fox brown fox term frequency",
+                "large large corpora corpora training training",
+            ]
+            * 6,  # 60 docs -> query ids 0, 25, 50
+            start=0,
+        )
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rn"])
+        for r in text_bm25_retrieval(spark, str(tmp_path)).collect()
+    )
+    expected = py_bm25(texts)
+    assert got == expected
+    assert all(q != d for q, d, _, _ in got)  # no self-matches
+    assert {q for q, *_ in got} == {0, 25, 50}

@@ -367,6 +367,22 @@ CONTRACTS = {
         ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],
         [],
     ),
+    # BM25: the inverted index (postings) is built once (checkpoint)
+    # and probed by a BROADCAST of the small query-term frame — the
+    # unbounded index side never broadcasts; the only NLJs are the
+    # 1-row corpus-total broadcasts (the q11-sanctioned scalar form),
+    # and top-k prunes map-side
+    "text_bm25_retrieval": (
+        ["BroadcastHashJoin", "Scan ExistingRDD", "WindowGroupLimit"],
+        [],
+    ),
+    # winnowing: fingerprint pairs expand map-side from capped
+    # per-fingerprint doc sets (grouped expansion) — never an uncapped
+    # fingerprint self-join
+    "text_winnow_fingerprints": ([], ["NestedLoop"]),
+    # rendezvous sharding: assignment is map-side array arithmetic;
+    # shuffles collapse to |shards| rows before the one keyed join
+    "corpus_shard_rendezvous": ([], ["NestedLoop", "Window"]),
     # keyset pagination: cursor derivation AND page fetch are both
     # TakeOrderedAndProject (per-partition K-heaps), cursor rides a
     # 1-row broadcast — NO global sort (rangepartitioning) anywhere,
