@@ -77,6 +77,10 @@ _CHECKED_FIRST = [
     # CCNet head/middle/tail perplexity buckets
     "text_bm25_retrieval", "text_winnow_fingerprints",
     "corpus_shard_rendezvous", "corpus_ccnet_buckets",
+    # (a0, cont.) reciprocal-rank fusion of the BM25 and embedding
+    # rankers — the hybrid-search capstone (rank-based, so the ANN
+    # swap at scale changes nothing downstream)
+    "retrieval_hybrid_rrf",
     # --- (a) round-9 modified implementations ---
     "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
     "wordpiece_encode_corpus", "tokenizer_compare",
@@ -109,9 +113,9 @@ _CHECKED_FIRST = [
     "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
     "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
     "ann_recall_eval", "graph_pagerank_copurchase",
-    # --- (e) stale-r4 backfill (3 slots): the next-oldest greens,
+    # --- (e) stale-r4 backfill (2 slots): the next-oldest greens,
     # displaced one-for-one by round-9 ADDITIONS as they land ---
-    "agg_null_semantics", "dq_constraint_checks", "events_weekly_seasonality",
+    "agg_null_semantics", "dq_constraint_checks",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

@@ -4437,7 +4437,10 @@ BM25_Q = 1_000_000   # idf quantization (micro-nats)
 # downscale T and dl*N by a common power of two first — the ratio, and
 # therefore the score, is unchanged.)
 
-_BM25_SQL = f"""
+def _bm25_sql(extra_q: str = "") -> str:
+    """The BM25 oracle, parameterized by an extra predicate on the
+    QUERY-doc set (retrieval_hybrid_rrf bounds its query batch)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, lower(unnest({_WORDS_SQL})) AS term FROM documents
 ),
@@ -4449,7 +4452,7 @@ tot AS (
 ),
 qterms AS (
   SELECT DISTINCT doc_id AS query_id, lower(unnest(list_slice({_WORDS_SQL}, 1, {BM25_QW}))) AS term
-  FROM documents WHERE doc_id % {BM25_QMOD} = 0
+  FROM documents WHERE doc_id % {BM25_QMOD} = 0{extra_q}
 ),
 df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
 qdf AS (
@@ -4484,6 +4487,9 @@ FROM ranked WHERE rn <= {BM25_TOPK}
 """
 
 
+_BM25_SQL = _bm25_sql()
+
+
 @register("text_bm25_retrieval", oracle=_BM25_SQL, tags=("llmprep", "text"))
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (Robertson & Sparck Jones weighting, the
@@ -4510,6 +4516,15 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     build agg); doc lengths attach by a doc-keyed join; per-(query,
     doc) sum + WindowGroupLimit top-k. 100 TB: the index is the thing
     you persist; per-query-batch cost is |matched postings|."""
+    return _bm25_ranked(spark, sf_dir)
+
+
+def _bm25_ranked(
+    spark: SparkSession, sf_dir: str, qmax: int | None = None
+) -> DataFrame:
+    """text_bm25_retrieval's body, parameterized by an optional bound
+    on the query-doc ids (retrieval_hybrid_rrf fixes its query batch
+    so the hybrid's cost is batch-sized, not corpus-sized)."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
         "doc_id", F.lower(F.col("raw")).alias("term")
@@ -4522,9 +4537,11 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = sized.filter(F.col("dl").isNotNull()).agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
     )
+    qdocs = d.filter(F.col("doc_id") % BM25_QMOD == 0)
+    if qmax is not None:
+        qdocs = qdocs.filter(F.col("doc_id") < qmax)
     qterms = (
-        d.filter(F.col("doc_id") % BM25_QMOD == 0)
-        .select(
+        qdocs.select(
             F.col("doc_id").alias("query_id"),
             F.explode(F.slice(_words(), 1, BM25_QW)).alias("raw"),
         )
@@ -4786,4 +4803,142 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nll_micro").alias("min_nll_micro"),
             F.max("nll_micro").alias("max_nll_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+# Buettcher, SIGIR 2009) — BM25 lexical + embedding semantic
+# ---------------------------------------------------------------------------
+
+RRF_K = 60       # the paper's smoothing constant
+RRF_QMAX = 2000  # fixed query batch: doc_id % BM25_QMOD == 0 below this
+RRF_TOPK = 5     # fused results per query
+RRF_SEM_TOPK = 5  # depth of the semantic candidate list
+
+
+def _sem_rank_sql() -> str:
+    """Per-query semantic ranking: doc embedding = the RAG
+    pseudo-encoder over the doc's first CHUNK_WINDOW words; exact
+    cosine of every (query doc, corpus doc) pair, top RRF_SEM_TOPK."""
+    emb = _rag_emb_sql("chunk")
+    return f"""
+  SELECT query_id, doc_id, rn FROM (
+    SELECT q.query_id, d.doc_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {X.cosine_sql('q.e', 'd.e')} DESC,
+                                       d.doc_id) AS rn
+    FROM (SELECT doc_id, {emb} AS e FROM
+           (SELECT doc_id, array_to_string(list_slice({_WORDS_SQL}, 1,
+                    {CHUNK_WINDOW}), ' ') AS chunk
+            FROM documents WHERE len({_WORDS_SQL}) > 0)) d,
+         (SELECT doc_id AS query_id, {emb} AS e FROM
+           (SELECT doc_id, array_to_string(list_slice({_WORDS_SQL}, 1,
+                    {CHUNK_WINDOW}), ' ') AS chunk
+            FROM documents
+            WHERE len({_WORDS_SQL}) > 0 AND doc_id % {BM25_QMOD} = 0
+              AND doc_id < {RRF_QMAX})) q
+    WHERE d.doc_id <> q.query_id
+  ) WHERE rn <= {RRF_SEM_TOPK}"""
+
+
+_RRF_SQL = f"""
+WITH bm AS (SELECT query_id, doc_id, rn
+            FROM ({_bm25_sql(f" AND doc_id < {RRF_QMAX}")})),
+sem AS ({_sem_rank_sql()}),
+fused AS (
+  SELECT COALESCE(b.query_id, s.query_id) AS query_id,
+         COALESCE(b.doc_id, s.doc_id) AS doc_id,
+         CAST(COALESCE(1000000 // ({RRF_K} + b.rn), 0)
+            + COALESCE(1000000 // ({RRF_K} + s.rn), 0) AS BIGINT) AS rrf_micro
+  FROM bm b FULL OUTER JOIN sem s
+    ON b.query_id = s.query_id AND b.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, rrf_micro, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT query_id, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {RRF_TOPK}
+"""
+
+
+@register("retrieval_hybrid_rrf", oracle=_RRF_SQL, tags=("llmprep", "text"))
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009) — the standard way production search fuses a
+    lexical and a vector ranker without score calibration: for a
+    FIXED query batch (text_bm25_retrieval's query rule bounded to
+    doc_id < RRF_QMAX — a production query batch is batch-sized, not
+    corpus-sized, and the bound is what keeps the brute semantic leg's
+    cost flat as the corpus grows), fuse the BM25 top-k with a
+    semantic top-k (exact cosine over the RAG pseudo-embedding of each
+    doc's first window — swap in a real encoder outside this
+    environment) by RRF score sum_systems 1/(K + rank), K = 60. A doc
+    ranked by both systems outranks one ranked by either alone — the
+    property that makes RRF robust to either ranker's failure mode
+    (pinned by test).
+
+    Determinism: ranks are integers; each RRF term is the exact
+    integer division 1e6 // (60 + rank), so fused scores are exact
+    BIGINTs and ties break on doc_id. The cosine doubles inside the
+    semantic ranker are the suite's sequential-fold form (bit-equal
+    cross-engine), used ONLY for ordering.
+
+    Scale shape: the BM25 leg is text_bm25_retrieval's plan (persisted
+    inverted index + broadcast query probe); the semantic leg here is
+    the brute broadcast-queries-into-corpus scan (the knn_brute_cosine
+    baseline shape — bounded query frame, per-query top-k pruned
+    map-side); at 100 TB swap it for the IVF-PQ or LSH path (the
+    fusion is rank-based, so the ANN swap changes nothing downstream).
+    Fusion itself is a keyed full-outer join of two k-bounded lists —
+    ~|queries| x 2k rows, trivially small at any corpus size."""
+    bm = _bm25_ranked(spark, sf_dir, qmax=RRF_QMAX).select(
+        "query_id", "doc_id", "rn"
+    )
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    base = d.select("doc_id", _words().alias("w")).filter(F.size("w") > 0)
+    chunk = F.concat_ws(" ", F.slice("w", 1, CHUNK_WINDOW))
+    docs = base.select("doc_id", _rag_emb(chunk).alias("e"))
+    qs = (
+        base.filter(
+            (F.col("doc_id") % BM25_QMOD == 0) & (F.col("doc_id") < RRF_QMAX)
+        )
+        .select(F.col("doc_id").alias("query_id"), _rag_emb(chunk).alias("qe"))
+    )
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    sem = (
+        docs.crossJoin(F.broadcast(qs))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id", "doc_id", X.cosine(F.col("qe"), F.col("e")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(wsem))
+        .filter(F.col("rn") <= RRF_SEM_TOPK)
+        .select("query_id", "doc_id", "rn")
+    )
+    rrf_term = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"CAST(1000000 div ({RRF_K} + {c}) AS BIGINT)"), F.lit(0)
+    )
+    fused = (
+        bm.withColumnRenamed("rn", "brn")
+        .join(
+            sem.withColumnRenamed("rn", "srn"),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (rrf_term("brn") + rrf_term("srn")).alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rn") <= RRF_TOPK)
     )
