@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter-services", default=None)
     p.add_argument("--redact-keys", default=None)
     p.add_argument("--output-type", default=None,
-                   choices=["stdout", "file", "rotate", "rotating", "http", "webhook", "parquet"])
+                   choices=["stdout", "file", "rotate", "rotating", "http",
+                            "webhook", "parquet", "s3", "kafka"])
     p.add_argument("--output-path", default=None)
     p.add_argument("--http-url", default=None, help="sink URL for output-type http")
     p.add_argument("--dlq-path", default=None)
@@ -170,6 +171,21 @@ def _write_sink(
         if cfg.dlq_path:
             writers.write_dlq(attempts, cfg.dlq_path)
         return attempts
+    if cfg.output_type == "s3":
+        # named placeholder, reference builder.go:46-48 — Spark
+        # natively supersedes it: pass an s3a:// path to --output-type
+        # parquet/file with hadoop-aws on the classpath
+        raise SystemExit(
+            "open sink: S3 sink not yet implemented "
+            "(use an s3a:// --output-path with the parquet/file sink)"
+        )
+    if cfg.output_type == "kafka":
+        # named placeholder, reference builder.go:49-51 — Spark's
+        # native kafka sink (df.write.format('kafka')) supersedes it
+        raise SystemExit(
+            "open sink: Kafka sink not yet implemented "
+            "(use Spark's native format('kafka') writer)"
+        )
     raise SystemExit(f"unsupported output type {cfg.output_type!r}")
 
 

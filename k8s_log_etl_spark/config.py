@@ -75,7 +75,17 @@ class PipelineConfig:
     def validate(self) -> None:
         """Error-collecting validation mirroring reference config.go:362-451."""
         errs: list[str] = []
-        valid_types = {"stdout", "file", "rotate", "rotating", "http", "webhook", "parquet"}
+        # reference config.go:366 validates only stdout/file/rotate,
+        # but builder.go:15-55 dispatches http/webhook and carries the
+        # s3/kafka NAMED placeholders (builder.go:46-51, reachable when
+        # the builder is called programmatically) — mirror the builder
+        # surface here so those names fail at sink-open with the
+        # reference's explicit "not yet implemented" error, not as an
+        # unknown type (cli.py:_write_sink)
+        valid_types = {
+            "stdout", "file", "rotate", "rotating", "http", "webhook",
+            "parquet", "s3", "kafka",
+        }
         if self.output_type and self.output_type not in valid_types:
             errs.append(
                 f"invalid output_type {self.output_type!r}: must be one of "

@@ -87,8 +87,11 @@ _CHECKED_FIRST = [
     # (a, cont.) the perceptual rework closing SCALE.md cliff #7: both
     # kernels + both oracles moved to the full-entropy 32x32 decode
     # channel and gained the PHASH_BUCKET_CAP hot-bucket drop — VALUES
-    # legally changed (new signatures), so both need fresh rows
+    # legally changed (new signatures), so both need fresh rows; the
+    # exact triangle count's body was refactored into the helpers the
+    # estimator shares (output identical, but modified code gets a row)
     "dedup_perceptual_ahash", "dedup_perceptual_phash_dct",
+    "graph_triangle_count",
     # --- (b) the r3-latest refresh tranche (all 24 remaining rows
     # whose newest green is round 3 — displaced twice by addition
     # waves; stream_sliding_avg leads as streaming's only displaced
@@ -113,9 +116,9 @@ _CHECKED_FIRST = [
     "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
     "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
     "ann_recall_eval", "graph_pagerank_copurchase",
-    # --- (e) stale-r4 backfill (2 slots): the next-oldest greens,
-    # displaced one-for-one by round-9 ADDITIONS as they land ---
-    "agg_null_semantics", "dq_constraint_checks",
+    # --- (e) stale-r4 backfill (1 slot): the next-oldest green,
+    # displaced one-for-one by round-9 additions/modifications ---
+    "agg_null_semantics",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

@@ -154,6 +154,22 @@ def test_config_validation_rejects_s3_dlq():
         cli.resolve_config(args)
 
 
+@pytest.mark.parametrize("sink,hint", [("s3", "s3a://"), ("kafka", "kafka")])
+def test_s3_kafka_sinks_fail_with_named_placeholder_errors(sink, hint):
+    """Reference parity (builder.go:46-51): s3/kafka are NAMED
+    placeholders that pass config validation and fail at sink-open
+    with an explicit 'not yet implemented' error (pointing at the
+    Spark-native path that supersedes them) — not an unknown-type
+    error."""
+    args = cli.build_parser().parse_args(
+        ["--output-type", sink, "--output-path", "x"]
+    )
+    cfg = cli.resolve_config(args)  # must validate cleanly
+    assert cfg.output_type == sink
+    with pytest.raises(SystemExit, match="not yet implemented"):
+        cli._write_sink(args, cfg, None, None)
+
+
 def test_cli_yaml_config_end_to_end(spark, input_file, tmp_path, monkeypatch):
     """A YAML config file (the reference's own dialect) drives the run:
     filters, redaction, output selection, and the transform chain all come
