@@ -79,8 +79,10 @@ _CHECKED_FIRST = [
     "corpus_shard_rendezvous", "corpus_ccnet_buckets",
     # (a0, cont.) reciprocal-rank fusion of the BM25 and embedding
     # rankers — the hybrid-search capstone (rank-based, so the ANN
-    # swap at scale changes nothing downstream)
-    "retrieval_hybrid_rrf",
+    # swap at scale changes nothing downstream) — and DSIR importance
+    # resampling (Xie et al. 2023: hashed-feature target/raw LM log
+    # ratios, the modern pretraining data-selection op)
+    "retrieval_hybrid_rrf", "select_dsir_importance",
     # --- (a) round-9 modified implementations ---
     "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
     "wordpiece_encode_corpus", "tokenizer_compare",
@@ -116,9 +118,10 @@ _CHECKED_FIRST = [
     "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
     "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
     "ann_recall_eval", "graph_pagerank_copurchase",
-    # --- (e) stale-r4 backfill (1 slot): the next-oldest green,
-    # displaced one-for-one by round-9 additions/modifications ---
-    "agg_null_semantics",
+    # (backfill exhausted: round-9 additions/modifications filled
+    # every displaced slot; agg_null_semantics and the other r4 rows
+    # stay covered by the full pytest oracle sweep and lead round 10's
+    # refresh tranche)
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

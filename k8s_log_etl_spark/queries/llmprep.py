@@ -4942,3 +4942,149 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rn", F.row_number().over(wf).cast("bigint"))
         .filter(F.col("rn") <= RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie, Santurkar, Ma & Liang, NeurIPS 2023 —
+# "Data Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+DSIR_TMOD = 10     # doc_id % TMOD == 0 plays the curated target set
+DSIR_B = 1024      # hashed-feature buckets
+DSIR_KEEP = 200    # selected pool docs (importance top-k)
+DSIR_Q = 1_000_000  # per-bucket log-ratio quantization (micro-nats)
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, lower(unnest({_WORDS_SQL})) AS term FROM documents
+),
+b AS (
+  SELECT doc_id, source, {X.md5_long_sql('term')} % {DSIR_B} AS bkt FROM toks
+),
+tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM b
+       WHERE doc_id % {DSIR_TMOD} = 0 GROUP BY bkt),
+rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM b
+       WHERE doc_id % {DSIR_TMOD} <> 0 GROUP BY bkt),
+tot AS (
+  SELECT CAST(sum(CASE WHEN doc_id % {DSIR_TMOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN doc_id % {DSIR_TMOD} <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nr
+  FROM b
+),
+w AS (
+  SELECT bk.bkt,
+         CAST(round(ln(((COALESCE(tc.c, 0) + 1) * (tot.nr + {DSIR_B})) * 1.0
+                       / ((COALESCE(rc.c, 0) + 1) * (tot.nt + {DSIR_B})))
+                    * {DSIR_Q}) AS BIGINT) AS lw
+  FROM (SELECT DISTINCT bkt FROM b) bk
+  LEFT JOIN tc ON bk.bkt = tc.bkt
+  LEFT JOIN rc ON bk.bkt = rc.bkt, tot
+),
+docw AS (
+  SELECT b.doc_id, b.source, CAST(sum(w.lw) AS BIGINT) AS w_micro
+  FROM b JOIN w ON b.bkt = w.bkt
+  WHERE b.doc_id % {DSIR_TMOD} <> 0
+  GROUP BY 1, 2
+),
+sel AS (SELECT * FROM docw ORDER BY w_micro DESC, doc_id LIMIT {DSIR_KEEP}),
+ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pool FROM docw GROUP BY source),
+ss AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+              CAST(sum(w_micro) AS BIGINT) AS sum_w_micro
+       FROM sel GROUP BY source)
+SELECT ps.source, ps.n_pool,
+       COALESCE(ss.n_selected, 0) AS n_selected,
+       CAST(COALESCE(ss.n_selected, 0) * 1000000 // ps.n_pool AS BIGINT)
+         AS sel_ppm,
+       COALESCE(ss.sum_w_micro, 0) AS sum_w_micro
+FROM ps LEFT JOIN ss ON ps.source = ss.source
+"""
+
+
+@register("select_dsir_importance", oracle=_DSIR_SQL, tags=("llmprep", "text"))
+def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): score every
+    raw-pool document by the log importance ratio of two smoothed
+    hashed-feature unigram LMs — one fit on the curated TARGET set
+    (here the doc_id % DSIR_TMOD == 0 seed, the stand-in for "looks
+    like Wikipedia"), one on the raw pool — and keep the importance
+    top-k; report per-source pool size, selected count, selection ppm
+    and total selected weight (the audit of WHICH sources the target
+    distribution pulls in). Hashed n-gram features (md5_long % DSIR_B
+    buckets) are the paper's trick for bounding LM size independently
+    of vocabulary.
+
+    Determinism: each bucket's log ratio collapses to ONE quantized
+    ln of a ratio of exact int64 products — round(ln((ct+1)(nr+B) /
+    ((cr+1)(nt+B))) * 1e6) — so per-doc weights are exact integer
+    sums and the top-k frontier is engine-exact. (Products stay below
+    2^53 through the driver scales; past ~1e8-token pools downscale
+    both counts by a common power of two — the ratio is unchanged.)
+
+    Scale shape: feature hashing is map-side; the two LMs are ONE
+    bucket-keyed hash-agg each over the exploded stream (map-side
+    partials, <= DSIR_B rows out); the weight table is <= DSIR_B rows
+    (AQE broadcasts it into the per-doc scoring join); per-doc sum is
+    one keyed agg; the top-k is TakeOrderedAndProject (no global
+    sort); per-source rollups are |sources|-row aggs. At 100 TB every
+    corpus-sized term is a single explode + hash-agg pass — the same
+    cost class as text_perplexity_proxy."""
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    b = d.select(
+        "doc_id", "source", F.explode(_words()).alias("raw")
+    ).select(
+        "doc_id",
+        "source",
+        (X.md5_long(F.lower(F.col("raw"))) % DSIR_B).alias("bkt"),
+    )
+    b = b.transform(spill_checkpoint)  # feeds tc, rc, tot, docw
+    is_t = F.col("doc_id") % DSIR_TMOD == 0
+    tc = b.filter(is_t).groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    rc = b.filter(~is_t).groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tot = b.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("nr"),
+    )
+    lw = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                * (F.col("nr") + DSIR_B)
+            ).cast("double")
+            / (
+                (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                * (F.col("nt") + DSIR_B)
+            ).cast("double")
+        )
+        * DSIR_Q
+    ).cast("bigint")
+    w = (
+        b.select("bkt")
+        .distinct()
+        .join(tc, "bkt", "left")
+        .join(rc, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bkt", lw.alias("lw"))
+    )
+    docw = (
+        b.filter(~is_t)
+        .join(w, "bkt")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lw").alias("w_micro"))
+    )
+    docw = docw.transform(spill_checkpoint)  # feeds ps AND sel
+    sel = docw.orderBy(F.desc("w_micro"), F.asc("doc_id")).limit(DSIR_KEEP)
+    ps = docw.groupBy("source").agg(F.count(F.lit(1)).alias("n_pool"))
+    ss = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("w_micro").alias("sum_w_micro"),
+    )
+    return ps.join(ss, "source", "left").select(
+        "source",
+        "n_pool",
+        F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+        F.expr(
+            "CAST(COALESCE(n_selected, 0) * 1000000 div n_pool AS BIGINT)"
+        ).alias("sel_ppm"),
+        F.coalesce("sum_w_micro", F.lit(0)).alias("sum_w_micro"),
+    )
