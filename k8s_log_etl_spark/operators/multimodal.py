@@ -238,29 +238,41 @@ def decoded_block_sums(payload: bytes) -> "list[int]":
     sums == means without a division). Swap this function for a real
     decode + box-filter outside this environment; everything
     downstream is the real operator."""
-    import hashlib
-
-    import numpy as np
-
-    # 16 high-nibble hex chars — the re-encode-invariant channel
-    hhb = payload.hex()[0::2].encode()
-    raw = b"".join(
-        hashlib.md5(hhb + suf).digest() for suf in _BLOCK_SUFFIXES
-    )
-    px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-    side = PHASH_DECODE_SIDE
-    return [
-        int(v)
-        for v in px.reshape(side // 4, 4, side // 4, 4)
-        .sum(axis=(1, 3))
-        .reshape(PHASH_PIXELS)
-    ]
+    return [int(v) for v in decoded_block_sums_batch([payload])[0]]
 
 
 # hoisted ":<blk>" byte suffixes — measured 30% off the per-image
 # decode cost vs per-call f-string formatting (64 md5 calls/image are
 # the floor either way)
 _BLOCK_SUFFIXES = tuple(f":{b}".encode() for b in range(PHASH_PIXELS))
+
+
+def decoded_block_sums_batch(payloads) -> "np.ndarray":
+    """Batch form of decoded_block_sums: (n, 64) int64 block sums for
+    a sequence of payloads. The 64 md5 calls per image are the
+    irreducible Python floor; everything after them (frombuffer,
+    reshape, the 4x4 block sums) runs ONCE per Arrow batch instead of
+    once per image — per-image numpy overhead was the dominant cost of
+    the perceptual kernels at synth-sf10."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(payloads)
+    side = PHASH_DECODE_SIDE
+    if n == 0:
+        return np.empty((0, PHASH_PIXELS), dtype=np.int64)
+    raw = b"".join(
+        hashlib.md5(hhb + suf).digest()
+        for hhb in (bytes(p).hex()[0::2].encode() for p in payloads)
+        for suf in _BLOCK_SUFFIXES
+    )
+    px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    return (
+        px.reshape(n, side // 4, 4, side // 4, 4)
+        .sum(axis=(2, 4))
+        .reshape(n, PHASH_PIXELS)
+    )
 
 VARIANT_SCHEMA = StructType(
     [
@@ -332,24 +344,24 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
     PHASH_BUCKET_CAP hot-bucket drop."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
+        bw = np.array([1 << j for j in range(16)], dtype=np.int32)
         for pdf in batches:
-            out = {"doc_id": [], "digest": [], "b0": [], "b1": [], "b2": [], "b3": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                p = decoded_block_sums(b)
-                s = sum(p)
-                bits = [1 if 64 * px >= s else 0 for px in p]
-                out["doc_id"].append(doc_id)
-                out["digest"].append(b.hex())
-                for k in range(PHASH_BANDS):
-                    out[f"b{k}"].append(
-                        sum(bit << j for j, bit in enumerate(bits[16 * k : 16 * k + 16]))
-                    )
-            pdf_out = pd.DataFrame(out)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            q = decoded_block_sums_batch(payloads)  # (n, 64) int64
+            s = q.sum(axis=1, keepdims=True)
+            bits = 64 * q >= s  # (n, 64) bool — exact integer compare
+            pdf_out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "digest": [p.hex() for p in payloads],
+                }
+            )
             for k in range(PHASH_BANDS):
-                pdf_out[f"b{k}"] = pdf_out[f"b{k}"].astype("int32")
+                band = bits[:, 16 * k : 16 * k + 16].astype(np.int32)
+                pdf_out[f"b{k}"] = band @ bw
             yield pdf_out
 
     return _drop_null_payloads(df).mapInPandas(fn, AHASH_SCHEMA)
@@ -415,23 +427,23 @@ def dct_phash_signatures(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         B = np.array(DCT_BASIS_Q, dtype=np.int64)
+        bw = np.array([1 << j for j in range(16)], dtype=np.int32)
         for pdf in batches:
-            out = {"doc_id": [], "digest": [], "b0": [], "b1": [], "b2": [], "b3": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                P = np.array(decoded_block_sums(b), dtype=np.int64).reshape(8, 8)
-                f = (B @ P @ B.T).reshape(64)
-                med = int(np.sort(f[1:])[31])  # 32nd smallest of 63 AC
-                bits = [1 if int(c) > med else 0 for c in f]
-                out["doc_id"].append(doc_id)
-                out["digest"].append(b.hex())
-                for k in range(PHASH_BANDS):
-                    out[f"b{k}"].append(
-                        sum(bit << j for j, bit in enumerate(bits[16 * k : 16 * k + 16]))
-                    )
-            pdf_out = pd.DataFrame(out)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            Q = decoded_block_sums_batch(payloads).reshape(-1, 8, 8)
+            # batched exact int64 DCT: (8,8) @ (n,8,8) @ (8,8)
+            f = np.matmul(np.matmul(B, Q), B.T).reshape(-1, 64)
+            med = np.sort(f[:, 1:], axis=1)[:, 31]  # 32nd smallest of 63 AC
+            bits = f > med[:, None]
+            pdf_out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "digest": [p.hex() for p in payloads],
+                }
+            )
             for k in range(PHASH_BANDS):
-                pdf_out[f"b{k}"] = pdf_out[f"b{k}"].astype("int32")
+                band = bits[:, 16 * k : 16 * k + 16].astype(np.int32)
+                pdf_out[f"b{k}"] = band @ bw
             yield pdf_out
 
     return _drop_null_payloads(df).mapInPandas(fn, AHASH_SCHEMA)
