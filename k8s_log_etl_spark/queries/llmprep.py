@@ -4695,6 +4695,8 @@ def corpus_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
 # head/middle/tail split by LM perplexity
 # ---------------------------------------------------------------------------
 
+CCNET_RANGE_W = 250_000  # coarse nll_micro ranges for distributed ranking
+
 _CCNET_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang, lower(unnest({_WORDS_SQL})) AS term FROM documents
@@ -4749,12 +4751,20 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the vocab stats and token-stream join are exactly
     text_perplexity_proxy's (vocab stays a shuffled hash join, never
-    collected); the ranking is ONE row_number window per language over
-    the doc-level frame (corpus-sized input collapses to |docs| rows
-    BEFORE the sort). At 100 TB swap the exact rank for value-based
-    cut-points sampled per language (the epoch_shuffle_order
-    range-ranking discipline) — equal-count semantics then hold to
-    sampling error; here the exact rank keeps the oracle bit-exact."""
+    collected); the per-language rank is the window_spend_deciles
+    DISTRIBUTED prefix-sum discipline, not a per-language window sort
+    — real corpora are English-dominated, so a row_number partitioned
+    by lang alone would sort the dominant language's whole doc frame
+    in ONE task at 100 TB. Instead docs bucket into coarse contiguous
+    nll ranges (floor(nll_micro / CCNET_RANGE_W) — range order equals
+    nll order), each (lang, range) computes a LOCAL row_number in
+    parallel, and the tiny per-(lang, range) count frame supplies
+    every range's global starting rank via its own per-language
+    prefix sum, broadcast back. The exact rank (hence the oracle
+    hash) is unchanged; only the physical sort is sharded. Value skew
+    concentrating docs in few ranges would come from a quantile-
+    sketch grid at real scale (events_quantile_sketch), as in the
+    deciles query."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     toks = d.select(
         "doc_id", "lang", F.explode(_words()).alias("raw")
@@ -4781,13 +4791,36 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.asc("nll_micro"), F.asc("doc_id"))
-    ranked = docs.join(F.broadcast(lc), "lang").select(
-        "lang",
-        "n_tokens",
-        "nll_micro",
-        "n",
-        F.row_number().over(w).alias("r"),
+    b = docs.withColumn(
+        "rb", F.floor(F.col("nll_micro") / CCNET_RANGE_W)
+    )
+    rb_w = Window.partitionBy("lang").orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = (
+        b.groupBy("lang", "rb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "lang",
+            "rb",
+            F.coalesce(F.sum("cnt").over(rb_w), F.lit(0)).alias(
+                "range_start"
+            ),
+        )
+    )
+    local_w = Window.partitionBy("lang", "rb").orderBy(
+        F.asc("nll_micro"), F.asc("doc_id")
+    )
+    ranked = (
+        b.join(F.broadcast(starts), ["lang", "rb"])
+        .join(F.broadcast(lc), "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "nll_micro",
+            "n",
+            (F.col("range_start") + F.row_number().over(local_w)).alias("r"),
+        )
     )
     bucket = (
         F.when(F.col("r") * 3 <= F.col("n"), F.lit("head"))
