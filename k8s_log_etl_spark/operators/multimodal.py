@@ -264,7 +264,7 @@ def decoded_block_sums_batch(payloads) -> "np.ndarray":
         return np.empty((0, PHASH_PIXELS), dtype=np.int64)
     raw = b"".join(
         hashlib.md5(hhb + suf).digest()
-        for hhb in (bytes(p).hex()[0::2].encode() for p in payloads)
+        for hhb in (bytes(p)[:16].hex()[0::2].encode() for p in payloads)
         for suf in _BLOCK_SUFFIXES
     )
     px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)

@@ -4307,12 +4307,19 @@ def _tok_compare_sql() -> str:
     # from its list would survive unprefixed — a duplicate-CTE binder
     # error at best, silent cross-chain capture at worst. Assert the
     # invariant at composition time (import time), so a drifted list
-    # fails loudly instead of shipping a capturing oracle.
-    all_names = set(_bpe_chain_names()) | set(_uni_chain_names()) | set(
-        _wp_chain_names()
-    ) | set(_wp_seg_names())
-    for chain in (b, u, w):
-        for n in all_names:
+    # fails loudly instead of shipping a capturing oracle. Scope the
+    # scan PER CHAIN to that chain's OWN name list: cross-chain
+    # capture is already impossible once each chain's names carry a
+    # unique prefix, and matching every name against every chain's
+    # full text would false-positive on a column alias in one chain
+    # that merely spells another chain's CTE name (a hard import
+    # error on an unrelated rename — round-9 advisor note).
+    for chain, names in (
+        (b, _bpe_chain_names()),
+        (u, _uni_chain_names()),
+        (w, _wp_chain_names() + _wp_seg_names()),
+    ):
+        for n in names:
             if re.search(rf"\b{re.escape(n)}\b", chain):
                 raise AssertionError(
                     f"unprefixed CTE name {n!r} survives in a prefixed "
@@ -4432,10 +4439,16 @@ BM25_Q = 1_000_000   # idf quantization (micro-nats)
 # with avgdl = T/N multiplies out (by 10*T) to
 #   idf_micro * (22*tf*T) div (10*T*tf + 3*T + 9*dl*N)
 # — one integer division per term AFTER the one quantized ln, so the
-# whole score is exact BIGINT cross-engine. (At extreme corpus sizes
-# 22*tf*T*idf_micro approaches int64 range near T ~ 1e10 tokens;
-# downscale T and dl*N by a common power of two first — the ratio, and
-# therefore the score, is unchanged.)
+# whole score is exact BIGINT cross-engine. Overflow headroom: the
+# binding product is idf_micro*22*tf*T, i.e. the bound is on tf*T —
+# NOT T alone — at roughly tf*T < 2e10 (idf_micro ≤ ~21e6 at N=1e9).
+# tf~1 gives the comfortable T ~ 1e10 tokens, but a pathological
+# high-tf term (tf ~ 100+, think boilerplate repeats) shrinks it to
+# T ~ 1e8; past it Spark's non-ANSI bigint WRAPS SILENTLY while DuckDB
+# errors, so the failure mode is cross-engine divergence, not a crash.
+# Before that regime, downscale T and dl*N by a common power of two
+# (the ratio, and therefore the score, is unchanged) — and/or cap tf,
+# which BM25's saturation makes score-neutral beyond ~k1*10.
 
 def _bm25_sql(extra_q: str = "") -> str:
     """The BM25 oracle, parameterized by an extra predicate on the
