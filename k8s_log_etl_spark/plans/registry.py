@@ -43,85 +43,66 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 9 rotation: CORRECTNESS_r08 closed 50/50 green, so every one
-# of the 225 oracled queries now holds a green driver row and the
-# window's job is (1) re-driving code MODIFIED this round, (2) the
-# long-promised r3-latest refresh tranche (the 24 rows displaced by
-# round-8's additions — the oldest greens on the books), and (3) new
-# additions as they land (an addition with NO driver row outranks
-# refreshing any green row). Everything rotated out keeps its r4-r8
-# green row, is unchanged since, and stays continuously covered by
-# the full-surface pytest oracle run (tests/test_oracle_parity.py
-# runs every oracled query every time).
+# Round 10 rotation: (1) round-10 additions (no driver row yet —
+# outrank everything), (2) round-10 modified implementations, (3) the
+# r4-latest refresh tranche — ALL 34 rows whose newest green is round
+# 4, now the oldest greens on the books (PLANS.md round-10 lead #1),
+# (4) family-representative slots for capabilities with no organic
+# tranche member, pointed at their STALEST (r5) members so the rep
+# slot doubles as a refresh, and (5) the stalest remaining r5 rows in
+# the leftover slots. Everything rotated out keeps its r5-r9 green
+# row, is unchanged since, and stays continuously covered by the
+# full-surface pytest oracle run (tests/test_oracle_parity.py runs
+# every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-9 modified implementations: the three ADVICE fixes
-    # (NULL-text guard in the exact source-overlap matrix; DECIMAL-cast
-    # cents replacing round(double*100) in the k-anonymity and Benford
-    # audits — VALUES may legally shift on half-cent doubles) and the
-    # WordPiece de-literal (piece vocabulary now a one-row broadcast
-    # map frame, plan changed, in both the standalone encode and the
-    # tokenizer capstone) ---
-    # --- (a0) round-9 additions: the DOULION triangle estimator (the
-    # documented exactness-tradeable path beside the wedge-byte-bound
-    # exact count; deterministic md5 coin makes the whole estimate
-    # oracle-exact, accuracy band pinned in tests/test_approx.py) ---
-    "graph_triangle_estimate",
-    # (a0, cont.) keyset pagination — the deep-page alternative to the
-    # OFFSET frontier, contract-pinned to no global sort
-    "orders_page_keyset",
-    # (a0, cont.) BM25 ranked retrieval (the lexical baseline beside
-    # the embedding RAG path; integer-exact via the single-ln idf),
-    # winnowing fingerprints (MOSS — the LOCAL fingerprint sketch with
-    # the shared-run guarantee), rendezvous corpus sharding (minimal-
-    # disruption shard growth, the property pinned by test), and
-    # CCNet head/middle/tail perplexity buckets
-    "text_bm25_retrieval", "text_winnow_fingerprints",
-    "corpus_shard_rendezvous", "corpus_ccnet_buckets",
-    # (a0, cont.) reciprocal-rank fusion of the BM25 and embedding
-    # rankers — the hybrid-search capstone (rank-based, so the ANN
-    # swap at scale changes nothing downstream) — and DSIR importance
-    # resampling (Xie et al. 2023: hashed-feature target/raw LM log
-    # ratios, the modern pretraining data-selection op)
-    "retrieval_hybrid_rrf", "select_dsir_importance",
-    # --- (a) round-9 modified implementations ---
-    "corpus_source_overlap", "dq_k_anonymity", "dq_benford_first_digit",
-    "wordpiece_encode_corpus", "tokenizer_compare",
-    # (a, cont.) the perceptual rework closing SCALE.md cliff #7: both
-    # kernels + both oracles moved to the full-entropy 32x32 decode
-    # channel and gained the PHASH_BUCKET_CAP hot-bucket drop — VALUES
-    # legally changed (new signatures), so both need fresh rows; the
-    # exact triangle count's body was refactored into the helpers the
-    # estimator shares (output identical, but modified code gets a row)
-    "dedup_perceptual_ahash", "dedup_perceptual_phash_dct",
-    "graph_triangle_count",
-    # --- (b) the r3-latest refresh tranche (all 24 remaining rows
-    # whose newest green is round 3 — displaced twice by addition
-    # waves; stream_sliding_avg leads as streaming's only displaced
-    # slot) ---
-    "stream_sliding_avg",
-    "transform_chain", "ts_validate", "normalize_fields", "redact",
-    "dedup_embedding_lsh", "domain_mix_weights", "embedding_quantize_int8",
-    "pack_chunks_budget", "pii_scan_documents", "rfm_segments",
-    "text_perplexity_proxy", "chunk_sliding_windows", "split_train_holdout",
-    "events_anomaly_zscore", "events_retention_cohorts", "events_rolling_1h",
-    "events_value_histogram", "promo_revenue_share", "q10_returned_items",
-    "q19_disjunctive_revenue", "redact_documents",
-    "udaf_embedding_norm", "udtf_sentence_split",
-    # --- (c) streaming-twin batch faces (round-8 verdict #6): the
-    # quantile-sketch read-side recovery and the incremental-ingest
-    # near-dup face keep a driver-level signal on the streaming store
-    # formats (their streaming twins are pytest-equivalence-pinned) ---
-    "events_quantile_sketch", "dedup_incremental_batch",
-    # --- (d) family representatives whose families otherwise have no
-    # in-window member this round (tests/test_registry_order.py pins
-    # coverage; most reps are organic tranche members this round) ---
-    "multimodal_decode_stats", "knn_brute_cosine", "training_mix_pipeline",
-    "sample_domain_balanced", "corpus_merge_upsert", "knn_ivf_grid",
-    "ann_recall_eval", "graph_pagerank_copurchase",
-    # (backfill exhausted: round-9 additions/modifications filled
-    # every displaced slot; agg_null_semantics and the other r4 rows
-    # stay covered by the full pytest oracle sweep and lead round 10's
-    # refresh tranche)
+    # --- (a) round-10 additions ---
+    # BM25 serving probe against the persisted inverted index — the
+    # steady-state face proving text_bm25_retrieval's "the index is
+    # the thing you persist" claim (round-9 verdict #4); probe cost
+    # measured near-flat across the 1x/10x/100x corpus decades
+    "bm25_index_serve",
+    # --- (b) round-10 modified implementations: the CCNet tercile
+    # rank moved onto the distributed prefix-sum ranking discipline
+    # (plan changed — the round-9 verdict's one acknowledged
+    # 100x-scale hazard); both perceptual kernels gained the
+    # defensive 16-byte payload slice (outputs identical, modified
+    # code gets a row); the tokenizer-compare oracle's import-time
+    # CTE guard was rescoped per-chain (composition path changed) ---
+    "corpus_ccnet_buckets", "dedup_perceptual_ahash",
+    "dedup_perceptual_phash_dct", "tokenizer_compare",
+    # --- (c) the r4-latest refresh tranche: all 34 rows whose newest
+    # green is round 4, displaced round after round by addition waves
+    # — the complete cohort, one-for-one as PLANS.md lead #1 asks ---
+    "agg_null_semantics", "bpe_pair_stats", "dedup_edit_distance",
+    "dq_constraint_checks", "events_activity_streaks",
+    "events_bot_rate_flags", "events_markov_transitions",
+    "events_time_to_convert", "events_top_paths",
+    "events_weekly_seasonality", "join_null_safe", "knn_sq8_adc",
+    "multimodal_feature_extract", "nation_revenue_yoy",
+    "nation_top_customer_roster", "orders_page_offset",
+    "orders_price_percentiles", "orders_price_range_frame",
+    "orders_vs_peer_avg", "orders_window_analytics",
+    "part_price_outliers_mad", "parts_copurchased",
+    "pq_codebook_train", "q12_late_shipments", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_volume_orders",
+    "q21_sole_late_supplier", "q22_dormant_customers",
+    "q4_order_priority", "q8_market_share",
+    "set_ops_multiset_orders", "supplier_rank_dense",
+    "text_zipf_slope",
+    # --- (d) family representatives for capabilities with no organic
+    # tranche member this round, each pointed at the family's STALEST
+    # (r5) green so the rep slot doubles as a refresh
+    # (tests/test_registry_order.py pins the mapping) ---
+    "scan_jsonl",                    # log
+    "multimodal_curation_pipeline",  # capstone
+    "sample_weighted_topn",          # sampling
+    "join_scd2_dimension",           # warehouse
+    "knn_ivfpq_adc",                 # ann-index
+    "ann_recall_eval",               # ann-eval
+    "graph_bfs_hops",                # graph
+    # --- (e) stalest remaining r5 rows in the leftover slots ---
+    "kmeans_ivf_train", "dedup_cluster_components",
+    "rag_retrieval_pipeline", "corpus_clean_pipeline",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

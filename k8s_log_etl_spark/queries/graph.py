@@ -455,11 +455,13 @@ FROM stats, tri
 """
 
 
-# bench=True: round-6 verdict #2 — at ~8.5 s sf0.1 this is the heaviest
-# registered query and was invisible to BENCH_r{N} comparisons (set
-# grows 26 -> 27; BASELINE.md round-7 notes the growth per the r4c
-# comparability discipline).
-@register("graph_triangle_count", oracle=_TRI_SQL, tags=("graph",), bench=True)
+# bench demotion (round-10, verdict #5): the exact count held a bench
+# slot from round 7 (round-6 verdict #2 — heaviest query, invisible to
+# BENCH comparisons) but its wedge-byte floor makes it the documented
+# NON-scale path; the headline set should reflect the plan you'd run
+# at 100x, which is the DOULION estimator below (bench=True there).
+# The exact count stays registered + oracled + rotation-checked.
+@register("graph_triangle_count", oracle=_TRI_SQL, tags=("graph",))
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the
     co-purchase graph via DEGREE-ORDERED edge orientation — the
@@ -576,7 +578,11 @@ FROM kept, tri
 """
 
 
-@register("graph_triangle_estimate", oracle=_TRI_EST_SQL, tags=("graph",))
+# bench=True: took the exact count's headline slot in round 10 — the
+# estimator IS the 100x plan (data-linear, 0.7% error at sf0.1), so
+# it's what the BENCH comparison should track (set stays at 29 heads;
+# BASELINE.md round-10 notes the swap per the comparability rule).
+@register("graph_triangle_estimate", oracle=_TRI_EST_SQL, tags=("graph",), bench=True)
 def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION triangle estimator (Tsourakakis et al., KDD 2009) — the
     documented cheaper path beside graph_triangle_count when exactness

@@ -16,6 +16,7 @@ packing is integer window arithmetic.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -4602,6 +4603,149 @@ def _bm25_ranked(
 
 
 # ---------------------------------------------------------------------------
+# BM25 SERVING probe against a persisted inverted index — the
+# steady-state face of text_bm25_retrieval (round-9 verdict #4)
+# ---------------------------------------------------------------------------
+
+BM25_SERVE_QMAX = 1_000  # fixed serve batch: query docs are
+#                          doc_id % BM25_QMOD == 0 below this bound —
+#                          a constant-size batch at every corpus scale
+#                          (the production shape: query traffic does
+#                          not grow with the index)
+
+
+def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted BM25 inverted index for
+    ``sf_dir`` — three parquet tables under one fingerprinted root:
+    ``postings`` (term, doc_id, tf, dl — doc length denormalized onto
+    the posting, Lucene's norms-in-the-index layout, so the probe
+    never joins a lengths table), ``terms`` (term, df — the term
+    dictionary), ``totals`` (one row: n, t). Input prep with the same
+    amortization contract as mh_corpus_index_path: the first call
+    pays one corpus scan; every serve run after reads the parquet.
+    Content-fingerprinted on the documents table, so regenerating the
+    dataset invalidates the cache. ``totals`` is written LAST and its
+    _SUCCESS is the build marker, so a killed build re-runs."""
+    from k8s_log_etl_spark.tables import dataset_cache_path
+
+    path = dataset_cache_path(sf_dir, "bm25index_v1", "documents")
+    if not os.path.exists(os.path.join(path, "totals", "_SUCCESS")):
+        d = ensure_min_parallelism(
+            load_table(spark, sf_dir, "documents"), spark
+        )
+        toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
+            "doc_id", F.lower(F.col("raw")).alias("term")
+        )
+        sized = d.select(
+            "doc_id", F.size(_words()).cast("long").alias("dl")
+        )
+        tf = toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        tf.join(sized, "doc_id").write.mode("overwrite").parquet(
+            os.path.join(path, "postings")
+        )
+        spark.read.parquet(os.path.join(path, "postings")).groupBy(
+            "term"
+        ).agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "terms"))
+        sized.filter(F.col("dl").isNotNull()).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).write.mode("overwrite").parquet(os.path.join(path, "totals"))
+    return path
+
+
+@register(
+    "bm25_index_serve",
+    oracle=_bm25_sql(f" AND doc_id < {BM25_SERVE_QMAX}"),
+    tags=("llmprep", "text"),
+)
+def bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 SERVING probe against the persisted inverted index — the
+    steady-state face of text_bm25_retrieval, proving its docstring's
+    claim ("the index is the thing you persist; per-query-batch cost
+    is |matched postings|") the same way dedup_minhash_index_serve
+    proved it for the near-dup family: a FIXED query batch (doc_id %
+    BM25_QMOD == 0 below BM25_SERVE_QMAX — constant-size at every
+    corpus scale) probes the build-once parquet index instead of
+    re-deriving postings from text. Scores, ranking, and tie rules
+    are exactly text_bm25_retrieval's (k1 = 1.2, b = 0.75, Lucene
+    idf, integer-exact micro scores); the oracle recomputes the whole
+    thing from raw text, so the hash-green row IS the
+    index-probe == full-recompute equivalence.
+
+    Scale shape — the retrieval tier's per-batch bill: (a) query-term
+    extraction over a constant-size filtered slice (map-side); (b)
+    idf lookup = ONE columnar scan of the ``terms`` dictionary with
+    the tiny query-term frame broadcast (keyed equi-join, the
+    unbounded side never shuffles); (c) the probe = ONE columnar scan
+    of ``postings`` with the ~|batch|·QW-row (query, term, idf) frame
+    broadcast into a map-side hash join — doc lengths ride the
+    postings (norms-in-index), so no second fact join exists; (d)
+    per-(query, doc) sum + WindowGroupLimit top-k over only the
+    matched postings. Index growth costs the serve path linear
+    columnar scans (on a real cluster ``postings``/``terms`` are
+    bucketed by term, making both probes partition-pruned); the
+    re-rank state is bounded by |matched postings|, never by the
+    corpus."""
+    root = bm25_index_path(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    terms = spark.read.parquet(os.path.join(root, "terms"))
+    tot = spark.read.parquet(os.path.join(root, "totals"))
+    d = load_table(spark, sf_dir, "documents")
+    qdocs = d.filter(
+        (F.col("doc_id") % BM25_QMOD == 0)
+        & (F.col("doc_id") < BM25_SERVE_QMAX)
+    )
+    qterms = (
+        qdocs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(_words(), 1, BM25_QW)).alias("raw"),
+        )
+        .select("query_id", F.lower(F.col("raw")).alias("term"))
+        .distinct()
+    )
+    idf_micro = F.round(
+        F.log((2 * F.col("n") + 2) / (2 * F.col("df") + 1)) * BM25_Q
+    ).cast("bigint")
+    qdf = (
+        F.broadcast(qterms)
+        .join(terms, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("query_id", "term", idf_micro.alias("idf_micro"))
+    )
+    hits = (
+        postings.join(F.broadcast(qdf), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "CAST((idf_micro * (22 * tf * t))"
+                " div (10 * t * tf + 3 * t + 9 * dl * n) AS BIGINT)"
+            ).alias("term_score"),
+        )
+    )
+    scored = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            "score_micro",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # rendezvous (highest-random-weight) corpus sharding — Thaler &
 # Ravishankar 1996, the consistent-assignment scheme behind cache /
 # shard routing
@@ -4803,10 +4947,13 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # the doc-level frame feeds THREE consumers (per-lang totals, the
+    # per-range count frame, and the rank join) — materialize it once
+    # so the perplexity machinery upstream runs a single time
     b = docs.withColumn(
         "rb", F.floor(F.col("nll_micro") / CCNET_RANGE_W)
-    )
+    ).transform(spill_checkpoint)
+    lc = b.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     rb_w = Window.partitionBy("lang").orderBy("rb").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -13,6 +13,8 @@ from k8s_log_etl_spark.queries.llmprep import (
     BM25_QMOD,
     BM25_QW,
     BM25_TOPK,
+    bm25_index_path,
+    bm25_index_serve,
     text_bm25_retrieval,
 )
 
@@ -94,3 +96,49 @@ def test_bm25_matches_python_reference(spark, tmp_path):
     assert got == expected
     assert all(q != d for q, d, _, _ in got)  # no self-matches
     assert {q for q, *_ in got} == {0, 25, 50}
+
+
+def test_bm25_index_serve_equals_full_recompute(spark, tmp_path):
+    """The persisted-index probe must return exactly what the
+    from-text recompute returns for the fixed serve batch, and the
+    second serve must REUSE the index parquet (no rebuild)."""
+    import os
+
+    texts = {
+        i: t
+        for i, t in enumerate(
+            [
+                "alpha beta gamma shared vocabulary document",
+                "beta gamma delta overlapping words here",
+                "completely different tokens nothing shared",
+                "alpha alpha alpha high term frequency doc",
+                "gamma delta epsilon the long tail of terms",
+                "shared vocabulary document with alpha beta",
+            ]
+            * 10,  # 60 docs -> query ids 0, 25, 50 (all < SERVE_QMAX)
+            start=0,
+        )
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    serve = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rn"])
+        for r in bm25_index_serve(spark, str(tmp_path)).collect()
+    )
+    assert serve == py_bm25(texts)
+    root = bm25_index_path(spark, str(tmp_path))
+    marker = os.path.join(root, "totals", "_SUCCESS")
+    before = os.stat(marker).st_mtime_ns
+    again = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rn"])
+        for r in bm25_index_serve(spark, str(tmp_path)).collect()
+    )
+    assert again == serve
+    assert os.stat(marker).st_mtime_ns == before  # reused, not rebuilt

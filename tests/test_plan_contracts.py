@@ -70,6 +70,10 @@ CONTRACTS = {
     ),
     # retrieval eval: rides the RAG output; label joins broadcast
     "retrieval_eval_ndcg": (["BroadcastHashJoin"], ["NestedLoop"]),
+    # BM25 serving: the query frame broadcasts into the persisted
+    # postings/terms scans (keyed equi-joins), top-k prunes map-side
+    # (the only NLJ is the one-row totals scalar)
+    "bm25_index_serve": (["BroadcastHashJoin", "WindowGroupLimit"], []),
     # skew profiler: one hash-agg over the fact table, top-k via
     # per-partition heaps, totals as a broadcast one-row frame (the
     # only NLJ), rank window AFTER the limit

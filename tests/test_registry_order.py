@@ -8,27 +8,28 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-9 rotation: the window is dominated by the r3-latest refresh
+# Round-10 rotation: the window is dominated by the r4-latest refresh
 # tranche (see plans/registry.py), so most reps are their family's
 # organic tranche member; families with no organic member this round
-# (multimodal, knn, capstone, sampling, warehouse, ann-index,
-# ann-eval, graph) hold explicit slots via their reps. Rotated-out
-# greens stay covered by the full pytest oracle run.
+# (log, capstone, sampling, warehouse, ann-index, ann-eval, graph)
+# hold explicit slots pointed at their STALEST (r5) greens so the rep
+# slot doubles as a refresh. Rotated-out greens stay covered by the
+# full pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "normalize_fields",
-    "dedup": "dedup_embedding_lsh",
-    "multimodal": "multimodal_decode_stats",
-    "knn": "knn_brute_cosine",
-    "text": "text_perplexity_proxy",
-    "capstone": "training_mix_pipeline",
-    "relational": "rfm_segments",
-    "events": "events_anomaly_zscore",
-    "llmprep": "pack_chunks_budget",
-    "sampling": "sample_domain_balanced",
-    "warehouse": "corpus_merge_upsert",
-    "ann-index": "knn_ivf_grid",
+    "log": "scan_jsonl",
+    "dedup": "dedup_edit_distance",
+    "multimodal": "multimodal_feature_extract",
+    "knn": "knn_sq8_adc",
+    "text": "text_zipf_slope",
+    "capstone": "multimodal_curation_pipeline",
+    "relational": "q15_top_supplier",
+    "events": "events_bot_rate_flags",
+    "llmprep": "bpe_pair_stats",
+    "sampling": "sample_weighted_topn",
+    "warehouse": "join_scd2_dimension",
+    "ann-index": "knn_ivfpq_adc",
     "ann-eval": "ann_recall_eval",
-    "graph": "graph_pagerank_copurchase",
+    "graph": "graph_bfs_hops",
 }
 
 
