@@ -61,6 +61,11 @@ _CHECKED_FIRST = [
     # the thing you persist" claim (round-9 verdict #4); probe cost
     # measured near-flat across the 1x/10x/100x corpus decades
     "bm25_index_serve",
+    # greedy k-center coreset (Gonzalez farthest-point; Sener &
+    # Savarese 2018) — the diversity-maximizing selector beside the
+    # density-seeking ones; displaces corpus_clean_pipeline's (e)
+    # slot (bench-measured every round anyway)
+    "select_kcenter_coreset",
     # --- (b) round-10 modified implementations: the CCNet tercile
     # rank moved onto the distributed prefix-sum ranking discipline
     # (plan changed — the round-9 verdict's one acknowledged
@@ -102,7 +107,7 @@ _CHECKED_FIRST = [
     "graph_bfs_hops",                # graph
     # --- (e) stalest remaining r5 rows in the leftover slots ---
     "kmeans_ivf_train", "dedup_cluster_components",
-    "rag_retrieval_pipeline", "corpus_clean_pipeline",
+    "rag_retrieval_pipeline",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
+from k8s_log_etl_spark.tables import (
+    ensure_min_parallelism,
+    load_table,
+    spill_checkpoint,
+)
 
 N_QUERIES = 10   # vec_id < 10 are the query vectors; the rest the corpus
 TOP_K = 5
@@ -1495,4 +1499,137 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (Gonzalez 1985 farthest-point
+# traversal; Sener & Savarese, ICLR 2018 for the data-selection use)
+# ---------------------------------------------------------------------------
+
+KC_K = 8  # coreset size: seed + 7 farthest-point picks; the row after
+#           the last pick is the coverage WITNESS (see docstring)
+
+
+def _kc_sql() -> str:
+    """Unrolled farthest-point rounds: seed = lowest vec_id; each round
+    materializes the quantized running min-distance to the chosen set
+    (least-chain of per-center integer micro-distances — associative,
+    so it equals the Spark side's one least() over all centers) and
+    picks the argmax (ties to the lowest vec_id). MATERIALIZED on every
+    per-round CTE — the d{r} chain references d{r-1} twice (the select
+    and the next round), and DuckDB re-derives inlined CTE references
+    exponentially otherwise (the tokenizer-replay lesson)."""
+    q = DIST_QUANT
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL AND len(embedding) > 0)",
+        "s0 AS MATERIALIZED (SELECT vec_id, embedding FROM e"
+        " ORDER BY vec_id LIMIT 1)",
+        "d0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, CAST(round("
+        + _sqdist_sql("e.embedding", "(SELECT embedding FROM s0)")
+        + f" * {q}) AS BIGINT) AS dq FROM e)",
+    ]
+    for r in range(1, KC_K + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT vec_id, embedding, dq"
+            f" FROM d{r - 1} ORDER BY dq DESC, vec_id LIMIT 1)"
+        )
+        if r < KC_K:
+            parts.append(
+                f"d{r} AS MATERIALIZED (SELECT d.vec_id, d.embedding,"
+                " least(d.dq, CAST(round("
+                + _sqdist_sql("d.embedding", f"(SELECT embedding FROM s{r})")
+                + f" * {q}) AS BIGINT)) AS dq FROM d{r - 1} d)"
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS sel_round,"
+        " (SELECT vec_id FROM s0) AS vec_id,"
+        " CAST(0 AS BIGINT) AS radius_q"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), vec_id, dq FROM s{r}"
+        for r in range(1, KC_K + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "select_kcenter_coreset",
+    oracle=_kc_sql(),
+    tags=("similarity", "sampling", "llmprep"),
+)
+def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embeddings table — Gonzalez's 2-approximation of the k-center
+    objective (Theoretical CS 1985), applied to training-data
+    curation as in Sener & Savarese (ICLR 2018): pick the subset
+    whose coverage radius (max distance from any point to its nearest
+    selected point) is minimal, i.e. the DIVERSITY-maximizing sample —
+    the complement of the density-seeking samplers already in the
+    suite (DSIR picks target-like points, temperature sampling
+    flattens sources; k-center guarantees no region of embedding
+    space is left unrepresented). One row per round: the seed (lowest
+    vec_id), each farthest-point pick with its selection distance
+    radius_q (= the coverage radius of the set chosen BEFORE it), and
+    a final coverage WITNESS row (sel_round = KC_K): the farthest
+    remaining point from the full coreset — its radius_q IS the
+    k-center objective value, and Gonzalez's invariant radius_q(r)
+    non-increasing in r is pinned by test.
+
+    Determinism: per-center squared distances are the suite's
+    sequential-fold doubles (_sqdist_fold == _sqdist_sql bit-for-bit),
+    quantized to integer micro-units BEFORE the running min (least
+    over centers — associative on ints, so Spark's one least() over
+    all chosen centers equals the oracle's per-round least-chain);
+    argmax ties break on vec_id; every output column is BIGINT.
+
+    Scale shape: the kmeans_ivf_train discipline — each round is a
+    join-free map-side pass (centers ride as literal arrays in
+    codegen'd folds) + ONE TakeOrderedAndProject argmax whose driver
+    sync is a single row; the embeddings scan is spill-checkpointed
+    once and re-read per round, never shuffled. Work is
+    O(K^2 * n * dim) codegen flops with K bounded (coreset sizes are
+    config constants, not data-driven). At 1e9+ vectors with large K
+    you'd swap exact argmax rounds for the over-sampled MapReduce
+    variant (Gonzalez-MR / k-center clustering in MapReduce, Ene et
+    al. KDD 2011) — sample-and-prune keeps rounds logarithmic; here
+    the exact traversal keeps the oracle bit-exact.
+
+    Reference basis: public k-center literature only (no reference-
+    repo analogue — the log ETL has no vector ops)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select("vec_id", "embedding")
+        .transform(spill_checkpoint)
+    )
+    seed_rows = e.orderBy(F.asc("vec_id")).limit(1).collect()
+    if not seed_rows:
+        raise ValueError(
+            "k-center selection requires a non-empty embeddings corpus"
+        )
+    seed = seed_rows[0]
+    centers = [[float(x) for x in seed["embedding"]]]
+    out = [(0, int(seed["vec_id"]), 0)]
+    for r in range(1, KC_K + 1):
+        dq = F.least(
+            *[
+                F.round(_sqdist_fold(F.col("embedding"), c) * DIST_QUANT)
+                .cast("bigint")
+                for c in centers
+            ]
+        ) if len(centers) > 1 else F.round(
+            _sqdist_fold(F.col("embedding"), centers[0]) * DIST_QUANT
+        ).cast("bigint")
+        top = (
+            e.select("vec_id", "embedding", dq.alias("dq"))
+            .orderBy(F.desc("dq"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((r, int(top["vec_id"]), int(top["dq"])))
+        if r < KC_K:
+            centers.append([float(x) for x in top["embedding"]])
+    return spark.createDataFrame(
+        out, "sel_round: bigint, vec_id: bigint, radius_q: bigint"
     )
