@@ -194,7 +194,9 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             unexpected.append((n, str(e).split("\n")[0][:120]))
     assert not unexpected, unexpected
-    # the refusal set is exactly the quantizer-training family
+    # the refusal set is exactly the quantizer-training family plus the
+    # coreset selector (selection from an empty corpus is undefined by
+    # the same contract — there is no seed point to start the traversal)
     assert set(refused) == {
         "ann_recall_eval",
         "kmeans_ivf_train",
@@ -202,6 +204,7 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
         "knn_ivfpq_adc",
         "knn_ivfpq_refine",
         "dedup_semantic_cells",
+        "select_kcenter_coreset",
     }, refused
 
 
