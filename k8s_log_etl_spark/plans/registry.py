@@ -66,6 +66,10 @@ _CHECKED_FIRST = [
     # density-seeking ones; displaces corpus_clean_pipeline's (e)
     # slot (bench-measured every round anyway)
     "select_kcenter_coreset",
+    # BM25 incremental index maintenance (merge == rebuild proven by
+    # the full-recompute oracle); displaces rag_retrieval_pipeline's
+    # (e) slot
+    "bm25_index_delta_serve",
     # --- (b) round-10 modified implementations: the CCNet tercile
     # rank moved onto the distributed prefix-sum ranking discipline
     # (plan changed — the round-9 verdict's one acknowledged
@@ -107,7 +111,6 @@ _CHECKED_FIRST = [
     "graph_bfs_hops",                # graph
     # --- (e) stalest remaining r5 rows in the leftover slots ---
     "kmeans_ivf_train", "dedup_cluster_components",
-    "rag_retrieval_pipeline",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

@@ -4626,13 +4626,24 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     Content-fingerprinted on the documents table, so regenerating the
     dataset invalidates the cache. ``totals`` is written LAST and its
     _SUCCESS is the build marker, so a killed build re-runs."""
+    return _bm25_index_build(spark, sf_dir, "bm25index_v1", None)
+
+
+def _bm25_index_build(
+    spark: SparkSession, sf_dir: str, kind: str, doc_filter
+) -> str:
+    """Shared builder for the full index (bm25_index_path) and the
+    delta-excluded "old corpus" index (bm25_old_index_path).
+    ``doc_filter`` is an optional Column predicate on documents."""
     from k8s_log_etl_spark.tables import dataset_cache_path
 
-    path = dataset_cache_path(sf_dir, "bm25index_v1", "documents")
+    path = dataset_cache_path(sf_dir, kind, "documents")
     if not os.path.exists(os.path.join(path, "totals", "_SUCCESS")):
         d = ensure_min_parallelism(
             load_table(spark, sf_dir, "documents"), spark
         )
+        if doc_filter is not None:
+            d = d.filter(doc_filter)
         toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
             "doc_id", F.lower(F.col("raw")).alias("term")
         )
@@ -4740,6 +4751,190 @@ def bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "score_micro",
             F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 incremental index maintenance — merge a new-doc delta's stats
+# into the persisted index at serve time (Lucene segment-merge shape)
+# ---------------------------------------------------------------------------
+
+BM25_DELTA_LO = 400  # the fixed "new drop": doc_ids [400, 500) — the
+BM25_DELTA_HI = 500  # same fixed-delta convention as the near-dup
+#                      serving family (dedup SERVE_LO/HI)
+
+
+def bm25_old_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted BM25 index of everything OUTSIDE the fixed delta
+    window — the 'old corpus' a continuously-fed retrieval tier
+    already holds when a new drop arrives. Same build-once contract
+    and layout as bm25_index_path."""
+    return _bm25_index_build(
+        spark,
+        sf_dir,
+        "bm25oldindex_v1",
+        (F.col("doc_id") < BM25_DELTA_LO)
+        | (F.col("doc_id") >= BM25_DELTA_HI),
+    )
+
+
+def _bm25_delta_sql() -> str:
+    """Full-recompute oracle + delta provenance flag on each hit."""
+    inner = _bm25_sql(f" AND doc_id < {BM25_SERVE_QMAX}")
+    return f"""
+SELECT query_id, doc_id, score_micro, rn,
+       CAST(CASE WHEN doc_id >= {BM25_DELTA_LO}
+                  AND doc_id < {BM25_DELTA_HI}
+            THEN 1 ELSE 0 END AS BIGINT) AS from_delta
+FROM ({inner})
+"""
+
+
+@register(
+    "bm25_index_delta_serve",
+    oracle=_bm25_delta_sql(),
+    tags=("llmprep", "text"),
+)
+def bm25_index_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving under INCREMENTAL index maintenance — the third
+    face of the BM25 lifecycle (build: text_bm25_retrieval; serve:
+    bm25_index_serve; maintain: this), completing the family the way
+    the near-dup family is complete (dedup_minhash_lsh /
+    _incremental / _index_serve / ingest_batch_neardup). A fixed
+    100-doc delta (doc_ids [BM25_DELTA_LO, BM25_DELTA_HI) — the
+    "new drop") arrives against the PERSISTED index of everything
+    else; instead of rebuilding, the serve path merges segment stats
+    the way Lucene merges segments: postings union (doc sets are
+    disjoint, so no conflicts), df summed per term, corpus totals
+    (N, T) summed — all additive because df and totals are
+    doc-disjoint sums, which is exactly why the inverted-index layout
+    is incrementally maintainable. The oracle recomputes everything
+    from raw text over the FULL corpus, so the hash-green row IS the
+    merge == rebuild equivalence; each hit carries a from_delta
+    provenance flag so the result itself shows new docs competing
+    with the old corpus in one ranking.
+
+    Determinism: identical to text_bm25_retrieval (single-ln idf over
+    the MERGED df and totals, one integer division per term, doc_id
+    tie-breaks); the merge arithmetic is integer sums.
+
+    Scale shape — the per-drop bill a retrieval tier pays: (a) delta
+    postings/df/totals from one scan of the fixed-size drop
+    (map-side, checkpointed once for its two consumers); (b) merged
+    per-query-term df via two keyed lookups (query frame broadcast
+    into the persisted ``terms`` scan and the tiny delta df) and a
+    |batch|-bounded full-outer of the two result frames; (c) the
+    probe = the persisted ``postings`` columnar scan UNION the tiny
+    delta frame, with the (query, term, idf) frame broadcast —
+    nothing corpus-sized ever shuffles, and rebuilding the index is
+    never on the serve path. Periodic compaction (folding deltas into
+    the base index) is the amortized background job, exactly
+    mh_corpus_index_path's contract."""
+    root = bm25_old_index_path(spark, sf_dir)
+    old_postings = spark.read.parquet(os.path.join(root, "postings"))
+    old_terms = spark.read.parquet(os.path.join(root, "terms"))
+    old_tot = spark.read.parquet(os.path.join(root, "totals"))
+    d = load_table(spark, sf_dir, "documents")
+    delta = d.filter(
+        (F.col("doc_id") >= BM25_DELTA_LO)
+        & (F.col("doc_id") < BM25_DELTA_HI)
+    )
+    dtoks = delta.select(
+        "doc_id", F.explode(_words()).alias("raw")
+    ).select("doc_id", F.lower(F.col("raw")).alias("term"))
+    dsized = delta.select(
+        "doc_id", F.size(_words()).cast("long").alias("dl")
+    )
+    dpostings = (
+        dtoks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dsized, "doc_id")
+        .transform(spill_checkpoint)  # feeds delta df AND the probe
+    )
+    ddf = dpostings.groupBy("term").agg(F.count(F.lit(1)).alias("df_d"))
+    dtot = dsized.filter(F.col("dl").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("t_d"),
+    )
+    tot = old_tot.crossJoin(F.broadcast(dtot)).select(
+        (F.coalesce(F.col("n"), F.lit(0)) + F.col("n_d")).alias("n"),
+        (F.coalesce(F.col("t"), F.lit(0)) + F.col("t_d")).alias("t"),
+    )
+    qdocs = d.filter(
+        (F.col("doc_id") % BM25_QMOD == 0)
+        & (F.col("doc_id") < BM25_SERVE_QMAX)
+    )
+    qterms = (
+        qdocs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(_words(), 1, BM25_QW)).alias("raw"),
+        )
+        .select("query_id", F.lower(F.col("raw")).alias("term"))
+        .distinct()
+    )
+    qdf_o = (
+        F.broadcast(qterms)
+        .join(old_terms, "term")
+        .select("query_id", "term", F.col("df").alias("df_o"))
+    )
+    qdf_d = (
+        F.broadcast(qterms)
+        .join(F.broadcast(ddf), "term")
+        .select("query_id", "term", "df_d")
+    )
+    idf_micro = F.round(
+        F.log((2 * F.col("n") + 2) / (2 * F.col("df") + 1)) * BM25_Q
+    ).cast("bigint")
+    qdf = (
+        qdf_o.join(qdf_d, ["query_id", "term"], "full")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.coalesce("df_o", F.lit(0)) + F.coalesce("df_d", F.lit(0))
+            ).alias("df"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("query_id", "term", idf_micro.alias("idf_micro"))
+    )
+    postings = old_postings.unionByName(dpostings)
+    hits = (
+        postings.join(F.broadcast(qdf), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "CAST((idf_micro * (22 * tf * t))"
+                " div (10 * t * tf + 3 * t + 9 * dl * n) AS BIGINT)"
+            ).alias("term_score"),
+        )
+    )
+    scored = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    from_delta = (
+        F.when(
+            (F.col("doc_id") >= BM25_DELTA_LO)
+            & (F.col("doc_id") < BM25_DELTA_HI),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            "score_micro",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            from_delta.alias("from_delta"),
         )
         .filter(F.col("rn") <= BM25_TOPK)
     )

@@ -9,10 +9,13 @@ import math
 import pandas as pd
 
 from k8s_log_etl_spark.queries.llmprep import (
+    BM25_DELTA_HI,
+    BM25_DELTA_LO,
     BM25_Q,
     BM25_QMOD,
     BM25_QW,
     BM25_TOPK,
+    bm25_index_delta_serve,
     bm25_index_path,
     bm25_index_serve,
     text_bm25_retrieval,
@@ -142,3 +145,43 @@ def test_bm25_index_serve_equals_full_recompute(spark, tmp_path):
     )
     assert again == serve
     assert os.stat(marker).st_mtime_ns == before  # reused, not rebuilt
+
+
+def test_bm25_delta_merge_equals_full_recompute(spark, tmp_path):
+    """Segment-merge serving: the persisted old index + a tiny delta,
+    merged at serve time (postings union, df and totals summed), must
+    rank exactly like a from-scratch rebuild over the full corpus —
+    including when the query docs themselves live in the delta — and
+    the from_delta provenance flag must mark exactly the new docs."""
+    base = [
+        "alpha beta gamma shared vocabulary document",
+        "beta gamma delta overlapping words here",
+        "completely different tokens nothing shared",
+        "alpha alpha alpha high term frequency doc",
+        "gamma delta epsilon the long tail of terms",
+        "shared vocabulary document with alpha beta",
+    ]
+    # ids 380..439: 20 docs BEFORE the delta window, 40 inside it —
+    # queries (%25 == 0) are 400 and 425, both new-drop docs
+    texts = {380 + i: base[i % len(base)] + f" pad{i % 7}" for i in range(60)}
+    assert any(BM25_DELTA_LO <= i < BM25_DELTA_HI for i in texts)
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rn"], r["from_delta"])
+        for r in bm25_index_delta_serve(spark, str(tmp_path)).collect()
+    )
+    expected = sorted(
+        (q, d, s, rn, int(BM25_DELTA_LO <= d < BM25_DELTA_HI))
+        for q, d, s, rn in py_bm25(texts)
+    )
+    assert got == expected
+    assert {q for q, *_ in got} == {400, 425}
+    assert any(fd == 1 for *_, fd in got)  # new docs do win slots

@@ -74,6 +74,13 @@ CONTRACTS = {
     # postings/terms scans (keyed equi-joins), top-k prunes map-side
     # (the only NLJ is the one-row totals scalar)
     "bm25_index_serve": (["BroadcastHashJoin", "WindowGroupLimit"], []),
+    # BM25 incremental maintenance: same probe shape over the merged
+    # (persisted ∪ delta) postings; delta postings materialized once
+    # for their two consumers
+    "bm25_index_delta_serve": (
+        ["BroadcastHashJoin", "WindowGroupLimit", "Scan ExistingRDD"],
+        [],
+    ),
     # skew profiler: one hash-agg over the fact table, top-k via
     # per-partition heaps, totals as a broadcast one-row frame (the
     # only NLJ), rank window AFTER the limit
