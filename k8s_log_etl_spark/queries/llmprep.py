@@ -4315,17 +4315,32 @@ def _tok_compare_sql() -> str:
     # full text would false-positive on a column alias in one chain
     # that merely spells another chain's CTE name (a hard import
     # error on an unrelated rename — round-9 advisor note).
-    for chain, names in (
+    chain_names = (
         (b, _bpe_chain_names()),
         (u, _uni_chain_names()),
         (w, _wp_chain_names() + _wp_seg_names()),
-    ):
+    )
+    for chain, names in chain_names:
         for n in names:
             if re.search(rf"\b{re.escape(n)}\b", chain):
                 raise AssertionError(
                     f"unprefixed CTE name {n!r} survives in a prefixed "
                     "tokenizer chain — a chain-name list is out of sync "
                     "with its builder"
+                )
+    # Cross-chain coverage, restricted to relation position (FROM/JOIN
+    # immediately before the name) so a mere column alias spelling
+    # another chain's CTE name can't false-positive (round-10 advisor
+    # note): a chain textually reading ANOTHER chain's unprefixed CTE
+    # should fail at import time, not as a runtime binder error on the
+    # first driven oracle.
+    all_names = {n for _, names in chain_names for n in names}
+    for chain, own in chain_names:
+        for n in all_names - set(own):
+            if re.search(rf"\b(?:FROM|JOIN)\s+{re.escape(n)}\b", chain):
+                raise AssertionError(
+                    f"prefixed tokenizer chain references another "
+                    f"chain's unprefixed CTE {n!r} in relation position"
                 )
     R = UNI_ROUNDS
     return f"""
@@ -4634,11 +4649,25 @@ def _bm25_index_build(
 ) -> str:
     """Shared builder for the full index (bm25_index_path) and the
     delta-excluded "old corpus" index (bm25_old_index_path).
-    ``doc_filter`` is an optional Column predicate on documents."""
+    ``doc_filter`` is an optional Column predicate on documents.
+
+    The three tables are staged under a session-unique temp dir and
+    published with ONE atomic os.rename (round-10 ADVICE): the
+    three-write sequence (postings, then terms derived by re-reading
+    the just-written postings, then totals as the completion marker)
+    is only ever observable as a whole — two sessions racing on the
+    same fingerprint path can no longer interleave mode('overwrite')
+    writes and stamp the marker over a mixed index. A losing racer
+    discards its stage and reads the winner's (bit-identical —
+    deterministic build over fingerprint-pinned input)."""
+    import shutil
+    import uuid
+
     from k8s_log_etl_spark.tables import dataset_cache_path
 
     path = dataset_cache_path(sf_dir, kind, "documents")
     if not os.path.exists(os.path.join(path, "totals", "_SUCCESS")):
+        stage = f"{path}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         d = ensure_min_parallelism(
             load_table(spark, sf_dir, "documents"), spark
         )
@@ -4654,16 +4683,28 @@ def _bm25_index_build(
             F.count(F.lit(1)).alias("tf")
         )
         tf.join(sized, "doc_id").write.mode("overwrite").parquet(
-            os.path.join(path, "postings")
+            os.path.join(stage, "postings")
         )
-        spark.read.parquet(os.path.join(path, "postings")).groupBy(
+        # re-read from the STAGE dir (private to this build), so the
+        # df count reflects exactly the postings that will ship
+        spark.read.parquet(os.path.join(stage, "postings")).groupBy(
             "term"
         ).agg(F.count(F.lit(1)).alias("df")).write.mode(
             "overwrite"
-        ).parquet(os.path.join(path, "terms"))
+        ).parquet(os.path.join(stage, "terms"))
         sized.filter(F.col("dl").isNotNull()).agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
-        ).write.mode("overwrite").parquet(os.path.join(path, "totals"))
+        ).write.mode("overwrite").parquet(os.path.join(stage, "totals"))
+        try:
+            os.rename(stage, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "totals", "_SUCCESS")):
+                # stale partial at the destination (killed pre-atomic
+                # build): clear it and publish ours
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(stage, path)
+            else:
+                shutil.rmtree(stage, ignore_errors=True)
     return path
 
 
@@ -5145,8 +5186,12 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the doc-level frame feeds THREE consumers (per-lang totals, the
     # per-range count frame, and the rank join) — materialize it once
     # so the perplexity machinery upstream runs a single time
+    # integer `div`, not float /+floor (the repo's cross-engine
+    # discipline): identical here since nll_micro >= 0 (c <= n and
+    # v >= 1 make every per-term ratio >= 1, so nll_q >= 0), and
+    # immune to being copied into an oracle-visible expression
     b = docs.withColumn(
-        "rb", F.floor(F.col("nll_micro") / CCNET_RANGE_W)
+        "rb", F.expr(f"nll_micro div {CCNET_RANGE_W}")
     ).transform(spill_checkpoint)
     lc = b.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     rb_w = Window.partitionBy("lang").orderBy("rb").rowsBetween(
