@@ -7,6 +7,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion with a full-result noop write (no
 driver-side collect), which measures the whole Catalyst plan including
 the final exchange.
+
+Timing protocol (standing since round 11): three full passes over the
+bench set in alternating name order (asc, desc, asc); per-query
+headline = MEDIAN of the three samples, with min-of-3 carried in
+`queries_min` as the like-for-like bridge to the pre-r11 best-of-2
+series. The interleaving makes the committed numbers robust to the
+1.5x consecutive-run order effects that previously cost a manual
+worktree A/B every round.
 """
 
 from __future__ import annotations
@@ -101,7 +109,11 @@ def _cal_factor(cal: dict | None) -> float | None:
     return CAL_REF_WIDE32_SEC / (sum(vals) / len(vals))
 
 
-def _matched_subtotals(timings: dict[str, float], cal: dict | None = None) -> dict:
+def _matched_subtotals(
+    timings: dict[str, float],
+    cal: dict | None = None,
+    mins: dict[str, float] | None = None,
+) -> dict:
     """Machine-checked cross-round comparability: the r2-core-15
     subtotal, plus current-vs-previous-round subtotals over the
     intersection of query sets. "Previous" = the newest BENCH_r*.json
@@ -117,7 +129,14 @@ def _matched_subtotals(timings: dict[str, float], cal: dict | None = None) -> di
     throughput); when the previous round's BENCH file carries its own
     calibration block, `prev_sec_norm` is computed from THAT run's
     factor, so the normalized pair compares code on a common
-    synthetic-throughput scale (round-6 verdict #1)."""
+    synthetic-throughput scale (round-6 verdict #1).
+
+    `sec_min` (when ``mins`` is given) is the min-of-3 subtotal: the
+    round-11 protocol change (interleaved median-of-3 replacing
+    consecutive best-of-2) structurally raised medians ~1.3x because a
+    query's back-to-back second run was measured hot; min-of-3 over the
+    interleaved passes is the like-for-like bridge to every BENCH file
+    before r11 (best-of ~= min)."""
     factor = _cal_factor(cal)
     here = os.path.dirname(os.path.abspath(__file__))
     out: dict = {
@@ -126,8 +145,16 @@ def _matched_subtotals(timings: dict[str, float], cal: dict | None = None) -> di
             "sec": round(sum(timings.get(n, 0.0) for n in R2_CORE_15), 3),
         }
     }
+    if mins is not None:
+        out["r2_core_15"]["sec_min"] = round(
+            sum(mins.get(n, 0.0) for n in R2_CORE_15), 3
+        )
     if factor is not None:
         out["r2_core_15"]["sec_norm"] = round(out["r2_core_15"]["sec"] * factor, 3)
+        if mins is not None:
+            out["r2_core_15"]["sec_min_norm"] = round(
+                out["r2_core_15"]["sec_min"] * factor, 3
+            )
     benches = sorted(
         (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.search(r"\d+", f).group()),
@@ -154,8 +181,12 @@ def _matched_subtotals(timings: dict[str, float], cal: dict | None = None) -> di
             "sec": round(sum(timings[n] for n in matched), 3),
             "prev_sec": round(sum(prev[n] for n in matched), 3),
         }
+        if mins is not None:
+            block["sec_min"] = round(sum(mins[n] for n in matched), 3)
         if factor is not None:
             block["sec_norm"] = round(block["sec"] * factor, 3)
+            if mins is not None:
+                block["sec_min_norm"] = round(block["sec_min"] * factor, 3)
         prev_factor = _cal_factor(prev_parsed.get("calibration"))
         if prev_factor is not None:
             block["prev_sec_norm"] = round(block["prev_sec"] * prev_factor, 3)
@@ -209,28 +240,40 @@ def main() -> None:
     for name, spec in sorted(bench_specs.items()):
         spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # Best of two timed runs per query: the first full-scale run of a
-    # plan can still pay one-time JIT compilation of its huge generated
-    # methods (the sf0.001 warmup triggers codegen+load but not always
-    # tier-4 compilation); the second run measures steady state.
-    timings: dict[str, float] = {}
-    for name, spec in sorted(bench_specs.items()):
-        # Queries that localCheckpoint intermediates leave multi-GB
-        # blocks in the block manager until BOTH garbage collectors have
-        # run: Python must drop its DataFrame (and via py4j the JVM-side
-        # plan holding the checkpointed RDD), then the JVM GC lets
-        # ContextCleaner reclaim the blocks. Skipping either leaves
-        # blocks piling up and later runs degrade monotonically
-        # (measured: 6.7 -> 10.6 -> 15.5 s without this, flat ~4 s with).
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
+    # Two-order interleaved median-of-3 (round-10 verdict #2, standing
+    # protocol): consecutive heavy JVM runs show execution-ORDER
+    # effects up to 1.5x on identical code (r9/r10 adjudications each
+    # burned a manual worktree A/B on this), so per-query timing is now
+    # three full passes over the bench set — ascending, descending,
+    # ascending name order — with the per-query MEDIAN as the headline
+    # number. The median drops both the order-effect tail and any
+    # residual one-time tier-4 JIT hit on a query's first full-scale
+    # run (the sf0.001 warmup triggers codegen+load but not always
+    # compilation); `samples` carries all three per-pass numbers so a
+    # cross-round drift question reads the spread directly instead of
+    # re-running worktrees.
+    names_sorted = sorted(bench_specs)
+    samples: dict[str, list[float]] = {n: [] for n in names_sorted}
+    for pass_i in range(3):
+        order = names_sorted if pass_i % 2 == 0 else names_sorted[::-1]
+        for name in order:
+            spec = bench_specs[name]
+            # Queries that localCheckpoint intermediates leave multi-GB
+            # blocks in the block manager until BOTH garbage collectors
+            # have run: Python must drop its DataFrame (and via py4j the
+            # JVM-side plan holding the checkpointed RDD), then the JVM
+            # GC lets ContextCleaner reclaim the blocks. Skipping either
+            # leaves blocks piling up and later runs degrade
+            # monotonically (measured: 6.7 -> 10.6 -> 15.5 s without
+            # this, flat ~4 s with).
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            samples[name].append(round(time.perf_counter() - start, 3))
+    timings = {n: sorted(s)[1] for n, s in samples.items()}
+    timings_min = {n: min(s) for n, s in samples.items()}
 
     cal["end"] = _calibration(spark)
     cal["ref_wide32_sec"] = CAL_REF_WIDE32_SEC
@@ -246,9 +289,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "samples": samples,
+                "order_protocol": "median-of-3, passes in asc/desc/asc name order",
                 "sf": sf,
                 "calibration": cal,
-                "matched_subtotals": _matched_subtotals(timings, cal),
+                "matched_subtotals": _matched_subtotals(timings, cal, timings_min),
             }
         )
     )

@@ -4644,6 +4644,40 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     return _bm25_index_build(spark, sf_dir, "bm25index_v1", None)
 
 
+def bm25_doc_stats(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The additive BM25 segment-stats unit shared by ALL faces of the
+    family — index build (_bm25_index_build), the delta-serve merge's
+    new-drop leg (bm25_index_delta_serve), and the streaming ingest
+    face (streaming/ingest.ingest_batch_bm25): given a document frame,
+    return ``(postings, df, totals)`` — postings (doc_id, term, tf,
+    dl — doc length denormalized onto the posting, norms-in-index),
+    df (term, df), totals (one row: n, t). Because every statistic is
+    a doc-disjoint sum, stats computed per segment and summed equal
+    stats computed over the union — the invariant that makes the
+    inverted index incrementally maintainable, and the reason the
+    stream==batch identity test can compare tables rather than
+    probes."""
+    toks = docs.select("doc_id", F.explode(_words()).alias("raw")).select(
+        "doc_id", F.lower(F.col("raw")).alias("term")
+    )
+    sized = docs.select(
+        "doc_id", F.size(_words()).cast("long").alias("dl")
+    )
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(sized, "doc_id")
+    )
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = sized.filter(F.col("dl").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+    )
+    return postings, df, totals
+
+
 def _bm25_index_build(
     spark: SparkSession, sf_dir: str, kind: str, doc_filter
 ) -> str:
@@ -4673,28 +4707,21 @@ def _bm25_index_build(
         )
         if doc_filter is not None:
             d = d.filter(doc_filter)
-        toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
-            "doc_id", F.lower(F.col("raw")).alias("term")
-        )
-        sized = d.select(
-            "doc_id", F.size(_words()).cast("long").alias("dl")
-        )
-        tf = toks.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-        tf.join(sized, "doc_id").write.mode("overwrite").parquet(
+        postings, _df, totals = bm25_doc_stats(d)
+        postings.write.mode("overwrite").parquet(
             os.path.join(stage, "postings")
         )
-        # re-read from the STAGE dir (private to this build), so the
-        # df count reflects exactly the postings that will ship
+        # re-read from the STAGE dir (private to this build), so df
+        # counts exactly the postings that shipped, without a second
+        # run of the tokenize+aggregate pipeline
         spark.read.parquet(os.path.join(stage, "postings")).groupBy(
             "term"
         ).agg(F.count(F.lit(1)).alias("df")).write.mode(
             "overwrite"
         ).parquet(os.path.join(stage, "terms"))
-        sized.filter(F.col("dl").isNotNull()).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
-        ).write.mode("overwrite").parquet(os.path.join(stage, "totals"))
+        totals.write.mode("overwrite").parquet(
+            os.path.join(stage, "totals")
+        )
         try:
             os.rename(stage, path)
         except OSError:
@@ -4882,22 +4909,15 @@ def bm25_index_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") >= BM25_DELTA_LO)
         & (F.col("doc_id") < BM25_DELTA_HI)
     )
-    dtoks = delta.select(
-        "doc_id", F.explode(_words()).alias("raw")
-    ).select("doc_id", F.lower(F.col("raw")).alias("term"))
-    dsized = delta.select(
-        "doc_id", F.size(_words()).cast("long").alias("dl")
-    )
-    dpostings = (
-        dtoks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(dsized, "doc_id")
-        .transform(spill_checkpoint)  # feeds delta df AND the probe
+    # the SAME segment-stats builder the index build and the streaming
+    # ingest face use — the merge below is additive over its outputs
+    dpostings, _ddf, _dtot = bm25_doc_stats(delta)
+    dpostings = dpostings.transform(
+        spill_checkpoint  # feeds delta df AND the probe
     )
     ddf = dpostings.groupBy("term").agg(F.count(F.lit(1)).alias("df_d"))
-    dtot = dsized.filter(F.col("dl").isNotNull()).agg(
-        F.count(F.lit(1)).alias("n_d"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("t_d"),
+    dtot = _dtot.select(
+        F.col("n").alias("n_d"), F.col("t").alias("t_d")
     )
     tot = old_tot.crossJoin(F.broadcast(dtot)).select(
         (F.coalesce(F.col("n"), F.lit(0)) + F.col("n_d")).alias("n"),

@@ -449,3 +449,108 @@ def ingest_corpus_quality(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 index-maintaining ingest (the streaming face of the BM25
+# lifecycle: build -> serve -> incremental merge -> THIS)
+# ---------------------------------------------------------------------------
+
+
+def ingest_batch_bm25(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+) -> None:
+    """Per-micro-batch BM25 index maintenance: compute the batch's
+    additive segment stats with THE SAME builder the batch index build
+    and the delta-serve merge use (queries/llmprep.bm25_doc_stats) and
+    append them as a new SEGMENT — three parquet tables (postings /
+    df / totals) each partitioned by ingest_batch. The fourth face of
+    the BM25 family (build: text_bm25_retrieval; serve:
+    bm25_index_serve; incremental merge: bm25_index_delta_serve;
+    continuous: this), mirroring how ingest_batch_neardup completes
+    the near-dup family.
+
+    The merged-index law is bm25_index_delta_serve's, generalized from
+    2 segments to N: postings union over doc-disjoint segments, df
+    summed per term, totals (n, t) summed — all additive because each
+    statistic is a doc-disjoint sum. bm25_read_merged applies it at
+    read time; tests/test_bm25_ingest.py pins that the merged tables
+    over 1/3/7-batch cuts of the same corpus are VALUE-IDENTICAL to
+    one-shot batch stats (so every probe over them is too).
+
+    Replay safety (the ingest family's standing discipline): all three
+    tables are written with dynamic partition overwrite keyed on
+    ingest_batch — a replayed batch (crash anywhere between the three
+    writes and the checkpoint commit) rewrites ITS OWN segment with
+    the same rows and cannot touch any other segment. Stats are a pure
+    function of the batch's rows, so the rewrite is bit-identical.
+
+    Scale shape: per-batch work is one tokenize pass + one (doc, term)
+    hash-agg + two segment-local aggregates — batch-sized, map-side
+    partials, nothing reads the accumulated index. Query traffic reads
+    the merged view, whose df/totals aggregation is sized by segment
+    count x segment vocabulary; periodic compaction (folding segments
+    into one, which this same law makes a pure re-partition) is the
+    amortized background job, exactly mh_corpus_index_path's
+    contract."""
+    from k8s_log_etl_spark.queries.llmprep import bm25_doc_stats
+
+    batch = batch_df.localCheckpoint(eager=True)  # three consumers
+    postings, df, totals = bm25_doc_stats(batch)
+    for frame, sub in ((postings, "postings"), (df, "df"), (totals, "totals")):
+        (
+            frame.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(os.path.join(index_dir, sub))
+        )
+
+
+def bm25_read_merged(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read the segmented ingest index as ONE logical BM25 index:
+    (postings, terms, totals) with the same schemas the build-once
+    bm25_index_path tables have — postings is the segment union
+    (doc-disjoint, so a plain multi-partition read), terms sums df per
+    term across segments, totals sums (n, t). This IS the
+    bm25_index_delta_serve merge applied N-way; a serve path points
+    its probe here unchanged."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings")).drop(
+        "ingest_batch"
+    )
+    terms = (
+        spark.read.parquet(os.path.join(index_dir, "df"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    totals = spark.read.parquet(os.path.join(index_dir, "totals")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("t"), F.lit(0)).alias("t"),
+    )
+    return postings, terms, totals
+
+
+def ingest_corpus_bm25(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous BM25 index maintenance over a document stream
+    (columns: doc_id, text, + metadata) — foreachBatch wiring for
+    ingest_batch_bm25, availableNow-drained like ingest_corpus."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch_bm25(spark, batch_df, batch_id, index_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

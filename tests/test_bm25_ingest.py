@@ -1,0 +1,138 @@
+"""BM25 index-maintaining ingest (streaming/ingest.ingest_batch_bm25):
+the merged segment index must be VALUE-IDENTICAL to one-shot batch
+stats regardless of how the stream is cut into micro-batches (the
+additive segment-merge law bm25_index_delta_serve proves for 2
+segments, here pinned N-way), must match the oracle-verified
+build-once index, and must replay idempotently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from k8s_log_etl_spark.queries.llmprep import bm25_doc_stats, bm25_index_path
+from k8s_log_etl_spark.streaming import ingest as IN
+
+SF = "/root/testdata/sf0.01"
+
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _merged_tuples(spark, index_dir):
+    """Canonical value view of the merged index: sorted tuples of all
+    three tables (postings rows, per-term df, the single totals row)."""
+    postings, terms, totals = IN.bm25_read_merged(spark, index_dir)
+    p = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"]) for r in postings.collect()
+    )
+    t = sorted((r["term"], r["df"]) for r in terms.collect())
+    n = [(r["n"], r["t"]) for r in totals.collect()]
+    return p, t, n
+
+
+def _run_split(spark, tmp_path, n_batches: int, tag: str) -> str:
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    index = str(tmp_path / f"bm25idx_{tag}")
+    per = (len(docs) + n_batches - 1) // n_batches
+    for k in range(n_batches):
+        chunk = docs[k * per : (k + 1) * per]
+        if not chunk:
+            continue
+        bdf = spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+                for r in chunk
+            ],
+            SCHEMA,
+        )
+        IN.ingest_batch_bm25(spark, bdf, k, index)
+    return index
+
+
+def test_merged_index_is_split_invariant_and_matches_batch_build(
+    spark, tmp_path
+):
+    """1/3/7-batch cuts must merge to the same three tables, and those
+    must equal the build-once index bm25_index_path persists — the one
+    the bm25_index_serve driver row proves equal to full recompute, so
+    transitively the streamed index serves oracle-exact probes."""
+    if not os.path.exists(os.path.join(SF, "documents.parquet")):
+        pytest.skip("sf0.01 testdata not present")
+    one = _merged_tuples(spark, _run_split(spark, tmp_path, 1, "b1"))
+    three = _merged_tuples(spark, _run_split(spark, tmp_path, 3, "b3"))
+    seven = _merged_tuples(spark, _run_split(spark, tmp_path, 7, "b7"))
+    assert one == three == seven
+    root = bm25_index_path(spark, SF)
+    built_p = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"])
+        for r in spark.read.parquet(os.path.join(root, "postings")).collect()
+    )
+    built_t = sorted(
+        (r["term"], r["df"])
+        for r in spark.read.parquet(os.path.join(root, "terms")).collect()
+    )
+    built_n = [
+        (r["n"], r["t"])
+        for r in spark.read.parquet(os.path.join(root, "totals")).collect()
+    ]
+    assert one == (built_p, built_t, built_n)
+    assert one[2][0][0] > 0  # non-degenerate: documents were indexed
+
+
+def test_replay_rewrites_own_segment_idempotently(spark, tmp_path):
+    """Replaying a micro-batch (the foreachBatch crash-replay path)
+    must leave all three tables unchanged: dynamic partition overwrite
+    keyed on ingest_batch rewrites only the replayed segment, and the
+    stats are a pure function of the batch's rows."""
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "alpha alpha beta something else entirely", "en", "s", 1),
+        (3, "unrelated prose about parquet files and shuffles", "en", "s", 1),
+        (4, "more prose about columnar scans and broadcast joins", "en", "s", 1),
+    ]
+    index = str(tmp_path / "bm25idx_replay")
+    b0 = spark.createDataFrame(texts[:2], SCHEMA)
+    b1 = spark.createDataFrame(texts[2:], SCHEMA)
+    IN.ingest_batch_bm25(spark, b0, 0, index)
+    IN.ingest_batch_bm25(spark, b1, 1, index)
+    before = _merged_tuples(spark, index)
+    IN.ingest_batch_bm25(spark, b1, 1, index)  # replay
+    assert _merged_tuples(spark, index) == before
+    # the replay touched only its own segment: batch 0's partition
+    # still holds exactly batch 0's doc ids
+    seg0 = (
+        spark.read.parquet(os.path.join(index, "postings"))
+        .filter(F.col("ingest_batch") == 0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in seg0) == [1, 2]
+
+
+def test_streaming_wrapper_drains_equivalently(spark, tmp_path):
+    """ingest_corpus_bm25 (the writeStream wiring) over a file stream
+    must land the same merged index as direct batch calls."""
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 1),
+        (2, "a second document with the word fox and more words", "en", "s", 1),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(texts, SCHEMA).coalesce(1).write.json(src)
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = IN.ingest_corpus_bm25(
+        spark, stream, str(tmp_path / "bm25idx_s"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    direct = str(tmp_path / "bm25idx_d")
+    IN.ingest_batch_bm25(spark, spark.createDataFrame(texts, SCHEMA), 0, direct)
+    assert _merged_tuples(spark, str(tmp_path / "bm25idx_s")) == _merged_tuples(
+        spark, direct
+    )
