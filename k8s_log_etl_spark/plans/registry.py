@@ -25,6 +25,15 @@ class QuerySpec:
     oracle: Optional[str] = None
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py's headline set
+    #: declared empty-input behavior (round-10 verdict #6): True means
+    #: the query REFUSES schema-correct zero-row corpora with an
+    #: explicit ValueError (training/selection on an empty corpus is
+    #: undefined by contract). The empty-tables sweep
+    #: (tests/test_short_docs.py) derives its expected refusal set
+    #: from this flag, so a new query cannot land without declaring
+    #: its empty-input behavior — an undeclared refusal AND a declared
+    #: refusal that completes both fail the sweep.
+    refuses_empty: bool = False
 
 
 def register(
@@ -32,11 +41,14 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    refuses_empty: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        _QUERIES[name] = QuerySpec(name, fn, oracle, tuple(tags), bench)
+        _QUERIES[name] = QuerySpec(
+            name, fn, oracle, tuple(tags), bench, refuses_empty
+        )
         return fn
 
     return deco

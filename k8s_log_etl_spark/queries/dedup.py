@@ -691,7 +691,7 @@ WHERE {X.cosine_sql('a.embedding', 'b.embedding')} >= {SEMANTIC_DUP_THRESHOLD}
 """
 
 
-@register("dedup_semantic_cells", oracle=_semantic_cells_sql(), tags=("dedup", "similarity"))
+@register("dedup_semantic_cells", oracle=_semantic_cells_sql(), tags=("dedup", "similarity"), refuses_empty=True)
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the trained k-means

@@ -301,7 +301,7 @@ GROUP BY idx.index_name, b.query_id
 """
 
 
-@register("ann_recall_eval", oracle=_RECALL_SQL, tags=("llmprep", "similarity"))
+@register("ann_recall_eval", oracle=_RECALL_SQL, tags=("llmprep", "similarity"), refuses_empty=True)
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the sub-quadratic ANN indexes — the OR-amplified
     hyperplane LSH, the IVF-PQ ADC search, and the two-stage IVF-PQ +

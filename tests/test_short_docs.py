@@ -194,18 +194,14 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             unexpected.append((n, str(e).split("\n")[0][:120]))
     assert not unexpected, unexpected
-    # the refusal set is exactly the quantizer-training family plus the
-    # coreset selector (selection from an empty corpus is undefined by
-    # the same contract — there is no seed point to start the traversal)
-    assert set(refused) == {
-        "ann_recall_eval",
-        "kmeans_ivf_train",
-        "pq_codebook_train",
-        "knn_ivfpq_adc",
-        "knn_ivfpq_refine",
-        "dedup_semantic_cells",
-        "select_kcenter_coreset",
-    }, refused
+    # The expected refusal set is REGISTRY METADATA (round-10 verdict
+    # #6): every query declares its empty-input behavior at
+    # registration via refuses_empty=True. The two-sided equality
+    # means a new query can't land refusing without declaring it
+    # (shows up in `refused`, missing from `declared`) NOR declare a
+    # refusal it doesn't enforce (in `declared`, completes anyway).
+    declared = {n for n, s in load_all().items() if s.refuses_empty}
+    assert set(refused) == declared, (sorted(refused), sorted(declared))
 
 
 def test_every_query_survives_null_text(spark, tmp_path):
