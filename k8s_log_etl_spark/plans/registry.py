@@ -55,74 +55,59 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 10 rotation: (1) round-10 additions (no driver row yet —
-# outrank everything), (2) round-10 modified implementations, (3) the
-# r4-latest refresh tranche — ALL 34 rows whose newest green is round
-# 4, now the oldest greens on the books (PLANS.md round-10 lead #1),
-# (4) family-representative slots for capabilities with no organic
-# tranche member, pointed at their STALEST (r5) members so the rep
-# slot doubles as a refresh, and (5) the stalest remaining r5 rows in
-# the leftover slots. Everything rotated out keeps its r5-r9 green
-# row, is unchanged since, and stays continuously covered by the
+# Round 11 rotation (a maintenance round — no registered additions;
+# the round's new surface, the BM25 streaming ingest face, is a
+# streaming twin verified by tests/test_bm25_ingest.py's stream ==
+# batch == oracle-verified-index identity, like the other ingest
+# faces): (1) round-11 modified implementations, (2) the r5-latest
+# refresh tranche — ALL 33 rows whose newest green is round 5, the
+# oldest greens on the books (PLANS.md round-11 lead #1), (3)
+# family-representative slots for capabilities with no organic
+# tranche member, pointed at their STALEST remaining greens so the
+# rep slot doubles as a refresh, and (4) the stalest r6 rows in the
+# leftover slots. Everything rotated out keeps its r6-r10 green row,
+# is unchanged since, and stays continuously covered by the
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (a) round-10 additions ---
-    # BM25 serving probe against the persisted inverted index — the
-    # steady-state face proving text_bm25_retrieval's "the index is
-    # the thing you persist" claim (round-9 verdict #4); probe cost
-    # measured near-flat across the 1x/10x/100x corpus decades
-    "bm25_index_serve",
-    # greedy k-center coreset (Gonzalez farthest-point; Sener &
-    # Savarese 2018) — the diversity-maximizing selector beside the
-    # density-seeking ones; displaces corpus_clean_pipeline's (e)
-    # slot (bench-measured every round anyway)
-    "select_kcenter_coreset",
-    # BM25 incremental index maintenance (merge == rebuild proven by
-    # the full-recompute oracle); displaces rag_retrieval_pipeline's
-    # (e) slot
-    "bm25_index_delta_serve",
-    # --- (b) round-10 modified implementations: the CCNet tercile
-    # rank moved onto the distributed prefix-sum ranking discipline
-    # (plan changed — the round-9 verdict's one acknowledged
-    # 100x-scale hazard); both perceptual kernels gained the
-    # defensive 16-byte payload slice (outputs identical, modified
-    # code gets a row); the tokenizer-compare oracle's import-time
-    # CTE guard was rescoped per-chain (composition path changed) ---
-    "corpus_ccnet_buckets", "dedup_perceptual_ahash",
-    "dedup_perceptual_phash_dct", "tokenizer_compare",
-    # --- (c) the r4-latest refresh tranche: all 34 rows whose newest
-    # green is round 4, displaced round after round by addition waves
-    # — the complete cohort, one-for-one as PLANS.md lead #1 asks ---
-    "agg_null_semantics", "bpe_pair_stats", "dedup_edit_distance",
-    "dq_constraint_checks", "events_activity_streaks",
-    "events_bot_rate_flags", "events_markov_transitions",
-    "events_time_to_convert", "events_top_paths",
-    "events_weekly_seasonality", "join_null_safe", "knn_sq8_adc",
-    "multimodal_feature_extract", "nation_revenue_yoy",
-    "nation_top_customer_roster", "orders_page_offset",
-    "orders_price_percentiles", "orders_price_range_frame",
-    "orders_vs_peer_avg", "orders_window_analytics",
-    "part_price_outliers_mad", "parts_copurchased",
-    "pq_codebook_train", "q12_late_shipments", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_volume_orders",
-    "q21_sole_late_supplier", "q22_dormant_customers",
-    "q4_order_priority", "q8_market_share",
-    "set_ops_multiset_orders", "supplier_rank_dense",
-    "text_zipf_slope",
-    # --- (d) family representatives for capabilities with no organic
+    # --- (a) round-11 modified implementations: the BM25 index
+    # builders moved onto the atomic staged-publish path and the
+    # shared bm25_doc_stats segment builder (round-10 ADVICE + the
+    # streaming-face refactor); the CCNet range bucket moved to
+    # integer div; the tokenizer-compare oracle guard regained
+    # cross-chain coverage (composition path changed) ---
+    "bm25_index_serve", "bm25_index_delta_serve",
+    "corpus_ccnet_buckets", "tokenizer_compare",
+    # --- (b) the r5-latest refresh tranche: all 33 rows whose newest
+    # green is round 5 — the complete cohort, one-for-one as PLANS.md
+    # lead #1 asks ---
+    "agg_distinct_customers", "corpus_clean_pipeline",
+    "corpus_scd2_as_of", "corpus_scd2_history",
+    "corpus_scd2_schema_evolution", "decontam_excise_spans",
+    "dedup_events_exact", "dedup_keep_best", "dedup_semantic_cells",
+    "dedup_simhash", "events_gap_fill_locf", "events_sessionize",
+    "filter_service", "join_range_binned", "join_skew_salted",
+    "knn_ivfpq_refine", "knn_lsh_hyperplane",
+    "minhash_estimate_quality", "normalize", "parse_json",
+    "pipeline_events", "profile_documents", "q11_important_stock",
+    "q16_supplier_counts", "q20_recent_demand_suppliers",
+    "q2_min_cost_supplier", "q6_forecast_revenue",
+    "q9_product_profit", "rag_retrieval_pipeline", "report_summary",
+    "topk_global_orders", "unpivot_order_metrics", "window_lag_gap",
+    # --- (c) family representatives for capabilities with no organic
     # tranche member this round, each pointed at the family's STALEST
-    # (r5) green so the rep slot doubles as a refresh
-    # (tests/test_registry_order.py pins the mapping) ---
-    "scan_jsonl",                    # log
-    "multimodal_curation_pipeline",  # capstone
-    "sample_weighted_topn",          # sampling
-    "join_scd2_dimension",           # warehouse
-    "knn_ivfpq_adc",                 # ann-index
-    "ann_recall_eval",               # ann-eval
-    "graph_bfs_hops",                # graph
-    # --- (e) stalest remaining r5 rows in the leftover slots ---
-    "kmeans_ivf_train", "dedup_cluster_components",
+    # remaining green (r6, graph r9) so the rep slot doubles as a
+    # refresh (tests/test_registry_order.py pins the mapping) ---
+    "multimodal_blob_meta",       # multimodal (r6)
+    "sample_kmv_bottomk",         # sampling (r6)
+    "retrieval_eval_ndcg",        # ann-eval (r6)
+    "graph_pagerank_copurchase",  # graph (r9 — family's stalest)
+    # --- (d) stalest r6 rows in the leftover slots (the r6 cohort
+    # leads round 12's tranche; these nine start it early) ---
+    "agg_cube_orders", "agg_hll_events", "dq_referential_integrity",
+    "entity_resolve_parts", "epoch_shuffle_order",
+    "events_resample_1h", "pivot_status_by_year",
+    "split_group_aware", "q1_pricing_summary",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

@@ -8,28 +8,28 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-10 rotation: the window is dominated by the r4-latest refresh
+# Round-11 rotation: the window is dominated by the r5-latest refresh
 # tranche (see plans/registry.py), so most reps are their family's
 # organic tranche member; families with no organic member this round
-# (log, capstone, sampling, warehouse, ann-index, ann-eval, graph)
-# hold explicit slots pointed at their STALEST (r5) greens so the rep
-# slot doubles as a refresh. Rotated-out greens stay covered by the
-# full pytest oracle run.
+# (multimodal, sampling, ann-eval, graph) hold explicit slots pointed
+# at their STALEST remaining greens (r6; graph's stalest is r9) so
+# the rep slot doubles as a refresh. Rotated-out greens stay covered
+# by the full pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "scan_jsonl",
-    "dedup": "dedup_edit_distance",
-    "multimodal": "multimodal_feature_extract",
-    "knn": "knn_sq8_adc",
-    "text": "text_zipf_slope",
-    "capstone": "multimodal_curation_pipeline",
-    "relational": "q15_top_supplier",
-    "events": "events_bot_rate_flags",
-    "llmprep": "bpe_pair_stats",
-    "sampling": "sample_weighted_topn",
-    "warehouse": "join_scd2_dimension",
-    "ann-index": "knn_ivfpq_adc",
-    "ann-eval": "ann_recall_eval",
-    "graph": "graph_bfs_hops",
+    "log": "pipeline_events",
+    "dedup": "dedup_simhash",
+    "multimodal": "multimodal_blob_meta",
+    "knn": "knn_lsh_hyperplane",
+    "text": "corpus_clean_pipeline",
+    "capstone": "rag_retrieval_pipeline",
+    "relational": "q9_product_profit",
+    "events": "events_sessionize",
+    "llmprep": "profile_documents",
+    "sampling": "sample_kmv_bottomk",
+    "warehouse": "corpus_scd2_as_of",
+    "ann-index": "knn_ivfpq_refine",
+    "ann-eval": "retrieval_eval_ndcg",
+    "graph": "graph_pagerank_copurchase",
 }
 
 
