@@ -55,11 +55,12 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 11 rotation (a maintenance round — no registered additions;
-# the round's new surface, the BM25 streaming ingest face, is a
-# streaming twin verified by tests/test_bm25_ingest.py's stream ==
-# batch == oracle-verified-index identity, like the other ingest
-# faces): (1) round-11 modified implementations, (2) the r5-latest
+# Round 11 rotation (a maintenance round; the round's other new
+# surface, the BM25 streaming ingest face, is a streaming twin
+# verified by tests/test_bm25_ingest.py's stream == batch ==
+# oracle-verified-index identity, like the other ingest faces):
+# (0) the one round-11 addition, (1) round-11 modified
+# implementations, (2) the r5-latest
 # refresh tranche — ALL 33 rows whose newest green is round 5, the
 # oldest greens on the books (PLANS.md round-11 lead #1), (3)
 # family-representative slots for capabilities with no organic
@@ -70,6 +71,13 @@ def register(
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
+    # --- (0) round-11 addition: AMS tug-of-war F2 / self-join-size
+    # sketch (Alon-Matias-Szegedy 1996, bucketed fast-AMS layout) —
+    # the second frequency moment joining the oracled sketch family
+    # (F0=HLL, point counts=CMS, KMV, quantile rank); displaces
+    # q1_pricing_summary's (d) slot (a bench head, measured every
+    # round anyway)
+    "agg_ams_f2_events",
     # --- (a) round-11 modified implementations: the BM25 index
     # builders moved onto the atomic staged-publish path and the
     # shared bm25_doc_stats segment builder (round-10 ADVICE + the
@@ -107,7 +115,7 @@ _CHECKED_FIRST = [
     "agg_cube_orders", "agg_hll_events", "dq_referential_integrity",
     "entity_resolve_parts", "epoch_shuffle_order",
     "events_resample_1h", "pivot_status_by_year",
-    "split_group_aware", "q1_pricing_summary",
+    "split_group_aware",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

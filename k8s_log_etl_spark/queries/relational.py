@@ -1483,6 +1483,153 @@ def agg_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic AMS F2 / tug-of-war sketch: self-join size estimation
+# ---------------------------------------------------------------------------
+
+AMS_D = 7    # odd estimator count: the median is the exact middle
+#              order statistic (no averaging, so it stays integer)
+AMS_W = 256  # buckets per estimator row: relative std ~ sqrt(2/W) ~ 9%
+
+# One md5 per (row i, record) supplies BOTH coordinates: sign from the
+# low bit, bucket from the next 8 bits — the CMS/HLL hash discipline.
+_AMS_H = (
+    "CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' ||"
+    " CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+_AMS_SQL = f"""
+WITH hb AS (
+  SELECT event_type, CAST(i AS INTEGER) AS i,
+         ({_AMS_H} // 2) % {AMS_W} AS b,
+         CASE WHEN {_AMS_H} % 2 = 0 THEN -1 ELSE 1 END AS s
+  FROM events, unnest(range({AMS_D})) AS t(i)
+),
+reg AS (
+  SELECT event_type, i, b, CAST(sum(s) AS BIGINT) AS c
+  FROM hb GROUP BY event_type, i, b
+),
+est AS (
+  SELECT event_type, i, CAST(sum(c * c) AS BIGINT) AS f2_i
+  FROM reg GROUP BY event_type, i
+),
+med AS (
+  SELECT event_type, f2_i AS f2_est FROM (
+    SELECT event_type, f2_i,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY f2_i, i) AS rn
+    FROM est)
+  WHERE rn = {(AMS_D + 1) // 2}
+),
+exact AS (
+  SELECT event_type, CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type, user_id)
+  GROUP BY event_type
+)
+SELECT m.event_type, f2_est, f2_exact, f2_est - f2_exact AS err
+FROM med m JOIN exact x ON m.event_type = x.event_type
+"""
+
+
+def ams_registers(df: DataFrame, keys: list[str], value) -> DataFrame:
+    """AMS tug-of-war register table over `value` per key group:
+    counter[i][b] = sum of sign_i(v) over rows hashed to bucket b —
+    an order-free INTEGER sum over deterministic md5 coordinates
+    (sign = low hash bit, bucket = next bits mod AMS_W), hence
+    mergeable by pure addition like the CMS/HLL registers and exactly
+    replayable by DuckDB. At most |keys| * AMS_D * AMS_W rows
+    regardless of stream size."""
+    hs = [
+        X.md5_long(F.concat(F.lit(f"{i}:"), value.cast("string")))
+        for i in range(AMS_D)
+    ]
+    hashed = df.select(
+        *keys,
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        # shiftright == // 2 for the non-negative hash:
+                        # float division would lose bits past 2^53
+                        (F.shiftright(h, 1) % AMS_W).alias("b"),
+                        F.when(h % 2 == 0, F.lit(-1))
+                        .otherwise(F.lit(1))
+                        .alias("s"),
+                    )
+                    for h in hs
+                ]
+            )
+        ).alias("i", "bs"),
+    ).select(*keys, "i", F.col("bs.b").alias("b"), F.col("bs.s").alias("s"))
+    return hashed.groupBy(*keys, "i", "b").agg(
+        F.sum("s").cast("bigint").alias("c")
+    )
+
+
+@register("agg_ams_f2_events", oracle=_AMS_SQL, tags=("agg", "approx"))
+def agg_ams_f2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch — the tug-of-war estimator of
+    Alon, Matias & Szegedy (STOC 1996) in its bucketed fast-AMS form
+    (Thorup & Zhang 2004; the CountSketch layout): per event_type,
+    estimate the SELF-JOIN SIZE on user_id (F2 = sum over users of
+    f_u^2 — the quantity a cost-based optimizer wants before picking
+    a join strategy, and the canonical second frequency moment)
+    against the exact value. Completes the oracled sketch family
+    (HLL distincts = F0, CountMin point counts, KMV, quantile rank)
+    with the moment the others can't give.
+
+    Sketch state: counter[i][b] = sum of +-1 signs (i < AMS_D rows,
+    b = next-8-hash-bits buckets) — an order-free integer sum over
+    deterministic md5 coordinates, so unlike Misra-Gries the ENTIRE
+    state is a pure function of the data multiset: mergeable by pure
+    addition, engine-exact, and the DuckDB oracle replays it
+    value-identically (the agg_countmin_events graduation discipline,
+    round-6 verdict #3). Estimator per row i: sum_b c^2 (E = F2,
+    Var <= 2*F2^2/AMS_W); the reported estimate is the exact MEDIAN
+    over the AMS_D=7 rows — an odd count, so the median is the
+    middle order statistic (rank (D+1)/2, ties to row index), never
+    an average, and stays integer end to end.
+
+    Plan: one posexplode(D) + two hash-aggs build registers and
+    per-row estimates (map-side partials collapse each partition to
+    <= |types|*D*W register rows); the median is a window over D=7
+    rows per type; exact F2 is a two-level hash-agg. Everything is
+    data-linear with sketch-sized state — at 100 TB the registers
+    stream map-side exactly like the CMS/HLL tables. Overflow bound:
+    f2 ~ N_type^2 must stay under 2^63, i.e. N_type <= ~3e9 rows per
+    group; past that, shard the key domain (F2 is additive over
+    disjoint key shards) or lift the squares to DECIMAL(38,0).
+
+    Reference basis: public sketch literature only (no reference-repo
+    analogue — the log ETL has no approximate aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    reg = ams_registers(ev, ["event_type"], F.col("user_id"))
+    est = reg.groupBy("event_type", "i").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_i")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("f2_i"), F.asc("i"))
+    med = (
+        est.select(
+            "event_type", "f2_i", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == (AMS_D + 1) // 2)
+        .select("event_type", F.col("f2_i").alias("f2_est"))
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact"))
+    )
+    return med.join(exact, "event_type").select(
+        "event_type",
+        "f2_est",
+        "f2_exact",
+        (F.col("f2_est") - F.col("f2_exact")).alias("err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # z-order layout: multi-dimension scan pruning vs a single-sort layout
 # ---------------------------------------------------------------------------
 

@@ -625,3 +625,56 @@ def test_keyset_page_equals_offset_page(spark, sf_dir):
     off = [tuple(r) for r in orders_page_offset(spark, sf_dir).collect()]
     key = [tuple(r) for r in orders_page_keyset(spark, sf_dir).collect()]
     assert key == off and len(key) == 20
+
+
+def test_ams_f2_pure_python_replay_and_bound(spark, sf_dir):
+    """AMS F2: (a) the whole sketch — registers, per-row estimates,
+    exact-median selection — replayed in pure Python off the raw rows
+    must equal the query's output bit-for-bit (the state is a pure
+    function of the data multiset); (b) the median estimate lands
+    within 5 relative standard deviations (sqrt(2/W)) of exact F2."""
+    import hashlib
+
+    from k8s_log_etl_spark.queries.relational import (
+        AMS_D,
+        AMS_W,
+        agg_ams_f2_events,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    reg: dict = {}
+    exact_cnt: dict = {}
+    for r in rows:
+        t, u = r["event_type"], r["user_id"]
+        exact_cnt.setdefault(t, {}).setdefault(u, 0)
+        exact_cnt[t][u] += 1
+        for i in range(AMS_D):
+            h = int(hashlib.md5(f"{i}:{u}".encode()).hexdigest()[:15], 16)
+            b = (h >> 1) % AMS_W
+            s = -1 if h % 2 == 0 else 1
+            key = (t, i, b)
+            reg[key] = reg.get(key, 0) + s
+    expected = {}
+    for t in exact_cnt:
+        ests = sorted(
+            (
+                sum(c * c for (tt, ii, _b), c in reg.items() if tt == t and ii == i),
+                i,
+            )
+            for i in range(AMS_D)
+        )
+        f2_est = ests[(AMS_D + 1) // 2 - 1][0]
+        f2_exact = sum(c * c for c in exact_cnt[t].values())
+        expected[t] = (f2_est, f2_exact, f2_est - f2_exact)
+    got = {
+        r["event_type"]: (r["f2_est"], r["f2_exact"], r["err"])
+        for r in agg_ams_f2_events(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for t, (est, ex, _e) in got.items():
+        rel_std = (2.0 / AMS_W) ** 0.5
+        assert abs(est - ex) <= 5 * rel_std * ex, (t, est, ex)
