@@ -1566,6 +1566,23 @@ def ams_registers(df: DataFrame, keys: list[str], value) -> DataFrame:
     )
 
 
+def ams_f2_estimates(reg: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-side F2 estimates off an AMS register table (the shared
+    back half of the batch sketch and its streaming twin,
+    streaming/sketches.py): per-row estimate = sum_b c^2, reported
+    estimate = the exact middle order statistic over the AMS_D rows
+    (rank (AMS_D+1)/2, ties to row index) — integer end to end."""
+    est = reg.groupBy(*keys, "i").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_i")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.asc("f2_i"), F.asc("i"))
+    return (
+        est.select(*keys, "f2_i", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == (AMS_D + 1) // 2)
+        .select(*keys, F.col("f2_i").alias("f2_est"))
+    )
+
+
 @register("agg_ams_f2_events", oracle=_AMS_SQL, tags=("agg", "approx"))
 def agg_ams_f2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-moment (F2) sketch — the tug-of-war estimator of
@@ -1604,17 +1621,7 @@ def agg_ams_f2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue — the log ETL has no approximate aggregation)."""
     ev = load_table(spark, sf_dir, "events")
     reg = ams_registers(ev, ["event_type"], F.col("user_id"))
-    est = reg.groupBy("event_type", "i").agg(
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_i")
-    )
-    w = Window.partitionBy("event_type").orderBy(F.asc("f2_i"), F.asc("i"))
-    med = (
-        est.select(
-            "event_type", "f2_i", F.row_number().over(w).alias("rn")
-        )
-        .filter(F.col("rn") == (AMS_D + 1) // 2)
-        .select("event_type", F.col("f2_i").alias("f2_est"))
-    )
+    med = ams_f2_estimates(reg, ["event_type"])
     exact = (
         ev.groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
