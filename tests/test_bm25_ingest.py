@@ -136,3 +136,26 @@ def test_streaming_wrapper_drains_equivalently(spark, tmp_path):
     assert _merged_tuples(spark, str(tmp_path / "bm25idx_s")) == _merged_tuples(
         spark, direct
     )
+
+
+def test_empty_micro_batch_is_harmless(spark, tmp_path):
+    """A gated stream can deliver an EMPTY micro-batch; it must write
+    nothing that changes the merged index (its totals segment carries
+    n=0, t=0 — additive identity) and replay harmlessly."""
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "unrelated prose about parquet files and shuffles", "en", "s", 1),
+    ]
+    index = str(tmp_path / "bm25idx_empty")
+    b0 = spark.createDataFrame(texts[:1], SCHEMA)
+    b_empty = spark.createDataFrame([], SCHEMA)
+    b2 = spark.createDataFrame(texts[1:], SCHEMA)
+    IN.ingest_batch_bm25(spark, b0, 0, index)
+    IN.ingest_batch_bm25(spark, b_empty, 1, index)
+    IN.ingest_batch_bm25(spark, b2, 2, index)
+    with_empty = _merged_tuples(spark, index)
+    direct = str(tmp_path / "bm25idx_noempty")
+    IN.ingest_batch_bm25(spark, spark.createDataFrame(texts, SCHEMA), 0, direct)
+    assert with_empty == _merged_tuples(spark, direct)
+    IN.ingest_batch_bm25(spark, b_empty, 1, index)  # replay the empty
+    assert _merged_tuples(spark, index) == with_empty
