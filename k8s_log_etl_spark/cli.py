@@ -219,6 +219,13 @@ def run_batch(args: argparse.Namespace, cfg: PipelineConfig, spark: SparkSession
         "write": round((t2 - t1) * 1000, 3),
         "report": round((t3 - t2) * 1000, 3),
     }
+    # Per-operator layer below the action boundaries (reference O14's
+    # per-operator clocks): the cache build above ran the pipeline's
+    # shared cached plan, so its node accumulators now hold the real
+    # scan/parse/filter metrics — read them back engine-natively.
+    from k8s_log_etl_spark.operators.plan_metrics import executed_plan_metrics
+
+    rep.operator_metrics = executed_plan_metrics(df)
     # Parse/normalize failures also flow to the DLQ when configured
     # (reference main.go:318-326 routes only write failures; we add the
     # corrupt-record routing Spark gives for free).

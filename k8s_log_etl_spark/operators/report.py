@@ -38,6 +38,9 @@ class RunReport:
     writes_with_retries: int = 0
     max_retries_per_write: int = 0
     stage_timings_ms: dict[str, float] = field(default_factory=dict)
+    #: per-operator SQL metrics off the executed plan (reference O14's
+    #: per-operator clock, engine-native — see operators/plan_metrics)
+    operator_metrics: list = field(default_factory=list)
     duration_sec: float = 0.0
 
     # ---- derived (report.go:167-185) ----
@@ -78,6 +81,7 @@ class RunReport:
                 "max_retries_per_write": self.max_retries_per_write,
             },
             "stage_timings_ms": dict(self.stage_timings_ms),
+            "operator_metrics": list(self.operator_metrics),
             "duration_sec": self.duration_sec,
             "throughput_lines_per_sec": self.throughput_lines_per_sec,
             "json_error_rate": self.json_error_rate,
@@ -130,6 +134,16 @@ class RunReport:
             {k: int(v) for k, v in self.stage_timings_ms.items()},
             "Wall-clock per pipeline stage",
         )
+        if self.operator_metrics:
+            from k8s_log_etl_spark.operators.plan_metrics import (
+                operator_duration_ms,
+            )
+
+            labeled(
+                "operator_duration_ms", "op",
+                operator_duration_ms(self.operator_metrics),
+                "Engine-reported time per plan operator",
+            )
         lines.append(
             f"# HELP etl_throughput_lines_per_sec Lines per second\n"
             f"# TYPE etl_throughput_lines_per_sec gauge\n"
