@@ -55,67 +55,59 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 11 rotation (a maintenance round; the round's other new
-# surface, the BM25 streaming ingest face, is a streaming twin
-# verified by tests/test_bm25_ingest.py's stream == batch ==
-# oracle-verified-index identity, like the other ingest faces):
-# (0) the one round-11 addition, (1) round-11 modified
-# implementations, (2) the r5-latest
-# refresh tranche — ALL 33 rows whose newest green is round 5, the
-# oldest greens on the books (PLANS.md round-11 lead #1), (3)
-# family-representative slots for capabilities with no organic
-# tranche member, pointed at their STALEST remaining greens so the
-# rep slot doubles as a refresh, and (4) the stalest r6 rows in the
-# leftover slots. Everything rotated out keeps its r6-r10 green row,
-# is unchanged since, and stays continuously covered by the
+# Round 12 rotation (a maintenance round, PLANS.md round-12 lead #1):
+# (a) round-12 modified implementations, (b) the r6-latest refresh
+# tranche — ALL 26 rows whose newest green is round 6, the oldest
+# greens on the books, (c) family-representative slots for
+# capabilities with no organic tranche member, pointed at their
+# STALEST remaining greens so the rep slot doubles as a refresh, and
+# (d) the leftover 18 slots reaching into the 35-row r7 cohort
+# (stalest-next; chosen for capability spread — streaming, windows,
+# multimodal, subqueries, approx — the 17 r7 rows left over lead
+# round 13's tranche). Everything rotated out keeps its r7-r11 green
+# row, is unchanged since, and stays continuously covered by the
 # full-surface pytest oracle run (tests/test_oracle_parity.py runs
 # every oracled query every time).
 _CHECKED_FIRST = [
-    # --- (0) round-11 addition: AMS tug-of-war F2 / self-join-size
-    # sketch (Alon-Matias-Szegedy 1996, bucketed fast-AMS layout) —
-    # the second frequency moment joining the oracled sketch family
-    # (F0=HLL, point counts=CMS, KMV, quantile rank); displaces
-    # q1_pricing_summary's (d) slot (a bench head, measured every
-    # round anyway)
-    "agg_ams_f2_events",
-    # --- (a) round-11 modified implementations: the BM25 index
-    # builders moved onto the atomic staged-publish path and the
-    # shared bm25_doc_stats segment builder (round-10 ADVICE + the
-    # streaming-face refactor); the CCNet range bucket moved to
-    # integer div; the tokenizer-compare oracle guard regained
-    # cross-chain coverage (composition path changed) ---
+    # --- (a) round-12 modified implementations: the BM25 staged
+    # publish's lost-race fallback is now itself race-safe (round-11
+    # ADVICE — both index builders share _bm25_index_build); the
+    # CCNet bucket grid gained the corpus-quantile range-skew
+    # fallback (round-11 verdict watch item — partitioning lever,
+    # rank semantics unchanged) ---
     "bm25_index_serve", "bm25_index_delta_serve",
-    "corpus_ccnet_buckets", "tokenizer_compare",
-    # --- (b) the r5-latest refresh tranche: all 33 rows whose newest
-    # green is round 5 — the complete cohort, one-for-one as PLANS.md
+    "corpus_ccnet_buckets",
+    # --- (b) the r6-latest refresh tranche: all 26 rows whose newest
+    # green is round 6 — the complete cohort, one-for-one as PLANS.md
     # lead #1 asks ---
-    "agg_distinct_customers", "corpus_clean_pipeline",
-    "corpus_scd2_as_of", "corpus_scd2_history",
-    "corpus_scd2_schema_evolution", "decontam_excise_spans",
-    "dedup_events_exact", "dedup_keep_best", "dedup_semantic_cells",
-    "dedup_simhash", "events_gap_fill_locf", "events_sessionize",
-    "filter_service", "join_range_binned", "join_skew_salted",
-    "knn_ivfpq_refine", "knn_lsh_hyperplane",
-    "minhash_estimate_quality", "normalize", "parse_json",
-    "pipeline_events", "profile_documents", "q11_important_stock",
-    "q16_supplier_counts", "q20_recent_demand_suppliers",
-    "q2_min_cost_supplier", "q6_forecast_revenue",
-    "q9_product_profit", "rag_retrieval_pipeline", "report_summary",
-    "topk_global_orders", "unpivot_order_metrics", "window_lag_gap",
+    "agg_by_service", "agg_grouping_sets", "agg_minmax_by",
+    "agg_stats_events", "corpus_mix_drift", "corpus_snapshot_diff",
+    "curriculum_difficulty_bins", "dedup_exact", "dedup_keeper_remap",
+    "dq_psi_value_drift", "eval_holdout_decontaminated",
+    "events_ab_test_analysis", "events_attribution_last_touch",
+    "events_forecast_holt", "join_anti_customers",
+    "join_full_outer_nations", "join_semi_customers",
+    "knn_hard_negatives", "layout_zorder_stats", "profile_key_skew",
+    "q1_pricing_summary", "quality_score_calibration",
+    "sample_stratified_topk", "set_ops_customers",
+    "supplier_shipment_overlap", "text_quality_score",
     # --- (c) family representatives for capabilities with no organic
     # tranche member this round, each pointed at the family's STALEST
-    # remaining green (r6, graph r9) so the rep slot doubles as a
-    # refresh (tests/test_registry_order.py pins the mapping) ---
-    "multimodal_blob_meta",       # multimodal (r6)
-    "sample_kmv_bottomk",         # sampling (r6)
-    "retrieval_eval_ndcg",        # ann-eval (r6)
-    "graph_pagerank_copurchase",  # graph (r9 — family's stalest)
-    # --- (d) stalest r6 rows in the leftover slots (the r6 cohort
-    # leads round 12's tranche; these nine start it early) ---
-    "agg_cube_orders", "agg_hll_events", "dq_referential_integrity",
-    "entity_resolve_parts", "epoch_shuffle_order",
-    "events_resample_1h", "pivot_status_by_year",
-    "split_group_aware",
+    # remaining green so the rep slot doubles as a refresh
+    # (tests/test_registry_order.py pins the mapping) ---
+    "knn_ivf_grid",             # ann-index (r9 — family's stalest)
+    "ann_recall_eval",          # ann-eval (r10 — family's stalest)
+    "graph_triangle_estimate",  # graph (r9 — family's stalest)
+    # --- (d) stalest r7 rows in the leftover 18 slots (the r7 cohort
+    # is next after (b); picked for capability spread) ---
+    "agg_by_level", "agg_countmin_events", "agg_rollup_orders",
+    "correlated_not_exists", "crossmodal_retrieval",
+    "dedup_embedding_cosine", "dedup_simhash_banded",
+    "domain_mix_by_loss", "embedding_centroids",
+    "events_exact_percentiles", "events_funnel", "events_props_typed",
+    "filter_level", "multimodal_frame_sample",
+    "pipeline_events_report", "stream_session_windows",
+    "stream_tumbling_counts", "window_spend_deciles",
 ]
 # agg_heavyhitters_events is sketch-only (no oracle by construction —
 # Misra-Gries merge is partition-order-dependent; bounded against

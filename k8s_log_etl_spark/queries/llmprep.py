@@ -4291,6 +4291,40 @@ def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# SQL clause keywords a relation alias can never be — keeps the
+# relation-list scan below from leaking `FROM t GROUP BY a, b`-style
+# column lists into relation position.
+_SQL_KW = (
+    r"(?!(?:WHERE|GROUP|ORDER|ON|USING|JOIN|LEFT|RIGHT|FULL|CROSS"
+    r"|INNER|UNION|LIMIT|HAVING|WINDOW|QUALIFY|AND|OR)\b)"
+)
+_SQL_IDENT = rf"{_SQL_KW}[A-Za-z_]\w*"
+_SQL_REL_ENTRY = rf"{_SQL_IDENT}(?:\s+(?:AS\s+)?{_SQL_IDENT})?"
+
+
+def _sql_relation_names(chain: str) -> set[str]:
+    """Names appearing in RELATION position in a SQL text: right after
+    FROM/JOIN, or as a later entry of a comma-separated FROM list
+    (``FROM a, b`` — the round-11 advisor's under-match). A lint
+    helper for the tokenizer-compare cross-chain guard; heuristic by
+    design (subqueries/functions stop the scan at their paren), which
+    errs toward NOT matching — acceptable for a same-repo lint over
+    known CTE names."""
+    import re
+
+    rels: set[str] = set()
+    pat = (
+        rf"\b(?:FROM|JOIN)\s+({_SQL_IDENT})"
+        rf"(?:\s+(?:AS\s+)?{_SQL_IDENT})?"  # first relation's alias
+        rf"((?:\s*,\s*{_SQL_REL_ENTRY})*)"
+    )
+    for m in re.finditer(pat, chain, flags=re.IGNORECASE):
+        rels.add(m.group(1))
+        for cm in re.finditer(rf",\s*({_SQL_IDENT})", m.group(2)):
+            rels.add(cm.group(1))
+    return rels
+
+
 def _tok_compare_sql() -> str:
     """All three tokenizer replay chains in ONE WITH clause, CTE names
     prefixed b_/u_/w_ (_prefix_ctes), metrics unioned."""
@@ -4328,20 +4362,23 @@ def _tok_compare_sql() -> str:
                     "tokenizer chain — a chain-name list is out of sync "
                     "with its builder"
                 )
-    # Cross-chain coverage, restricted to relation position (FROM/JOIN
-    # immediately before the name) so a mere column alias spelling
-    # another chain's CTE name can't false-positive (round-10 advisor
-    # note): a chain textually reading ANOTHER chain's unprefixed CTE
-    # should fail at import time, not as a runtime binder error on the
-    # first driven oracle.
+    # Cross-chain coverage, restricted to relation position so a mere
+    # column alias spelling another chain's CTE name can't
+    # false-positive (round-10 advisor note): a chain textually
+    # reading ANOTHER chain's unprefixed CTE should fail at import
+    # time, not as a runtime binder error on the first driven oracle.
+    # Relation position = the name right after FROM/JOIN *or* any
+    # later entry of a comma-separated FROM list (round-11 advisor
+    # note: `FROM a, other_chain_cte` escaped the old
+    # immediately-after-FROM pattern) — see _sql_relation_names.
     all_names = {n for _, names in chain_names for n in names}
     for chain, own in chain_names:
-        for n in all_names - set(own):
-            if re.search(rf"\b(?:FROM|JOIN)\s+{re.escape(n)}\b", chain):
-                raise AssertionError(
-                    f"prefixed tokenizer chain references another "
-                    f"chain's unprefixed CTE {n!r} in relation position"
-                )
+        hits = _sql_relation_names(chain) & (all_names - set(own))
+        if hits:
+            raise AssertionError(
+                f"prefixed tokenizer chain references another chain's "
+                f"unprefixed CTE(s) {sorted(hits)!r} in relation position"
+            )
     R = UNI_ROUNDS
     return f"""
 WITH {b},
@@ -4727,9 +4764,17 @@ def _bm25_index_build(
         except OSError:
             if not os.path.exists(os.path.join(path, "totals", "_SUCCESS")):
                 # stale partial at the destination (killed pre-atomic
-                # build): clear it and publish ours
+                # build): clear it and publish ours. A racer may
+                # complete its own publish between the marker check
+                # and this rename — every complete index is
+                # bit-identical (deterministic build over
+                # fingerprint-pinned input), so losing that second
+                # race is benign: discard our stage and read theirs.
                 shutil.rmtree(path, ignore_errors=True)
-                os.rename(stage, path)
+                try:
+                    os.rename(stage, path)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
             else:
                 shutil.rmtree(stage, ignore_errors=True)
     return path

@@ -457,6 +457,20 @@ def ingest_corpus_quality(
 # ---------------------------------------------------------------------------
 
 
+# bm25_doc_stats output schemas (queries/llmprep.py) — needed to hand
+# back a typed empty index when no segment data files exist yet.
+_BM25_POSTINGS_SCHEMA = "doc_id long, term string, tf long, dl long"
+_BM25_TERMS_SCHEMA = "term string, df long"
+_BM25_TOTALS_SCHEMA = "n long, t long"
+
+
+def _has_parquet_files(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def ingest_batch_bm25(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -499,6 +513,16 @@ def ingest_batch_bm25(
     from k8s_log_etl_spark.queries.llmprep import bm25_doc_stats
 
     batch = batch_df.localCheckpoint(eager=True)  # three consumers
+    if batch.isEmpty():
+        # Additive identity: a zero-row segment contributes nothing to
+        # the merged index, so writing nothing is equally replay-safe
+        # (a replayed empty batch is still empty). Skipping the writes
+        # also keeps an index fed ONLY empty batches readable —
+        # zero-row dynamic-overwrite writes land no postings/df data
+        # files, and parquet schema inference over a fileless dir
+        # fails; bm25_read_merged returns the typed empty index for
+        # that case.
+        return
     postings, df, totals = bm25_doc_stats(batch)
     for frame, sub in ((postings, "postings"), (df, "df"), (totals, "totals")):
         (
@@ -519,7 +543,19 @@ def bm25_read_merged(
     (doc-disjoint, so a plain multi-partition read), terms sums df per
     term across segments, totals sums (n, t). This IS the
     bm25_index_delta_serve merge applied N-way; a serve path points
-    its probe here unchanged."""
+    its probe here unchanged.
+
+    An index that has seen only empty micro-batches (or none) has no
+    segment data files — parquet schema inference cannot run, so this
+    returns the typed EMPTY index instead: zero postings, zero terms,
+    one (n=0, t=0) totals row (exactly what the aggregates below
+    produce over zero segment rows)."""
+    if not _has_parquet_files(os.path.join(index_dir, "postings")):
+        return (
+            spark.createDataFrame([], _BM25_POSTINGS_SCHEMA),
+            spark.createDataFrame([], _BM25_TERMS_SCHEMA),
+            spark.createDataFrame([(0, 0)], _BM25_TOTALS_SCHEMA),
+        )
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).drop(
         "ingest_batch"
     )

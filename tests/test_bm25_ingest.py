@@ -140,8 +140,9 @@ def test_streaming_wrapper_drains_equivalently(spark, tmp_path):
 
 def test_empty_micro_batch_is_harmless(spark, tmp_path):
     """A gated stream can deliver an EMPTY micro-batch; it must write
-    nothing that changes the merged index (its totals segment carries
-    n=0, t=0 — additive identity) and replay harmlessly."""
+    NOTHING (additive identity — skipping the segment writes is
+    equally replay-safe and keeps all-empty indexes readable) and
+    replay harmlessly."""
     texts = [
         (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
         (2, "unrelated prose about parquet files and shuffles", "en", "s", 1),
@@ -159,3 +160,27 @@ def test_empty_micro_batch_is_harmless(spark, tmp_path):
     assert with_empty == _merged_tuples(spark, direct)
     IN.ingest_batch_bm25(spark, b_empty, 1, index)  # replay the empty
     assert _merged_tuples(spark, index) == with_empty
+    # the empty batch landed no segment: only batches 0 and 2 exist
+    segs = (
+        spark.read.parquet(os.path.join(index, "totals"))
+        .select("ingest_batch")
+        .distinct()
+        .collect()
+    )
+    assert sorted(r["ingest_batch"] for r in segs) == [0, 2]
+
+
+def test_all_empty_index_reads_as_typed_empty(spark, tmp_path):
+    """An index fed ONLY empty micro-batches has no data files at all;
+    bm25_read_merged must return the typed empty index (zero postings
+    and terms, one n=0/t=0 totals row) instead of dying on parquet
+    schema inference — the round-11 ADVICE case."""
+    index = str(tmp_path / "bm25idx_allempty")
+    b_empty = spark.createDataFrame([], SCHEMA)
+    IN.ingest_batch_bm25(spark, b_empty, 0, index)
+    IN.ingest_batch_bm25(spark, b_empty, 1, index)
+    postings, terms, totals = IN.bm25_read_merged(spark, index)
+    assert postings.columns == ["doc_id", "term", "tf", "dl"]
+    assert terms.columns == ["term", "df"]
+    assert postings.count() == 0 and terms.count() == 0
+    assert [(r["n"], r["t"]) for r in totals.collect()] == [(0, 0)]

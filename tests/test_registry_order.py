@@ -8,28 +8,28 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-11 rotation: the window is dominated by the r5-latest refresh
-# tranche (see plans/registry.py), so most reps are their family's
-# organic tranche member; families with no organic member this round
-# (multimodal, sampling, ann-eval, graph) hold explicit slots pointed
-# at their STALEST remaining greens (r6; graph's stalest is r9) so
-# the rep slot doubles as a refresh. Rotated-out greens stay covered
-# by the full pytest oracle run.
+# Round-12 rotation: the window is the full r6-latest refresh tranche
+# plus 18 stalest-r7 rows (see plans/registry.py), so most reps are
+# their family's organic tranche member; families with no organic
+# member this round (ann-index, ann-eval, graph) hold explicit slots
+# pointed at their STALEST remaining greens (r9/r10) so the rep slot
+# doubles as a refresh. Rotated-out greens stay covered by the full
+# pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "pipeline_events",
-    "dedup": "dedup_simhash",
-    "multimodal": "multimodal_blob_meta",
-    "knn": "knn_lsh_hyperplane",
-    "text": "corpus_clean_pipeline",
-    "capstone": "rag_retrieval_pipeline",
-    "relational": "q9_product_profit",
-    "events": "events_sessionize",
-    "llmprep": "profile_documents",
-    "sampling": "sample_kmv_bottomk",
-    "warehouse": "corpus_scd2_as_of",
-    "ann-index": "knn_ivfpq_refine",
-    "ann-eval": "retrieval_eval_ndcg",
-    "graph": "graph_pagerank_copurchase",
+    "log": "agg_by_service",
+    "dedup": "dedup_exact",
+    "multimodal": "multimodal_frame_sample",
+    "knn": "knn_hard_negatives",
+    "text": "text_quality_score",
+    "capstone": "pipeline_events_report",
+    "relational": "q1_pricing_summary",
+    "events": "events_attribution_last_touch",
+    "llmprep": "curriculum_difficulty_bins",
+    "sampling": "sample_stratified_topk",
+    "warehouse": "layout_zorder_stats",
+    "ann-index": "knn_ivf_grid",
+    "ann-eval": "ann_recall_eval",
+    "graph": "graph_triangle_estimate",
 }
 
 

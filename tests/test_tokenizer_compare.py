@@ -60,3 +60,23 @@ def test_compare_empty_corpus_rows(spark, tmp_path):
         assert m["corpus_tokens"] is None
         assert m["pieces_used"] == 0
         assert m["tokens_per_kword"] is None
+
+
+def test_relation_scan_covers_comma_lists():
+    """The cross-chain CTE guard's relation scanner (round-11 ADVICE):
+    must see names after FROM/JOIN AND later entries of comma-separated
+    FROM lists, and must NOT leak column/alias lists into relation
+    position."""
+    from k8s_log_etl_spark.queries.llmprep import _sql_relation_names
+
+    rels = _sql_relation_names(
+        "SELECT x FROM alpha a, other_chain_cte o JOIN beta ON a.x = o.x"
+    )
+    assert {"alpha", "other_chain_cte", "beta"} <= rels
+    # column lists and clause keywords stay out of relation position
+    rels2 = _sql_relation_names(
+        "SELECT a, vocab FROM scored GROUP BY query_id, doc_id "
+        "ORDER BY score, vocab"
+    )
+    assert "scored" in rels2
+    assert "vocab" not in rels2 and "doc_id" not in rels2
