@@ -30,6 +30,7 @@ whenever the micro-batch is small — the common case).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -569,6 +570,106 @@ def bm25_read_merged(
         F.coalesce(F.sum("t"), F.lit(0)).alias("t"),
     )
     return postings, terms, totals
+
+
+def bm25_recover_compaction(index_dir: str) -> bool:
+    """Repair a bm25_compact_segments swap interrupted by a crash —
+    the whole-index sibling of operators/compaction.recover_compaction,
+    with the same deterministic-sidecar recognition: the swap uses
+    fixed names (``<index>.compact_stage`` / ``<index>.compact_old``),
+    so the interrupted state is always one of three shapes:
+
+    - stage present, live index present (crash before the swap): the
+      stage may be incomplete — discard it; the live index was never
+      touched.
+    - old present, live index missing (crash mid-swap): if the stage
+      carries its completion marker (``totals/_SUCCESS`` — totals is
+      written last, the build-path marker discipline) the fold is
+      known-complete: roll forward. Otherwise roll back the old index.
+    - old present, live index present (crash after the swap, before
+      cleanup): the fold is live — just delete the old dir.
+
+    Returns True if a repair ran. Idempotent; bm25_compact_segments
+    calls it first, so a crashed pass self-heals on the next one."""
+    stage = index_dir + ".compact_stage"
+    old = index_dir + ".compact_old"
+    if os.path.exists(old):
+        if os.path.exists(index_dir):
+            shutil.rmtree(old)
+        elif os.path.exists(os.path.join(stage, "totals", "_SUCCESS")):
+            os.rename(stage, index_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(old, index_dir)
+            shutil.rmtree(stage, ignore_errors=True)
+        return True
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+        return True
+    return False
+
+
+def bm25_compact_segments(spark: SparkSession, index_dir: str) -> int:
+    """Fold ALL batch segments of a streamed BM25 index into ONE — the
+    maintenance face the ingest family's docstrings promise: the
+    streaming writer grows segment count without bound, and
+    bm25_read_merged's measured cost axis is segment COUNT (its df
+    re-aggregation is sized by segments x vocabulary; PLANS.md
+    round-11: 0.72 s at 8 segments -> 2.58 s at 64 on the same
+    corpus). Compaction applies the additive merge law
+    (bm25_index_delta_serve's, N-way) ONCE, durably: postings union
+    (doc-disjoint), df summed per term, totals summed — so the folded
+    segment is VALUE-IDENTICAL to bm25_doc_stats over the union
+    corpus, and every later read pays single-segment cost.
+    tests/test_bm25_ingest.py pins compacted == uncompacted == the
+    oracle-verified build-once index.
+
+    The folded segment keeps the HIGHEST existing ingest_batch id:
+    Structured Streaming's checkpoint hands a resumed stream strictly
+    increasing batch ids, so new segments land above the compacted one
+    and dynamic partition overwrite can never collide with it. Run in
+    the ingest family's standing maintenance window (between
+    availableNow-drained runs, like compact_ingest_output) — committed
+    batches are never replayed, so folding them is safe.
+
+    Crash safety is the whole-index staged swap (_bm25_index_build's
+    shape, plus the old-dir hop): stage the three folded tables
+    (totals last — its _SUCCESS is the completion marker), then
+    rename live -> .compact_old, stage -> live, delete old.
+    bm25_recover_compaction repairs any window deterministically.
+
+    Scale shape: one full read of the segmented index + one write —
+    the same bill as the one-shot batch build over the same corpus,
+    amortized over the reads it accelerates; the df fold is a
+    map-side-partial hash-agg to |vocab| rows, postings move
+    shuffle-free (union is read-repartition only). Returns the number
+    of segments folded (0 = nothing to do)."""
+    bm25_recover_compaction(index_dir)
+    totals_dir = os.path.join(index_dir, "totals")
+    if not os.path.exists(totals_dir):
+        return 0
+    ids = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(totals_dir)
+        if e.startswith("ingest_batch=")
+    )
+    if len(ids) <= 1:
+        return 0
+    postings, terms, totals = bm25_read_merged(spark, index_dir)
+    stage = index_dir + ".compact_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    new_id = ids[-1]
+    for frame, sub in ((postings, "postings"), (terms, "df"), (totals, "totals")):
+        (
+            frame.withColumn("ingest_batch", F.lit(int(new_id)))
+            .write.partitionBy("ingest_batch")
+            .parquet(os.path.join(stage, sub))
+        )
+    old = index_dir + ".compact_old"
+    os.rename(index_dir, old)
+    os.rename(stage, index_dir)
+    shutil.rmtree(old)
+    return len(ids)
 
 
 def ingest_corpus_bm25(

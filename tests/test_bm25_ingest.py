@@ -184,3 +184,72 @@ def test_all_empty_index_reads_as_typed_empty(spark, tmp_path):
     assert terms.columns == ["term", "df"]
     assert postings.count() == 0 and terms.count() == 0
     assert [(r["n"], r["t"]) for r in totals.collect()] == [(0, 0)]
+
+
+def test_compaction_preserves_merged_index(spark, tmp_path):
+    """bm25_compact_segments must fold N segments into ONE whose merged
+    view is value-identical (the N-way additive law applied durably),
+    and ingest must keep working on top of the compacted index with
+    strictly-increasing batch ids."""
+    if not os.path.exists(os.path.join(SF, "documents.parquet")):
+        pytest.skip("sf0.01 testdata not present")
+    index = _run_split(spark, tmp_path, 7, "compact7")
+    before = _merged_tuples(spark, index)
+    folded = IN.bm25_compact_segments(spark, index)
+    assert folded == 7
+    assert _merged_tuples(spark, index) == before
+    segs = sorted(
+        e for e in os.listdir(os.path.join(index, "totals"))
+        if e.startswith("ingest_batch=")
+    )
+    assert len(segs) == 1 and segs[0] == "ingest_batch=6"
+    # a second pass is a no-op (single segment already)
+    assert IN.bm25_compact_segments(spark, index) == 0
+    assert _merged_tuples(spark, index) == before
+    # new batches land ABOVE the folded id and merge additively
+    extra = [(999_901, "entirely new words appended after compaction",
+              "en", "s", 1)]
+    IN.ingest_batch_bm25(spark, spark.createDataFrame(extra, SCHEMA), 7, index)
+    p, t, n = _merged_tuples(spark, index)
+    assert n[0][0] == before[2][0][0] + 1
+    assert any(r[0] == 999_901 for r in p)
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """The three interrupted-swap shapes must all repair to a readable,
+    value-identical index: stale stage beside a live index (pre-swap),
+    complete stage with live missing (roll forward), incomplete stage
+    with live missing (roll back)."""
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "unrelated prose about parquet files and shuffles", "en", "s", 1),
+        (3, "more prose about columnar scans and broadcast joins", "en", "s", 1),
+    ]
+    index = str(tmp_path / "bm25idx_crash")
+    for k, row in enumerate(texts):
+        IN.ingest_batch_bm25(spark, spark.createDataFrame([row], SCHEMA), k, index)
+    before = _merged_tuples(spark, index)
+    stage, old = index + ".compact_stage", index + ".compact_old"
+
+    # (a) crash before the swap: stale stage, live index untouched
+    os.makedirs(os.path.join(stage, "postings"))
+    assert IN.bm25_recover_compaction(index) is True
+    assert not os.path.exists(stage)
+    assert _merged_tuples(spark, index) == before
+
+    # (b) crash mid-swap with a COMPLETE stage: roll forward
+    IN.bm25_compact_segments(spark, index)  # produce a real folded index
+    folded = _merged_tuples(spark, index)
+    assert folded == before
+    os.rename(index, stage)  # complete stage (has totals/_SUCCESS)
+    os.makedirs(old)
+    assert IN.bm25_recover_compaction(index) is True
+    assert _merged_tuples(spark, index) == before
+    assert not os.path.exists(old) and not os.path.exists(stage)
+
+    # (c) crash mid-swap with an INCOMPLETE stage: roll back the old
+    os.rename(index, old)
+    os.makedirs(os.path.join(stage, "totals"))  # no _SUCCESS marker
+    assert IN.bm25_recover_compaction(index) is True
+    assert _merged_tuples(spark, index) == before
+    assert not os.path.exists(old) and not os.path.exists(stage)
