@@ -109,6 +109,91 @@ def _cal_factor(cal: dict | None) -> float | None:
     return CAL_REF_WIDE32_SEC / (sum(vals) / len(vals))
 
 
+def _bench_files(here: str) -> list[str]:
+    return sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
+
+
+def _current_round(here: str):
+    """This round's number: $SPARK_GRAFT_ROUND or argv[1] when given,
+    else newest committed BENCH round + 1 (right whenever this round's
+    own file hasn't been written yet — round-5 ADVICE)."""
+    for raw in (
+        os.environ.get("SPARK_GRAFT_ROUND"),
+        sys.argv[1] if len(sys.argv) > 1 else None,
+    ):
+        if raw and re.fullmatch(r"\d+", raw.strip()):
+            return int(raw.strip())
+    benches = _bench_files(here)
+    if benches:
+        return int(re.search(r"\d+", benches[-1]).group()) + 1
+    return None
+
+
+def _balanced_object_after(text: str, key: str):
+    """Parse the {...} object following '"key": ' in a (possibly
+    truncated) JSON text by balanced-brace scan — the recovery path for
+    the round driver's bounded output capture (it keeps the LAST 2000
+    chars of bench stdout; from round 11 the committed `samples` block
+    made the JSON line longer than that, so the driver's own parse
+    yields null and the head of the line is gone, but trailing blocks
+    survive intact inside the tail)."""
+    i = text.find(f'"{key}": {{')
+    if i < 0:
+        return None
+    s = text[i + len(f'"{key}": '):]
+    depth = 0
+    for j, ch in enumerate(s):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    return json.loads(s[: j + 1])
+                except json.JSONDecodeError:
+                    return None
+    return None
+
+
+def _load_prev_bench(here: str, prev_file: str):
+    """(median timings, calibration factor) for a previous round's
+    bench, by preference: the full artifact bench.py writes from round
+    12 on (BENCH_full_r*.json), then the driver file's parsed block,
+    then tail reconstruction (balanced-brace samples extraction +
+    factor regex). Returns (None, None) when nothing is recoverable."""
+    full = os.path.join(here, prev_file.replace("BENCH_r", "BENCH_full_r"))
+    if os.path.exists(full):
+        try:
+            with open(full) as f:
+                d = json.load(f)
+            return d.get("queries"), _cal_factor(d.get("calibration"))
+        except (json.JSONDecodeError, OSError):
+            pass
+    try:
+        with open(os.path.join(here, prev_file)) as f:
+            wrapper = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None, None
+    parsed = wrapper.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed["queries"], _cal_factor(parsed.get("calibration"))
+    tail = wrapper.get("tail") or ""
+    samples = _balanced_object_after(tail, "samples")
+    if not samples:
+        return None, None
+    medians = {
+        n: sorted(v)[len(v) // 2]
+        for n, v in samples.items()
+        if isinstance(v, list) and v
+    }
+    m = re.search(r'"factor": ([0-9.]+)', tail)
+    factor = float(m.group(1)) if m else None
+    return medians, factor
+
+
 def _matched_subtotals(
     timings: dict[str, float],
     cal: dict | None = None,
@@ -155,25 +240,13 @@ def _matched_subtotals(
             out["r2_core_15"]["sec_min_norm"] = round(
                 out["r2_core_15"]["sec_min"] * factor, 3
             )
-    benches = sorted(
-        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
-        key=lambda f: int(re.search(r"\d+", f).group()),
-    )
-    cur_round = None
-    for raw in (os.environ.get("SPARK_GRAFT_ROUND"), sys.argv[1] if len(sys.argv) > 1 else None):
-        if raw and re.fullmatch(r"\d+", raw.strip()):
-            cur_round = int(raw.strip())
-            break
-    if cur_round is None and benches:
-        cur_round = int(re.search(r"\d+", benches[-1]).group()) + 1
+    benches = _bench_files(here)
+    cur_round = _current_round(here)
     benches = [f for f in benches if int(re.search(r"\d+", f).group()) < (cur_round or 0)]
     if benches:
         prev_file = benches[-1]
-        try:
-            with open(os.path.join(here, prev_file)) as f:
-                prev_parsed = json.load(f)["parsed"]
-            prev = prev_parsed["queries"]
-        except (KeyError, json.JSONDecodeError, OSError):
+        prev, prev_factor = _load_prev_bench(here, prev_file)
+        if not prev:
             return out
         matched = sorted(set(prev) & set(timings))
         block = {
@@ -187,7 +260,6 @@ def _matched_subtotals(
             block["sec_norm"] = round(block["sec"] * factor, 3)
             if mins is not None:
                 block["sec_min_norm"] = round(block["sec_min"] * factor, 3)
-        prev_factor = _cal_factor(prev_parsed.get("calibration"))
         if prev_factor is not None:
             block["prev_sec_norm"] = round(block["prev_sec"] * prev_factor, 3)
         out["vs_" + prev_file.removesuffix(".json")] = block
@@ -252,8 +324,33 @@ def main() -> None:
     # compilation); `samples` carries all three per-pass numbers so a
     # cross-round drift question reads the spread directly instead of
     # re-running worktrees.
+    from k8s_log_etl_spark.operators.plan_metrics import executed_plan_metrics
+
+    def _operator_block(rows: list[dict]) -> dict:
+        """Compact per-head plan fingerprint for the BENCH artifact
+        (round-11 verdict #6): the time-valued SQL metrics plus
+        per-node output rows off the executed plan, and the exchange
+        count — enough to diagnose cross-round plan drift (a scan
+        suddenly dominating, an exchange appearing) from committed
+        data instead of a live worktree session."""
+        ops = []
+        for idx, r in enumerate(rows):
+            keep = {
+                k: v
+                for k, v in r["metrics"].items()
+                if k in ("scanTime", "aggTime", "pipelineTime", "numOutputRows")
+            }
+            if keep:
+                ops.append({"i": idx, "op": r["op"], **keep})
+        return {
+            "n_nodes": len(rows),
+            "n_exchanges": sum(1 for r in rows if "Exchange" in r["op"]),
+            "ops": ops,
+        }
+
     names_sorted = sorted(bench_specs)
     samples: dict[str, list[float]] = {n: [] for n in names_sorted}
+    operator_metrics: dict[str, dict] = {}
     for pass_i in range(3):
         order = names_sorted if pass_i % 2 == 0 else names_sorted[::-1]
         for name in order:
@@ -272,6 +369,21 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - start, 3))
+            if pass_i == 2:
+                # Off the clock (after perf_counter stops): the noop
+                # save ran a SEPARATE QueryExecution (the write
+                # command's plan), so df's own executedPlan never ran
+                # and its accumulators are all zero. Execute it once
+                # JVM-side (InternalRow count, no Python transfer) to
+                # populate them, then read. Observability only — a
+                # failure here must not kill the bench.
+                try:
+                    df._jdf.queryExecution().executedPlan().execute().count()
+                except Exception:
+                    pass
+                operator_metrics[name] = _operator_block(
+                    executed_plan_metrics(df)
+                )
     timings = {n: sorted(s)[1] for n, s in samples.items()}
     timings_min = {n: min(s) for n, s in samples.items()}
 
@@ -282,22 +394,33 @@ def main() -> None:
         cal["factor"] = round(factor, 4)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "samples": samples,
-                "order_protocol": "median-of-3, passes in asc/desc/asc name order",
-                "sf": sf,
-                "calibration": cal,
-                "matched_subtotals": _matched_subtotals(timings, cal, timings_min),
-            }
-        )
-    )
+    # Key order matters: the round driver keeps only the LAST 2000
+    # chars of this output (BENCH_r*.json `tail`), and from round 11
+    # the committed `samples` made the line overflow that — so the big
+    # diagnostic blocks go FIRST and the cross-round essentials
+    # (queries medians, matched_subtotals) go LAST, inside the
+    # surviving window. The complete artifact is also written to
+    # BENCH_full_r{N}.json, which the end-of-round commit picks up and
+    # _load_prev_bench prefers next round.
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "sf": sf,
+        "order_protocol": "median-of-3, passes in asc/desc/asc name order",
+        "operator_metrics": operator_metrics,
+        "samples": samples,
+        "queries_min": timings_min,
+        "calibration": cal,
+        "value": total,
+        "queries": timings,
+        "matched_subtotals": _matched_subtotals(timings, cal, timings_min),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur = _current_round(here)
+    if cur is not None:
+        with open(os.path.join(here, f"BENCH_full_r{cur:02d}.json"), "w") as f:
+            json.dump(result, f)
+    print(json.dumps(result))
     spark.stop()
 
 
