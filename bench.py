@@ -91,7 +91,38 @@ def _calibration(spark) -> dict:
             loop(parts, rows).collect()
             best = min(best, _t.perf_counter() - t0)
         out[key] = round(best, 3)
+    out["python_kernel_sec"] = _python_calibration()
     return out
+
+
+#: Reference band for the Python-side probe below: the perceptual
+#: decode kernel micro-benches 1.10-1.23 s per 20k payloads on a clean
+#: host (PLANS.md round-10), i.e. ~0.28-0.31 s for the 5k probe.
+CAL_REF_PY5K_SEC = 0.30
+
+
+def _python_calibration() -> list[float]:
+    """Python-side host probe: 5 reps of the perceptual decode kernel
+    (single-threaded numpy, no Spark) on 5k synthetic payloads. The JVM
+    calibration above is blind to this dimension — the round-12 session
+    measured the JVM anchor AT reference (1.19/0.97 vs 1.24) while this
+    exact kernel ran BIMODAL 1.25/3.9 s per 20k, alternating reps
+    (hypervisor tenancy hitting the Python/numpy side only), inflating
+    every mapInPandas-heavy head ~2x. All 5 samples are recorded, not a
+    min: bimodality IS the signal. Read: min near CAL_REF_PY5K_SEC and
+    median ~2x+ above it = contended session — adjudicate
+    mapInPandas-heavy heads on mins, and don't re-pin decade numbers."""
+    from k8s_log_etl_spark.operators.multimodal import decoded_block_sums_batch
+    import time as _t
+
+    payloads = [("payload-%08d-" % i).encode() * 8 for i in range(5_000)]
+    decoded_block_sums_batch(payloads[:500])  # warm allocators
+    vals = []
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        decoded_block_sums_batch(payloads)
+        vals.append(round(_t.perf_counter() - t0, 3))
+    return vals
 
 
 def _cal_factor(cal: dict | None) -> float | None:
