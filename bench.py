@@ -200,7 +200,11 @@ def _load_prev_bench(here: str, prev_file: str):
         try:
             with open(full) as f:
                 d = json.load(f)
-            return d.get("queries"), _cal_factor(d.get("calibration"))
+            # sf guard: only trust a full artifact recorded at the
+            # driver's bench scale — a smoke-run artifact (sf0.001)
+            # would silently corrupt the medians comparison.
+            if d.get("sf", 0) >= 0.05 and d.get("queries"):
+                return d["queries"], _cal_factor(d.get("calibration"))
         except (json.JSONDecodeError, OSError):
             pass
     try:
@@ -448,7 +452,10 @@ def main() -> None:
     }
     here = os.path.dirname(os.path.abspath(__file__))
     cur = _current_round(here)
-    if cur is not None:
+    # sf guard: never let a smoke run (sf0.001) overwrite the round's
+    # committed full-scale artifact — next round's medians comparison
+    # reads this file.
+    if cur is not None and sf >= 0.05:
         with open(os.path.join(here, f"BENCH_full_r{cur:02d}.json"), "w") as f:
             json.dump(result, f)
     print(json.dumps(result))
