@@ -536,7 +536,7 @@ def ingest_batch_bm25(
 
 
 def bm25_read_merged(
-    spark: SparkSession, index_dir: str
+    spark: SparkSession, index_dir: str, max_batch: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Read the segmented ingest index as ONE logical BM25 index:
     (postings, terms, totals) with the same schemas the build-once
@@ -545,6 +545,11 @@ def bm25_read_merged(
     term across segments, totals sums (n, t). This IS the
     bm25_index_delta_serve merge applied N-way; a serve path points
     its probe here unchanged.
+
+    ``max_batch`` restricts the merge to segments with
+    ``ingest_batch <= max_batch`` — a partition-pruned filter on the
+    partition column (the compaction guard's committed-only read);
+    None (the default) merges every segment.
 
     An index that has seen only empty micro-batches (or none) has no
     segment data files — parquet schema inference cannot run, so this
@@ -557,19 +562,42 @@ def bm25_read_merged(
             spark.createDataFrame([], _BM25_TERMS_SCHEMA),
             spark.createDataFrame([(0, 0)], _BM25_TOTALS_SCHEMA),
         )
-    postings = spark.read.parquet(os.path.join(index_dir, "postings")).drop(
-        "ingest_batch"
-    )
-    terms = (
-        spark.read.parquet(os.path.join(index_dir, "df"))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-    )
-    totals = spark.read.parquet(os.path.join(index_dir, "totals")).agg(
+
+    def _seg(sub: str) -> DataFrame:
+        frame = spark.read.parquet(os.path.join(index_dir, sub))
+        if max_batch is not None:
+            frame = frame.filter(F.col("ingest_batch") <= int(max_batch))
+        return frame
+
+    postings = _seg("postings").drop("ingest_batch")
+    terms = _seg("df").groupBy("term").agg(F.sum("df").alias("df"))
+    totals = _seg("totals").agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
         F.coalesce(F.sum("t"), F.lit(0)).alias("t"),
     )
     return postings, terms, totals
+
+
+#: Sidecar dropped by ingest_corpus_bm25 next to the index tables,
+#: recording the stream's checkpoint location so maintenance
+#: (bm25_compact_segments) can find the commit log WITHOUT the caller
+#: re-plumbing it. Name is underscore-prefixed so Spark's parquet
+#: reader ignores it.
+_BM25_CHECKPOINT_SIDECAR = "_ingest_checkpoint"
+
+
+def _bm25_last_committed(checkpoint_dir: str) -> int | None:
+    """Highest micro-batch id the Structured Streaming checkpoint has
+    COMMITTED (``<checkpoint>/commits/<batchId>`` files, written by
+    HDFSMetadataLog after the batch's foreachBatch body returns).
+    None when no batch has ever committed. A segment with id above
+    this value can still be REPLAYED on restart — the compaction
+    guard's whole reason to exist."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(e) for e in os.listdir(commits) if e.isdigit()]
+    return max(ids) if ids else None
 
 
 def bm25_recover_compaction(index_dir: str) -> bool:
@@ -609,7 +637,9 @@ def bm25_recover_compaction(index_dir: str) -> bool:
     return False
 
 
-def bm25_compact_segments(spark: SparkSession, index_dir: str) -> int:
+def bm25_compact_segments(
+    spark: SparkSession, index_dir: str, checkpoint_dir: str | None = None
+) -> int:
     """Fold ALL batch segments of a streamed BM25 index into ONE — the
     maintenance face the ingest family's docstrings promise: the
     streaming writer grows segment count without bound, and
@@ -624,13 +654,23 @@ def bm25_compact_segments(spark: SparkSession, index_dir: str) -> int:
     tests/test_bm25_ingest.py pins compacted == uncompacted == the
     oracle-verified build-once index.
 
-    The folded segment keeps the HIGHEST existing ingest_batch id:
-    Structured Streaming's checkpoint hands a resumed stream strictly
-    increasing batch ids, so new segments land above the compacted one
-    and dynamic partition overwrite can never collide with it. Run in
-    the ingest family's standing maintenance window (between
-    availableNow-drained runs, like compact_ingest_output) — committed
-    batches are never replayed, so folding them is safe.
+    Replay guard (round-12 ADVICE, medium): folding into the highest
+    EXISTING batch id is only safe if that batch has COMMITTED — a
+    stream that crashed after writing its last segment but before the
+    checkpoint commit replays that id on restart, and dynamic
+    partition overwrite would then replace the folded segment (the
+    whole index) with one batch's stats. So the fold is bounded by the
+    checkpoint's commit log: only segments with
+    ``ingest_batch <= last committed id`` are folded (into the highest
+    COMMITTED id — ids Structured Streaming never reissues);
+    uncommitted segments above it are carried through the swap
+    byte-for-byte, where a replay rewrites only their own partitions.
+    The commit log is found via the explicit ``checkpoint_dir``
+    argument or the ``_ingest_checkpoint`` sidecar ingest_corpus_bm25
+    drops next to the tables; with NEITHER present the index is in
+    manual-batch mode (no checkpoint -> no replay machinery exists)
+    and every segment folds, as before. A sidecar-bearing index whose
+    checkpoint has no commit yet folds nothing.
 
     Crash safety is the whole-index staged swap (_bm25_index_build's
     shape, plus the old-dir hop): stage the three folded tables
@@ -653,23 +693,54 @@ def bm25_compact_segments(spark: SparkSession, index_dir: str) -> int:
         for e in os.listdir(totals_dir)
         if e.startswith("ingest_batch=")
     )
-    if len(ids) <= 1:
+    if checkpoint_dir is None:
+        sidecar = os.path.join(index_dir, _BM25_CHECKPOINT_SIDECAR)
+        if os.path.exists(sidecar):
+            with open(sidecar, encoding="utf-8") as fh:
+                checkpoint_dir = fh.read().strip()
+    if checkpoint_dir is not None:
+        last = _bm25_last_committed(checkpoint_dir)
+        fold_ids = [] if last is None else [k for k in ids if k <= last]
+    else:
+        fold_ids = ids
+    if len(fold_ids) <= 1:
         return 0
-    postings, terms, totals = bm25_read_merged(spark, index_dir)
+    carried = [k for k in ids if k not in set(fold_ids)]
+    postings, terms, totals = bm25_read_merged(
+        spark, index_dir, max_batch=fold_ids[-1] if carried else None
+    )
     stage = index_dir + ".compact_stage"
     shutil.rmtree(stage, ignore_errors=True)
-    new_id = ids[-1]
+    new_id = fold_ids[-1]
     for frame, sub in ((postings, "postings"), (terms, "df"), (totals, "totals")):
         (
             frame.withColumn("ingest_batch", F.lit(int(new_id)))
             .write.partitionBy("ingest_batch")
             .parquet(os.path.join(stage, sub))
         )
+    marker = os.path.join(stage, "totals", "_SUCCESS")
+    if carried:
+        # Carry uncommitted segments through the swap byte-for-byte.
+        # The totals/_SUCCESS marker means "stage is complete" to
+        # bm25_recover_compaction, so it must not exist until the
+        # carried partitions are in place — drop it, copy, restore.
+        os.remove(marker)
+        for sub in ("postings", "df", "totals"):
+            for k in carried:
+                part = os.path.join(index_dir, sub, f"ingest_batch={k}")
+                if os.path.isdir(part):  # empty batches land no files
+                    shutil.copytree(
+                        part, os.path.join(stage, sub, f"ingest_batch={k}")
+                    )
+        open(marker, "w", encoding="utf-8").close()
+    sidecar = os.path.join(index_dir, _BM25_CHECKPOINT_SIDECAR)
+    if os.path.exists(sidecar):
+        shutil.copy2(sidecar, os.path.join(stage, _BM25_CHECKPOINT_SIDECAR))
     old = index_dir + ".compact_old"
     os.rename(index_dir, old)
     os.rename(stage, index_dir)
     shutil.rmtree(old)
-    return len(ids)
+    return len(fold_ids)
 
 
 def ingest_corpus_bm25(
@@ -680,7 +751,19 @@ def ingest_corpus_bm25(
 ) -> StreamingQuery:
     """Continuous BM25 index maintenance over a document stream
     (columns: doc_id, text, + metadata) — foreachBatch wiring for
-    ingest_batch_bm25, availableNow-drained like ingest_corpus."""
+    ingest_batch_bm25, availableNow-drained like ingest_corpus.
+
+    Drops the ``_ingest_checkpoint`` sidecar into the index dir so
+    bm25_compact_segments can locate the checkpoint's commit log and
+    bound its fold to committed segments (the replay guard) without
+    the maintenance caller re-plumbing the checkpoint path."""
+    os.makedirs(index_dir, exist_ok=True)
+    with open(
+        os.path.join(index_dir, _BM25_CHECKPOINT_SIDECAR),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        fh.write(checkpoint_dir)
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_bm25(spark, batch_df, batch_id, index_dir)

@@ -253,3 +253,89 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert IN.bm25_recover_compaction(index) is True
     assert _merged_tuples(spark, index) == before
     assert not os.path.exists(old) and not os.path.exists(stage)
+
+
+def _fake_checkpoint(tmp_path, tag, committed_ids):
+    """Materialize the commit-log shape Structured Streaming leaves at
+    <checkpoint>/commits/<batchId> (one file per committed batch)."""
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    os.makedirs(os.path.join(ckpt, "commits"), exist_ok=True)
+    for k in committed_ids:
+        with open(os.path.join(ckpt, "commits", str(k)), "w") as fh:
+            fh.write("v1\n{}")
+    return ckpt
+
+
+def test_compaction_replay_guard_folds_committed_only(spark, tmp_path):
+    """The round-12 ADVICE replay hazard: the last segment's batch may
+    not have committed, so folding it would let a restart's replay
+    (dynamic partition overwrite on its id) replace the whole folded
+    index with one batch's stats. With a checkpoint whose commit log
+    stops short of the last segment, compaction must fold ONLY the
+    committed prefix, carry the uncommitted segment untouched, keep
+    the merged view value-identical — and survive an actual replay of
+    the uncommitted batch afterwards."""
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "unrelated prose about parquet files and shuffles", "en", "s", 1),
+        (3, "more prose about columnar scans and broadcast joins", "en", "s", 1),
+        (4, "a late batch that has not committed yet", "en", "s", 1),
+    ]
+    index = str(tmp_path / "bm25idx_guard")
+    for k, row in enumerate(texts):
+        IN.ingest_batch_bm25(spark, spark.createDataFrame([row], SCHEMA), k, index)
+    before = _merged_tuples(spark, index)
+    # batches 0-2 committed; batch 3's segment exists but did NOT commit
+    ckpt = _fake_checkpoint(tmp_path, "guard", [0, 1, 2])
+    folded = IN.bm25_compact_segments(spark, index, checkpoint_dir=ckpt)
+    assert folded == 3
+    assert _merged_tuples(spark, index) == before
+    segs = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(os.path.join(index, "totals"))
+        if e.startswith("ingest_batch=")
+    )
+    assert segs == [2, 3]  # fold lands on highest COMMITTED id; 3 carried
+    # the replay the guard exists for: batch 3 reruns on restart and
+    # rewrites ONLY its own partition — the folded index is untouched
+    IN.ingest_batch_bm25(
+        spark, spark.createDataFrame([texts[3]], SCHEMA), 3, index
+    )
+    assert _merged_tuples(spark, index) == before
+
+
+def test_compaction_guard_no_commit_and_sidecar_discovery(spark, tmp_path):
+    """With a checkpoint that has never committed, nothing is safe to
+    fold (0). The sidecar ingest_corpus_bm25 drops must be discovered
+    automatically (no checkpoint_dir argument), must bound the fold
+    the same way, and must survive the compaction swap."""
+    texts = [
+        (1, "alpha beta gamma", "en", "s", 1),
+        (2, "delta epsilon zeta", "en", "s", 1),
+        (3, "eta theta iota", "en", "s", 1),
+    ]
+    index = str(tmp_path / "bm25idx_sidecar")
+    for k, row in enumerate(texts):
+        IN.ingest_batch_bm25(spark, spark.createDataFrame([row], SCHEMA), k, index)
+    before = _merged_tuples(spark, index)
+    # empty commit log: refuse to fold anything
+    ckpt_none = _fake_checkpoint(tmp_path, "none", [])
+    assert IN.bm25_compact_segments(spark, index, checkpoint_dir=ckpt_none) == 0
+    # sidecar auto-discovery (what ingest_corpus_bm25 writes)
+    ckpt = _fake_checkpoint(tmp_path, "side", [0, 1])
+    with open(os.path.join(index, IN._BM25_CHECKPOINT_SIDECAR), "w") as fh:
+        fh.write(ckpt)
+    assert IN.bm25_compact_segments(spark, index) == 2
+    assert _merged_tuples(spark, index) == before
+    segs = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(os.path.join(index, "totals"))
+        if e.startswith("ingest_batch=")
+    )
+    assert segs == [1, 2]
+    # the sidecar rode through the swap; after batch 2 commits, the
+    # same no-argument call folds the rest
+    with open(os.path.join(ckpt, "commits", "2"), "w") as fh:
+        fh.write("v1\n{}")
+    assert IN.bm25_compact_segments(spark, index) == 2
+    assert _merged_tuples(spark, index) == before
