@@ -4307,9 +4307,16 @@ def _sql_relation_names(chain: str) -> set[str]:
     FROM/JOIN, or as a later entry of a comma-separated FROM list
     (``FROM a, b`` — the round-11 advisor's under-match). A lint
     helper for the tokenizer-compare cross-chain guard; heuristic by
-    design (subqueries/functions stop the scan at their paren), which
-    errs toward NOT matching — acceptable for a same-repo lint over
-    known CTE names."""
+    design, erring toward NOT matching — acceptable for a same-repo
+    lint over known CTE names. FROM tokens inside FUNCTION-CALL
+    parentheses are skipped (round-12 ADVICE): SQL-standard function
+    syntax like ``extract(YEAR FROM ts)`` / ``substring(s FROM 1)``
+    puts a COLUMN in relation position, which would flip the
+    heuristic's error direction into false positives. A paren opened
+    right after a non-keyword identifier is a call; bare parens (CTE
+    bodies ``x AS (...)``, subqueries) are NOT skipped — every real
+    relation in these chains lives inside one, so an absolute-depth
+    skip would vacate the lint entirely."""
     import re
 
     rels: set[str] = set()
@@ -4318,7 +4325,36 @@ def _sql_relation_names(chain: str) -> set[str]:
         rf"(?:\s+(?:AS\s+)?{_SQL_IDENT})?"  # first relation's alias
         rf"((?:\s*,\s*{_SQL_REL_ENTRY})*)"
     )
+    # One left-to-right walk maintaining a paren stack whose entries
+    # say "this paren is a function call" (opened right after a
+    # non-keyword identifier). SQL keywords that legitimately precede
+    # a bare paren — CTE bodies, subqueries, boolean grouping — are
+    # excluded so those parens read as structural, not calls.
+    _paren_kw = frozenset(
+        "as in on and or not exists when then else select from where "
+        "having by union all intersect except distinct over using "
+        "values case end limit offset between like is null".split()
+    )
+    stack: list[bool] = []
+    pos = 0
     for m in re.finditer(pat, chain, flags=re.IGNORECASE):
+        for pm in re.finditer(r"[()]", chain[pos : m.start()]):
+            if pm.group() == ")":
+                if stack:
+                    stack.pop()
+                continue
+            apos = pos + pm.start()
+            # bounded look-back: identifiers here are < 64 chars, and
+            # slicing the whole prefix per paren would be quadratic
+            # over the unrolled CTE chains
+            before = chain[max(0, apos - 64) : apos].rstrip()
+            wm = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\Z", before)
+            stack.append(
+                wm is not None and wm.group(1).lower() not in _paren_kw
+            )
+        pos = m.start()
+        if any(stack):
+            continue
         rels.add(m.group(1))
         for cm in re.finditer(rf",\s*({_SQL_IDENT})", m.group(2)):
             rels.add(cm.group(1))
@@ -4730,14 +4766,26 @@ def _bm25_index_build(
     same fingerprint path can no longer interleave mode('overwrite')
     writes and stamp the marker over a mixed index. A losing racer
     discards its stage and reads the winner's (bit-identical —
-    deterministic build over fingerprint-pinned input)."""
+    deterministic build over fingerprint-pinned input).
+
+    The lost-race fallback clears a stale partial with
+    rmtree(ignore_errors=True), which can interleave with ANOTHER
+    process's just-completed rename and partially delete a freshly
+    published index mid-walk (round-12 ADVICE). Every publish is
+    therefore re-checked for the completion marker afterwards; a
+    marker-less path means this process was the rmtree victim (or the
+    perpetrator of a partial delete) — rebuild, bounded at 3 attempts,
+    then raise rather than return a partial index."""
     import shutil
     import uuid
 
     from k8s_log_etl_spark.tables import dataset_cache_path
 
     path = dataset_cache_path(sf_dir, kind, "documents")
-    if not os.path.exists(os.path.join(path, "totals", "_SUCCESS")):
+    marker = os.path.join(path, "totals", "_SUCCESS")
+    for _attempt in range(3):
+        if os.path.exists(marker):
+            return path
         stage = f"{path}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         d = ensure_min_parallelism(
             load_table(spark, sf_dir, "documents"), spark
@@ -4777,7 +4825,12 @@ def _bm25_index_build(
                     shutil.rmtree(stage, ignore_errors=True)
             else:
                 shutil.rmtree(stage, ignore_errors=True)
-    return path
+    if os.path.exists(marker):
+        return path
+    raise RuntimeError(
+        f"BM25 index publish kept racing to a marker-less partial at "
+        f"{path}; refusing to return a partial index"
+    )
 
 
 @register(

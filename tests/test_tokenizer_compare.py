@@ -80,3 +80,26 @@ def test_relation_scan_covers_comma_lists():
     )
     assert "scored" in rels2
     assert "vocab" not in rels2 and "doc_id" not in rels2
+
+
+def test_relation_scan_skips_function_syntax_from():
+    """SQL-standard function syntax (round-12 ADVICE) puts a COLUMN
+    after FROM — extract(YEAR FROM ts), substring(s FROM 1), trim(BOTH
+    ' ' FROM name) — and must not enter relation position (a spurious
+    import-time AssertionError if the column spells another chain's
+    CTE name). Bare parens (CTE bodies, subqueries) must keep their
+    relations visible — an absolute-depth skip would vacate the lint."""
+    from k8s_log_etl_spark.queries.llmprep import _sql_relation_names
+
+    assert _sql_relation_names(
+        "SELECT extract(YEAR FROM ts) FROM orders"
+    ) == {"orders"}
+    assert _sql_relation_names(
+        "w AS (SELECT trim(BOTH ' ' FROM name), substring(s FROM 1 FOR 2) "
+        "FROM emp e, dept d)"
+    ) == {"emp", "dept"}
+    # relations inside CTE bodies and subqueries still count
+    assert _sql_relation_names(
+        "a AS (SELECT * FROM b_tab JOIN c_tab ON 1=1), "
+        "x AS (SELECT * FROM (SELECT * FROM inner_t) q)"
+    ) == {"b_tab", "c_tab", "inner_t"}
