@@ -159,7 +159,14 @@ def _current_round(here: str):
             return int(raw.strip())
     benches = _bench_files(here)
     if benches:
-        return int(re.search(r"\d+", benches[-1]).group()) + 1
+        inferred = int(re.search(r"\d+", benches[-1]).group()) + 1
+        print(
+            f"bench: round inferred as {inferred} (newest BENCH_r file "
+            f"+ 1) — WRONG after the driver writes this round's file; "
+            f"set SPARK_GRAFT_ROUND to pin on re-runs (round-12 ADVICE)",
+            file=sys.stderr,
+        )
+        return inferred
     return None
 
 
@@ -301,6 +308,83 @@ def _matched_subtotals(
     return out
 
 
+def _pipe_ms(block: dict) -> int:
+    """Summed pipelineTime (ms, across-task accumulator sums) of a
+    head's operator-metrics block — the numerator of the effective-
+    parallelism ratio (PLANS.md round-12 interpretation rules)."""
+    return sum(
+        op.get("pipelineTime", 0) for op in block.get("ops", ())
+    )
+
+
+def _operator_metrics_vs_prev(
+    operator_metrics: dict[str, dict],
+    timings: dict[str, float],
+    here: str,
+) -> dict | None:
+    """Machine-flagged cross-round PLAN drift (round-12 verdict #5):
+    per-head node/exchange counts and the pipe_ms/wall effective-
+    parallelism ratio, diffed against the previous round's committed
+    BENCH_full artifact. Interpretation rules (PLANS.md round 12): an
+    exchange appearing is a new shuffle; a parallelism ratio
+    collapsing toward 1 is the single-row-group scan trap;
+    checkpoint-fed heads read near-zero by construction and are
+    diagnosed on COUNT stability only. `drift` lists the heads a human
+    should look at; `heads` carries the full comparison so the look
+    needs no worktree re-run."""
+    cur_round = _current_round(here)
+    benches = [
+        f
+        for f in _bench_files(here)
+        if int(re.search(r"\d+", f).group()) < (cur_round or 0)
+    ]
+    if not benches:
+        return None
+    prev_file = benches[-1].replace("BENCH_r", "BENCH_full_r")
+    try:
+        with open(os.path.join(here, prev_file)) as f:
+            prev = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    prev_om = prev.get("operator_metrics") or {}
+    prev_q = prev.get("queries") or {}
+    heads: dict[str, dict] = {}
+    drift: list[str] = []
+    for name in sorted(set(operator_metrics) & set(prev_om)):
+        c, p = operator_metrics[name], prev_om[name]
+        row: dict = {
+            "n_nodes": [p.get("n_nodes"), c.get("n_nodes")],
+            "n_exchanges": [p.get("n_exchanges"), c.get("n_exchanges")],
+        }
+        par = []
+        for block, wall in ((p, prev_q.get(name)), (c, timings.get(name))):
+            pipe = _pipe_ms(block)
+            par.append(
+                round(pipe / 1000.0 / wall, 1) if wall and wall > 0 else None
+            )
+        row["parallelism"] = par
+        heads[name] = row
+        if row["n_exchanges"][0] != row["n_exchanges"][1]:
+            drift.append(
+                f"{name}: exchanges {row['n_exchanges'][0]} -> "
+                f"{row['n_exchanges'][1]}"
+            )
+        elif row["n_nodes"][0] != row["n_nodes"][1]:
+            drift.append(
+                f"{name}: nodes {row['n_nodes'][0]} -> {row['n_nodes'][1]}"
+            )
+        if (
+            par[0] is not None
+            and par[1] is not None
+            and par[0] >= 4.0
+            and par[1] <= par[0] / 3.0
+        ):
+            drift.append(
+                f"{name}: parallelism {par[0]}x -> {par[1]}x (collapse)"
+            )
+    return {"prev": prev_file, "drift": drift, "heads": heads}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -404,23 +488,29 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - start, 3))
-            if pass_i == 2:
-                # Off the clock (after perf_counter stops): the noop
-                # save ran a SEPARATE QueryExecution (the write
-                # command's plan), so df's own executedPlan never ran
-                # and its accumulators are all zero. Execute it once
-                # JVM-side (InternalRow count, no Python transfer) to
-                # populate them, then read. Observability only — a
-                # failure here must not kill the bench.
-                try:
-                    df._jdf.queryExecution().executedPlan().execute().count()
-                except Exception:
-                    pass
-                operator_metrics[name] = _operator_block(
-                    executed_plan_metrics(df)
-                )
     timings = {n: sorted(s)[1] for n, s in samples.items()}
     timings_min = {n: min(s) for n, s in samples.items()}
+
+    # Fourth, UNTIMED metrics pass, after all three timed passes
+    # (round-12 ADVICE: collecting these inside pass 3 re-executed
+    # each plan between pass-3 timed runs, so later pass-3 samples ran
+    # in a dirtier JVM/page-cache than rounds <= 11 — a systematic
+    # perturbation of one of the three samples feeding the cross-round
+    # median comparison). The noop save above ran a SEPARATE
+    # QueryExecution (the write command's plan), so each df's own
+    # executedPlan never ran and its accumulators are zero; execute it
+    # once JVM-side (InternalRow count, no Python transfer) to
+    # populate them, then read. Observability only — a failure here
+    # must not kill the bench.
+    for name in names_sorted:
+        try:
+            df = bench_specs[name].fn(spark, sf_dir)
+            df._jdf.queryExecution().executedPlan().execute().count()
+            operator_metrics[name] = _operator_block(
+                executed_plan_metrics(df)
+            )
+        except Exception:
+            pass
 
     cal["end"] = _calibration(spark)
     cal["ref_wide32_sec"] = CAL_REF_WIDE32_SEC
@@ -443,6 +533,9 @@ def main() -> None:
         "sf": sf,
         "order_protocol": "median-of-3, passes in asc/desc/asc name order",
         "operator_metrics": operator_metrics,
+        "operator_metrics_vs_prev": _operator_metrics_vs_prev(
+            operator_metrics, timings, os.path.dirname(os.path.abspath(__file__))
+        ),
         "samples": samples,
         "queries_min": timings_min,
         "calibration": cal,

@@ -108,3 +108,67 @@ def test_committed_r11_wrapper_reconstructs():
     assert prev is not None and len(prev) == 29
     assert abs(sum(prev.values()) - 52.07 ) < 0.02
     assert factor == 1.194
+
+
+def test_operator_metrics_vs_prev_flags_drift(tmp_path, monkeypatch):
+    """The round-12 verdict #5 drift flagger: exchange-count changes
+    and parallelism collapses surface in `drift`; stable heads don't.
+    Pure artifact machinery — previous round's operator_metrics come
+    from its BENCH_full file, the round boundary from the same
+    strictly-below rule the medians comparison uses."""
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "13")
+    _write(tmp_path, "BENCH_r12.json", {"tail": ""})
+    _write(
+        tmp_path,
+        "BENCH_full_r12.json",
+        {
+            "sf": 0.1,
+            "queries": {"stable": 2.0, "shuffly": 2.0, "collapsed": 2.0},
+            "operator_metrics": {
+                "stable": {
+                    "n_nodes": 10,
+                    "n_exchanges": 2,
+                    "ops": [{"i": 1, "op": "WholeStageCodegen (1)",
+                             "pipelineTime": 4000}],
+                },
+                "shuffly": {"n_nodes": 12, "n_exchanges": 3, "ops": []},
+                "collapsed": {
+                    "n_nodes": 8,
+                    "n_exchanges": 1,
+                    "ops": [{"i": 1, "op": "WholeStageCodegen (1)",
+                             "pipelineTime": 20000}],
+                },
+            },
+        },
+    )
+    cur = {
+        "stable": {
+            "n_nodes": 10,
+            "n_exchanges": 2,
+            "ops": [{"i": 1, "op": "WholeStageCodegen (1)",
+                     "pipelineTime": 4100}],
+        },
+        "shuffly": {"n_nodes": 14, "n_exchanges": 5, "ops": []},
+        "collapsed": {
+            "n_nodes": 8,
+            "n_exchanges": 1,
+            "ops": [{"i": 1, "op": "WholeStageCodegen (1)",
+                     "pipelineTime": 2000}],
+        },
+    }
+    timings = {"stable": 2.1, "shuffly": 2.1, "collapsed": 2.0}
+    out = bench._operator_metrics_vs_prev(cur, timings, str(tmp_path))
+    assert out["prev"] == "BENCH_full_r12.json"
+    assert out["heads"]["stable"]["n_exchanges"] == [2, 2]
+    assert out["heads"]["shuffly"]["n_exchanges"] == [3, 5]
+    # collapsed: 20000ms/2.0s = 10x -> 2000ms/2.0s = 1x
+    assert out["heads"]["collapsed"]["parallelism"] == [10.0, 1.0]
+    drift = "\n".join(out["drift"])
+    assert "shuffly: exchanges 3 -> 5" in drift
+    assert "collapse" in drift and "collapsed" in drift
+    assert "stable" not in drift
+
+
+def test_operator_metrics_vs_prev_absent_when_no_prev(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "13")
+    assert bench._operator_metrics_vs_prev({}, {}, str(tmp_path)) is None
