@@ -384,14 +384,46 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitsums.select("doc_id", simhash.alias("simhash"))
 
 
-@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",))
+#: Fail-fast gate for the two brute all-pairs BASELINES kept as
+#: oracle-checked references (round-12 verdict: their docstrings label
+#: them honestly, but nothing MECHANICALLY stopped a 100x caller from
+#: pointing the O(n²) theta-join at a corpus it can't survive — the
+#: POSTING_CAP discipline applied to the all-pairs pair). 100k rows ≈
+#: 5e9 candidate pairs, already far beyond any sane baseline run; the
+#: banded/LSH scale paths have no such cap because they never
+#: enumerate all pairs.
+BRUTE_BASELINE_MAX_ROWS = 100_000
+
+
+def _refuse_brute_scale(df: DataFrame, name: str, scale_path: str) -> DataFrame:
+    """Count the input and refuse the brute baseline above the cap,
+    pointing at the sub-quadratic sibling. One extra count job per
+    invocation — noise for a baseline, and the fail-fast is the whole
+    point."""
+    n = df.count()
+    if n > BRUTE_BASELINE_MAX_ROWS:
+        raise ValueError(
+            f"{name} is the brute O(n^2) all-pairs BASELINE and refuses "
+            f"{n} input rows (> {BRUTE_BASELINE_MAX_ROWS}): ~{n*(n-1)//2} "
+            f"candidate pairs. Use {scale_path} at this scale — it is "
+            f"the sub-quadratic path with equivalent semantics."
+        )
+    return df
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup", "brute_baseline"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, tf-weighted token hashes): near-dup pairs with
     Hamming distance ≤ 8. The signature build is map-side only (see
     _simhash_sigs); the pair scan here is the brute O(n²) baseline kept
     as an oracle-checked reference only — dedup_simhash_banded is the
-    sub-quadratic scale path and the one bench.py times."""
-    sigs = _simhash_sigs(spark, sf_dir).transform(spill_checkpoint)
+    sub-quadratic scale path and the one bench.py times. Refuses
+    corpora above BRUTE_BASELINE_MAX_ROWS (fail-fast misuse guard)."""
+    sigs = _refuse_brute_scale(
+        _simhash_sigs(spark, sf_dir).transform(spill_checkpoint),
+        "dedup_simhash",
+        "dedup_simhash_banded",
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     hamming = F.bit_count(
@@ -420,14 +452,23 @@ WHERE {X.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
 """
 
 
-@register("dedup_embedding_cosine", oracle=_COS_DUP_SQL, tags=("dedup",))
+@register(
+    "dedup_embedding_cosine",
+    oracle=_COS_DUP_SQL,
+    tags=("dedup", "brute_baseline"),
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute all-pairs baseline; the
     hyperplane-LSH bucketing in queries/similarity.py is the scale
-    path). Dot products are sequential double sums — bit-identical to
-    the oracle's list_reduce."""
+    path — see dedup_embedding_lsh). Dot products are sequential double
+    sums — bit-identical to the oracle's list_reduce. Refuses corpora
+    above BRUTE_BASELINE_MAX_ROWS (fail-fast misuse guard)."""
     from k8s_log_etl_spark.queries.similarity import load_vectors
-    e = load_vectors(spark, sf_dir)
+    e = _refuse_brute_scale(
+        load_vectors(spark, sf_dir),
+        "dedup_embedding_cosine",
+        "dedup_embedding_lsh",
+    )
     a = e.alias("a")
     b = e.alias("b")
     cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
