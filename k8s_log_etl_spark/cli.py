@@ -43,26 +43,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-type", default=None,
                    choices=["stdout", "file", "rotate", "rotating", "http",
                             "webhook", "parquet", "s3", "kafka"])
-    p.add_argument("--output-path", default=None)
+    p.add_argument("--output-path", "--output", default=None)
     p.add_argument("--http-url", default=None, help="sink URL for output-type http")
-    p.add_argument("--dlq-path", default=None)
-    p.add_argument("--max-retries", type=int, default=None)
-    p.add_argument("--backoff-base-ms", type=int, default=None)
-    p.add_argument("--backoff-max-ms", type=int, default=None)
-    p.add_argument("--jitter-pct", type=float, default=None)
+    p.add_argument("--dlq-path", "--dlq", default=None)
+    p.add_argument("--max-retries", "--sink-max-retries", type=int, default=None)
+    p.add_argument("--backoff-base-ms", "--sink-backoff-base-ms", type=int, default=None)
+    p.add_argument("--backoff-max-ms", "--sink-backoff-max-ms", type=int, default=None)
+    p.add_argument("--jitter-pct", "--sink-backoff-jitter-pct", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--flush-interval-ms", type=int, default=None)
+    p.add_argument("--flush-interval-ms", "--batch-flush-interval-ms", type=int, default=None)
     p.add_argument("--max-workers", type=int, default=None)
     p.add_argument("--queue-size", type=int, default=None)
     p.add_argument("--transforms", default=None,
                    help="comma list of registered transform names")
-    p.add_argument("--rotate-max-bytes", type=int, default=None)
-    p.add_argument("--rotate-max-files", type=int, default=None)
+    p.add_argument("--rotate-max-bytes", "--output-max-bytes", type=int, default=None)
+    p.add_argument("--rotate-max-files", "--output-max-files", type=int, default=None)
     p.add_argument("--shutdown-timeout-seconds", type=int, default=None)
     p.add_argument("--log-level", default=None,
                    choices=["debug", "info", "warn", "error"])
     p.add_argument("--log-format", default=None, choices=["json", "text"])
-    p.add_argument("--report-path", default=None, help="JSON report output")
+    p.add_argument("--report-path", "--report", default=None, help="JSON report output")
     p.add_argument("--prometheus-path", default=None, help="Prometheus text output")
     p.add_argument("--stream", action="store_true", help="Structured Streaming over an input dir")
     p.add_argument("--sql", default=None,
@@ -162,10 +162,19 @@ def _write_sink(
         rot.write_batch(written)
         return None
     if cfg.output_type in {"http", "webhook"}:
-        if not args.http_url:
+        # reference parity: the Go CLI routes the sink URL through
+        # --output (README.md:108 `--output-type http --output
+        # https://...`, builder.go); accept an http(s) output_path as
+        # the URL so that invocation runs verbatim
+        url = args.http_url or (
+            cfg.output_path
+            if (cfg.output_path or "").startswith(("http://", "https://"))
+            else None
+        )
+        if not url:
             raise SystemExit("--http-url is required for output-type http")
         attempts = writers.post_records(
-            writers.render_jsonl(written), args.http_url, writers.RetryPolicy.from_config(cfg)
+            writers.render_jsonl(written), url, writers.RetryPolicy.from_config(cfg)
         ).cache()
         attempts.count()  # materialize: posts happen now, observation fills
         if cfg.dlq_path:
