@@ -55,69 +55,83 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 12 rotation (a maintenance round, PLANS.md round-12 lead #1):
-# (a) round-12 modified implementations, (b) the r6-latest refresh
-# tranche — ALL 26 rows whose newest green is round 6, the oldest
-# greens on the books, (c) family-representative slots for
+# Round 13 rotation (PLANS.md round-13 lead #1, round-12 verdict #1/#2):
+# (a) round-13 modified implementations, (b) the two never-driver-
+# checked sketch queries as rows-only slots (retiring
+# agg_approx_events' stale r2 `no_oracle` artifact and giving
+# agg_heavyhitters_events its first driver fingerprint — both remain
+# legitimately oracle-less, so the driver records the weaker
+# rows-only check), (c) the COMPLETE 17-row r7-latest cohort — the
+# stalest greens on the books, (d) family-representative slots for
 # capabilities with no organic tranche member, pointed at their
 # STALEST remaining greens so the rep slot doubles as a refresh, and
-# (d) the leftover 18 slots reaching into the 35-row r7 cohort
-# (stalest-next; chosen for capability spread — streaming, windows,
-# multimodal, subqueries, approx — the 17 r7 rows left over lead
-# round 13's tranche). Everything rotated out keeps its r7-r11 green
-# row, is unchanged since, and stays continuously covered by the
-# full-surface pytest oracle run (tests/test_oracle_parity.py runs
-# every oracled query every time).
+# (e) 20 slots reaching into the 36-row r8 cohort (capability
+# spread; the 16 r8 rows left over lead round 14's tranche).
+# Everything rotated out keeps its r8-r12 green row, is unchanged
+# since, and stays continuously covered by the full-surface pytest
+# oracle run (tests/test_oracle_parity.py runs every oracled query
+# every time).
 _CHECKED_FIRST = [
-    # --- (a) round-12 modified implementations: the BM25 staged
-    # publish's lost-race fallback is now itself race-safe (round-11
-    # ADVICE — both index builders share _bm25_index_build); the
-    # CCNet bucket grid gained the corpus-quantile range-skew
-    # fallback (round-11 verdict watch item — partitioning lever,
-    # rank semantics unchanged) ---
+    # --- (a) round-13 modified implementations: the BM25 builder's
+    # publish is now re-checked-and-retried after the lost-race
+    # fallback (round-12 ADVICE — both serve faces share
+    # _bm25_index_build); the two brute all-pairs baselines gained
+    # the fail-fast size gate (round-12 verdict #3 — behavior at
+    # driver scale unchanged, but the input path now runs through
+    # the guard) ---
     "bm25_index_serve", "bm25_index_delta_serve",
-    "corpus_ccnet_buckets",
-    # --- (b) the r6-latest refresh tranche: all 26 rows whose newest
-    # green is round 6 — the complete cohort, one-for-one as PLANS.md
-    # lead #1 asks ---
-    "agg_by_service", "agg_grouping_sets", "agg_minmax_by",
-    "agg_stats_events", "corpus_mix_drift", "corpus_snapshot_diff",
-    "curriculum_difficulty_bins", "dedup_exact", "dedup_keeper_remap",
-    "dq_psi_value_drift", "eval_holdout_decontaminated",
-    "events_ab_test_analysis", "events_attribution_last_touch",
-    "events_forecast_holt", "join_anti_customers",
-    "join_full_outer_nations", "join_semi_customers",
-    "knn_hard_negatives", "layout_zorder_stats", "profile_key_skew",
-    "q1_pricing_summary", "quality_score_calibration",
-    "sample_stratified_topk", "set_ops_customers",
-    "supplier_shipment_overlap", "text_quality_score",
-    # --- (c) family representatives for capabilities with no organic
+    "dedup_simhash", "dedup_embedding_cosine",
+    # --- (b) rows-only slots for the oracle-less sketches (round-12
+    # verdict #2): Misra-Gries merge is partition-order-dependent and
+    # t-digest/HLL++ state is engine-specific, so no hash oracle can
+    # exist — both are bounds-tested against exact answers in
+    # tests/test_approx.py; the driver row pins rows/schema ---
+    "agg_approx_events", "agg_heavyhitters_events",
+    # --- (c) the r7-latest refresh tranche: all 17 rows whose newest
+    # green is round 7 — the complete cohort, one-for-one as PLANS.md
+    # round-13 lead #1 asks ---
+    "having_large_orders", "join_asof_last_purchase",
+    "multimodal_resize_stats", "q13_order_distribution",
+    "q3_top_unshipped", "q5_regional_revenue",
+    "sample_bernoulli_seeded", "sample_temperature_lang",
+    "scalar_subquery_outliers", "text_gopher_rules",
+    "text_langid_confusion", "text_token_bpeish", "text_token_stats",
+    "text_top_bigrams", "tfidf_top_terms", "window_running_total",
+    "window_topk_per_customer",
+    # --- (d) family representatives for capabilities with no organic
     # tranche member this round, each pointed at the family's STALEST
     # remaining green so the rep slot doubles as a refresh
     # (tests/test_registry_order.py pins the mapping) ---
-    "knn_ivf_grid",             # ann-index (r9 — family's stalest)
-    "ann_recall_eval",          # ann-eval (r10 — family's stalest)
-    "graph_triangle_estimate",  # graph (r9 — family's stalest)
-    # --- (d) stalest r7 rows in the leftover 18 slots (the r7 cohort
-    # is next after (b); picked for capability spread) ---
-    "agg_by_level", "agg_countmin_events", "agg_rollup_orders",
-    "correlated_not_exists", "crossmodal_retrieval",
-    "dedup_embedding_cosine", "dedup_simhash_banded",
-    "domain_mix_by_loss", "embedding_centroids",
-    "events_exact_percentiles", "events_funnel", "events_props_typed",
-    "filter_level", "multimodal_frame_sample",
-    "pipeline_events_report", "stream_session_windows",
-    "stream_tumbling_counts", "window_spend_deciles",
+    "knn_brute_cosine",        # knn (r9 — family's stalest)
+    "knn_ivfpq_adc",           # ann-index (r10 — family's stalest)
+    "ann_recall_eval",         # ann-eval (sole member)
+    "graph_triangle_count",    # graph (r9 — family's stalest)
+    "corpus_shard_rendezvous", # warehouse (r9 — family's stalest)
+    "training_mix_pipeline",   # capstone (r9 — family's stalest)
+    "stream_sliding_avg",      # streaming (r9 — family's stalest)
+    # --- (e) 20 slots into the 36-row r8 cohort (stalest-next after
+    # (c); picked for capability spread — log, contamination,
+    # tokenizers, near-dup lifecycle, events, classifier train, and
+    # dedup_prefix_filter_jaccard doubly so: it is also this round's
+    # median re-adjudication target) ---
+    "agg_filter_reason", "benchmark_contamination",
+    "bpe_encode_corpus", "contamination_spans", "corpus_quality_gate",
+    "corpus_source_overlap_neardup", "decontam_bloom_prescreen",
+    "decontam_filter_corpus", "dedup_cdc_chunks", "dedup_lines_corpus",
+    "dedup_minhash_lsh", "dedup_minhash_index_serve",
+    "dedup_prefix_filter_jaccard", "events_changepoint_cusum",
+    "events_dau_wau", "q7_volume_shipping", "quality_classifier_train",
+    "text_kneser_ney_lm", "unigram_tokenize_corpus",
+    "wordpiece_train_merges",
 ]
-# agg_heavyhitters_events is sketch-only (no oracle by construction —
-# Misra-Gries merge is partition-order-dependent; bounded against
-# exact answers in tests/test_approx.py) and never takes a checked
-# slot. agg_approx_events likewise has no oracle (its r2 CORRECTNESS
-# row is a dead `no_oracle` artifact, not a failure — bounded in
-# tests/test_approx.py). agg_countmin_events WAS in this club until
-# round 7, when its registers were hand-rolled over md5 buckets and
-# ORACLED — it now rotates through checked slots like any other query
-# (first green row: r7, section (a) above).
+# agg_approx_events / agg_heavyhitters_events are sketch-only (no
+# oracle by construction — Misra-Gries merge is partition-order-
+# dependent; engine-specific t-digest/HLL++ state) and take ROWS-ONLY
+# checked slots from round 13 (section (b) above) — the driver pins
+# rows/schema, tests/test_approx.py pins the error bounds.
+# agg_countmin_events WAS in this club until round 7, when its
+# registers were hand-rolled over md5 buckets and ORACLED — it
+# rotates through checked slots like any other query.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -8,28 +8,31 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-12 rotation: the window is the full r6-latest refresh tranche
-# plus 18 stalest-r7 rows (see plans/registry.py), so most reps are
+# Round-13 rotation: the window is the full r7-latest refresh tranche
+# plus 20 stalest-r8 rows (see plans/registry.py), so most reps are
 # their family's organic tranche member; families with no organic
-# member this round (ann-index, ann-eval, graph) hold explicit slots
-# pointed at their STALEST remaining greens (r9/r10) so the rep slot
-# doubles as a refresh. Rotated-out greens stay covered by the full
+# member this round (knn, ann-index, graph, warehouse, capstone,
+# streaming) hold explicit slots pointed at their STALEST remaining
+# greens (r9/r10) so the rep slot doubles as a refresh (ann-eval is a
+# single-member family). Rotated-out greens stay covered by the full
 # pytest oracle run.
 FAMILY_REPRESENTATIVES = {
-    "log": "agg_by_service",
-    "dedup": "dedup_exact",
-    "multimodal": "multimodal_frame_sample",
-    "knn": "knn_hard_negatives",
-    "text": "text_quality_score",
-    "capstone": "pipeline_events_report",
-    "relational": "q1_pricing_summary",
-    "events": "events_attribution_last_touch",
-    "llmprep": "curriculum_difficulty_bins",
-    "sampling": "sample_stratified_topk",
-    "warehouse": "layout_zorder_stats",
-    "ann-index": "knn_ivf_grid",
+    "log": "agg_filter_reason",
+    "dedup": "dedup_minhash_lsh",
+    "multimodal": "multimodal_resize_stats",
+    "knn": "knn_brute_cosine",
+    "text": "text_gopher_rules",
+    "capstone": "training_mix_pipeline",
+    "relational": "q7_volume_shipping",
+    "events": "events_dau_wau",
+    "llmprep": "bpe_encode_corpus",
+    "sampling": "sample_bernoulli_seeded",
+    "warehouse": "corpus_shard_rendezvous",
+    "ann-index": "knn_ivfpq_adc",
     "ann-eval": "ann_recall_eval",
-    "graph": "graph_triangle_estimate",
+    "graph": "graph_triangle_count",
+    "streaming": "stream_sliding_avg",
+    "approx-sketch": "agg_heavyhitters_events",
 }
 
 
