@@ -872,14 +872,53 @@ def cc_star(pairs: DataFrame) -> DataFrame:
         .distinct()
         .transform(spill_checkpoint)
     )
+    # nodes has exactly ONE consumer (the roots anti-join after the
+    # loop) and derives from the already-checkpointed e0 — round-13
+    # optimization drops its former eager checkpoint (one job + one
+    # materialization per call for a frame read once).
     nodes = (
         e0.select(F.col("u").alias("node"))
         .union(e0.select(F.col("v").alias("node")))
         .distinct()
-        .transform(spill_checkpoint)
     )
     e = e0.filter(F.col("u") != F.col("v"))
-    while True:
+
+    # Round-13 convergence rework (guide §1/§2 — the head was
+    # fixed-overhead-bound at sf0.1: 86 tiny jobs, driver gap ~44% of
+    # wall). The old loop detected the FIXPOINT (small == e via count
+    # compare + exceptAll), which inherently costs one extra full
+    # no-change round plus per-round count jobs. This loop instead
+    # tests the converged STATE directly: after any round every edge
+    # has u > v strictly (small-star emits (x, m) with m = min of a
+    # set of values all below x), so
+    #   e is the limit  ⇔  e is a min-rooted star forest
+    #                   ⇔  u > v on every edge AND no v-side node
+    #                      appears on the u-side.
+    # (⇐: in such a forest each star's center is its component min;
+    # large-star and small-star are both the identity on it — checked
+    # per neighborhood: the center's min is itself, a leaf's min is
+    # its center — so the state is the fixpoint the old loop returned.
+    # ⇒: a u>v chain x > y = u' > v' makes large-star rewire x toward
+    # min(Γ(y)) < y, changing the set.) One semi-join action per
+    # round replaces count + exceptAll AND fires one round earlier
+    # (on the round that PRODUCES the forest, not the one that
+    # re-proves it); its job doubles as the lazy checkpoint's
+    # materializer. The u <= v branch exists for the FIRST test only:
+    # e0 arrives oriented u < v, which is star-shaped but wrongly
+    # oriented for labels — it must never short-circuit the loop.
+    def _is_min_star_forest(edges: DataFrame) -> bool:
+        viol = edges.filter(F.col("u") <= F.col("v")).unionAll(
+            edges.alias("sa")
+            .join(
+                edges.alias("sb"),
+                F.col("sa.v") == F.col("sb.u"),
+                "left_semi",
+            )
+            .select("u", "v")
+        )
+        return viol.isEmpty()
+
+    while not _is_min_star_forest(e):
         # LARGE-STAR: for each node u over its full neighborhood Γ(u),
         # m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -914,20 +953,9 @@ def cc_star(pairs: DataFrame) -> DataFrame:
             .union(smin.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .transform(spill_checkpoint)
-        )
-        # Convergence: set equality of the edge frames. The exceptAll
-        # pair is two full shuffles — short-circuit it with a count
-        # compare first, which disagrees on most non-converged rounds
-        # (the star rounds strictly shrink/rewire until fixpoint) and
-        # costs one agg. Counts equal does NOT imply sets equal, so the
-        # exact check still runs before declaring convergence.
-        converged = small.count() == e.count() and (
-            small.exceptAll(e).union(e.exceptAll(small)).isEmpty()
+            .transform(lambda df: spill_checkpoint(df, eager=False))
         )
         e = small
-        if converged:
-            break
     # e is now a star forest: (node, component-min) for every non-root;
     # roots (component minima, and isolated nodes if any) label themselves.
     roots = nodes.join(e.select(F.col("u").alias("node")), "node", "left_anti")

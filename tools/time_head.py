@@ -25,12 +25,15 @@ from k8s_log_etl_spark.session import get_spark  # noqa: E402
 
 
 def _jobs_since(spark, first_job_id: int) -> list[dict]:
-    store = spark._jsparkSession.sharedState().statusStore()
-    out = []
+    store = spark._sc._jsc.sc().statusStore()
     it = store.jobsList(None).iterator()
+    raw = []
     while it.hasNext():
-        j = it.next()
-        if j.jobId() < first_job_id:
+        raw.append(it.next())
+    out = []
+    for j in raw:
+        jid = j.jobId()
+        if jid < first_job_id:
             continue
         sub = j.submissionTime()
         comp = j.completionTime()
@@ -39,7 +42,7 @@ def _jobs_since(spark, first_job_id: int) -> list[dict]:
             dur = (comp.get().getTime() - sub.get().getTime()) / 1000.0
         out.append(
             {
-                "id": j.jobId(),
+                "id": jid,
                 "sec": dur,
                 "tasks": j.numCompletedTasks(),
                 "desc": (j.description().get() if j.description().isDefined() else "")[:90],
@@ -79,9 +82,8 @@ def main() -> int:
         for rep in range(reps):
             gc.collect()
             sc._jvm.System.gc()
-            tracker = sc.statusTracker()
-            ids = tracker.getJobIdsForGroup(None)
-            next_id = (max(ids) + 1) if ids else 0
+            prior = _jobs_since(spark, 0)
+            next_id = (prior[-1]["id"] + 1) if prior else 0
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
