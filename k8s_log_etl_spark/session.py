@@ -61,6 +61,16 @@ def get_spark(
             str(max((shuffle_partitions or par) * 8, 256)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing targets partitions of advisory size but, with
+        # parallelismFirst (default), never below minPartitionSize —
+        # whose 1 MB default collapses SMALL-byte shuffle stages to a
+        # handful of tasks even when their per-row cost is CPU-dense
+        # (array explode / set-intersection verify stages measured at
+        # 3-5 tasks on 32 cores). 64k lets such stages spread across
+        # the full parallelism; stages above ~32 MB total are governed
+        # by the advisory size exactly as before, so cluster-scale
+        # behavior is unchanged (guide §2.2/§2.5).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
