@@ -1782,27 +1782,33 @@ def _wp_train(spark: SparkSession, sf_dir: str):
         ).alias("enc"),
     )
     merges: list[tuple[int, str, str, int, int]] = []
+    # Round-13 (guide §1): Column expression trees are immutable and
+    # frame-independent — build the loop-invariant symbol/pair exprs
+    # ONCE instead of re-running their py4j construction (split +
+    # nested lambdas, ~1.5 s over the 6 rounds measured by cProfile)
+    # every round. The per-round checkpoint is LAZY: the round's argmax
+    # action (its cnts broadcast build runs first) materializes it, so
+    # the eager form's extra blocking job per round disappears.
+    sym_expr = F.explode(_bpe_syms()).alias("sym")
+    pair_expr = F.explode(
+        bind(
+            _bpe_syms(),
+            lambda syms: F.transform(
+                ngram_indices(syms, 2),
+                lambda i: F.struct(
+                    syms[i].alias("a"), syms[i + 1].alias("b")
+                ),
+            ),
+        )
+    ).alias("p")
     for r in range(WP_MERGE_ROUNDS):
-        enc = enc.transform(spill_checkpoint)
+        enc = enc.transform(lambda df: spill_checkpoint(df, eager=False))
         cnts = (
-            enc.select("freq", F.explode(_bpe_syms()).alias("sym"))
+            enc.select("freq", sym_expr)
             .groupBy("sym")
             .agg(F.sum("freq").alias("c"))
         )
-        pairs = enc.select(
-            "freq",
-            F.explode(
-                bind(
-                    _bpe_syms(),
-                    lambda syms: F.transform(
-                        ngram_indices(syms, 2),
-                        lambda i: F.struct(
-                            syms[i].alias("a"), syms[i + 1].alias("b")
-                        ),
-                    ),
-                )
-            ).alias("p"),
-        )
+        pairs = enc.select("freq", pair_expr)
         pw = pairs.groupBy(
             F.col("p.a").alias("a"), F.col("p.b").alias("b")
         ).agg(F.sum("freq").alias("w"))
@@ -1939,7 +1945,7 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wp_greedy_pieces(term: F.Column, pmap: F.Column) -> F.Column:
+def _wp_greedy_pieces(term: str = "term", pmap: str = "pm") -> F.Column:
     """Greedy longest-match-first segmentation of `term` against the
     piece map `pmap` (piece -> true): the WordPiece ENCODE algorithm.
     A fold over 1..length(term) carries the growing list of piece END
@@ -1951,42 +1957,36 @@ def _wp_greedy_pieces(term: F.Column, pmap: F.Column) -> F.Column:
     continuation pieces with the ## prefix. The fold list is
     bind()-bound before rendering (the textops.bind O(n²) finding).
     Cost is O(len · WP_MAX_PIECE) map probes per word — bounded by
-    word length, never document length — and entirely map-side."""
-    L = F.length(term)
-    steps = F.sequence(F.lit(1), L)
+    word length, never document length — and entirely map-side.
 
-    def gstep(acc: F.Column, _i: F.Column) -> F.Column:
-        p = F.element_at(acc, -1)
-        jb = F.coalesce(
-            *[
-                F.when(
-                    (p + F.lit(j) <= L.cast("long"))
-                    & F.try_element_at(
-                        pmap, term.substr((p + 1).cast("int"), F.lit(j))
-                    ).isNotNull(),
-                    F.lit(j).cast("long"),
-                )
-                for j in range(WP_MAX_PIECE, 0, -1)
-            ]
-        )
-        return F.when(p < L, F.concat(acc, F.array(p + jb))).otherwise(acc)
-
-    ends = F.aggregate(steps, F.array(F.lit(0).cast("long")), gstep)
-
-    def render(e: F.Column) -> F.Column:
-        idx = F.sequence(F.lit(1), F.size(e) - 1)
-        return F.transform(
-            idx,
-            lambda k: F.concat(
-                F.when(k == 1, F.lit("")).otherwise(F.lit("##")),
-                term.substr(
-                    (F.element_at(e, k) + 1).cast("int"),
-                    (F.element_at(e, k + 1) - F.element_at(e, k)).cast("int"),
-                ),
-            ),
-        )
-
-    return bind(ends, render)
+    Round-13 (guide §1): the fold is assembled as ONE SQL string parsed
+    JVM-side. The previous Column-builder form issued ~700 py4j round
+    trips per call (8 coalesce branches × substr/try_element_at inside
+    a lambda — 0.86 s of driver wall per use, measured by cProfile);
+    the expression tree, and therefore the result, is unchanged."""
+    p = "element_at(acc, -1)"
+    jcases = ", ".join(
+        f"CASE WHEN {p} + {j} <= CAST(length({term}) AS BIGINT)"
+        f" AND try_element_at({pmap}, substr({term},"
+        f" CAST({p} + 1 AS INT), {j})) IS NOT NULL"
+        f" THEN CAST({j} AS BIGINT) END"
+        for j in range(WP_MAX_PIECE, 0, -1)
+    )
+    ends = (
+        f"aggregate(sequence(1, length({term})),"
+        f" array(CAST(0 AS BIGINT)),"
+        f" (acc, i) -> CASE WHEN {p} < length({term})"
+        f" THEN concat(acc, array({p} + coalesce({jcases})))"
+        f" ELSE acc END)"
+    )
+    render = (
+        f"e -> transform(sequence(1, size(e) - 1),"
+        f" k -> concat(CASE WHEN k = 1 THEN '' ELSE '##' END,"
+        f" substr({term}, CAST(element_at(e, k) + 1 AS INT),"
+        f" CAST(element_at(e, k + 1) - element_at(e, k) AS INT))))"
+    )
+    # bind(): evaluate the fold once per row (textops.bind, as before)
+    return F.expr(f"element_at(transform(array({ends}), {render}), 1)")
 
 
 def _wp_piece_map_frame(final: DataFrame) -> DataFrame:
@@ -2138,7 +2138,7 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = final.crossJoin(F.broadcast(_wp_piece_map_frame(final))).select(
         "term",
         "freq",
-        _wp_greedy_pieces(F.col("term"), F.col("pm")).alias("pieces"),
+        _wp_greedy_pieces("term", "pm").alias("pieces"),
     )
     tot = seg.agg(F.sum(F.col("freq") * F.size("pieces")).alias("corpus_tokens"))
     return (
@@ -4505,7 +4505,7 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp_final = wp_final.transform(spill_checkpoint)
     wp_seg = wp_final.crossJoin(
         F.broadcast(_wp_piece_map_frame(wp_final))
-    ).select("freq", _wp_greedy_pieces(F.col("term"), F.col("pm")).alias("pieces"))
+    ).select("freq", _wp_greedy_pieces("term", "pm").alias("pieces"))
     rows.append(metrics("wordpiece", wp_seg, "pieces"))
 
     return spark.createDataFrame(

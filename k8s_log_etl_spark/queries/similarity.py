@@ -357,23 +357,36 @@ def _lsh_search(
         else _table_weights(n_tables, n_planes)
     )
     probe_xors = [0] + [1 << j for j in range(n_planes)]
-    buck = _mt_signatures(
-        e.select("vec_id", "embedding"), n_tables, n_planes, weights
+    # Round-13 (guide §4.1): split query/corpus BEFORE the opaque
+    # Arrow signature pass. The former single `buck` frame had two
+    # consumers (broadcast q build, corpus join side) and mapInPandas
+    # is opaque to Spark, so the WHOLE signature pass executed twice —
+    # once per consumer — and the vec_id filters could not push below
+    # it. Filtering first pushes each predicate into the scan and
+    # signs every vector exactly once; per-row signatures are
+    # independent, so results are identical.
+    src = e.select("vec_id", "embedding")
+    qbuck = _mt_signatures(
+        src.filter(F.col("vec_id") < N_QUERIES), n_tables, n_planes, weights
     )
-    probe_pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    F.col(f"b{t}").bitwiseXOR(F.lit(x)).alias("bucket"),
-                )
-                for t in range(n_tables)
-                for x in probe_xors
-            ]
+    cbuck = _mt_signatures(
+        src.filter(F.col("vec_id") >= N_QUERIES), n_tables, n_planes, weights
+    )
+    # Round-13 (guide §1): the probe fan-out is n_tables × (n_planes+1)
+    # structs — built per element through py4j it cost 1.17 s of driver
+    # wall (cProfile); as ONE JVM-parsed SQL string it is a single
+    # round trip producing the identical expression tree.
+    probe_pairs = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('t', {t}, 'bucket', b{t} ^ {x})"
+            for t in range(n_tables)
+            for x in probe_xors
         )
+        + "))"
     )
     q = (
-        buck.filter(F.col("vec_id") < N_QUERIES)
+        qbuck
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -381,16 +394,15 @@ def _lsh_search(
         )
         .select("query_id", "q_emb", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
     )
-    corpus_pairs = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                for t in range(n_tables)
-            ]
+    corpus_pairs = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('t', {t}, 'bucket', b{t})" for t in range(n_tables)
         )
+        + "))"
     )
     c = (
-        buck.filter(F.col("vec_id") >= N_QUERIES)
+        cbuck
         .select("vec_id", "embedding", corpus_pairs.alias("p"))
         .select("vec_id", "embedding", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
     )
