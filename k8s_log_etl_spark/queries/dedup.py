@@ -918,39 +918,44 @@ def cc_star(pairs: DataFrame) -> DataFrame:
         )
         return viol.isEmpty()
 
+    # Round-13 (guide §2.4): each star round used to compute the
+    # per-neighborhood min as a groupBy + join-back — one agg shuffle
+    # plus a join whose build side is NODE-sized (broadcastable only at
+    # toy scale; at 100 TB that join is a second full shuffle). A
+    # window min over the SAME partition key folds both into the one
+    # exchange the round already pays, and the join disappears — per
+    # round this removes 2 aggregate shuffles and 2 join builds
+    # (66 → ~40 jobs at sf0.1). Duplicate (u, m) emits from the
+    # per-row small-star rewrite are collapsed by the round's existing
+    # distinct, so the edge SET per round is unchanged.
+    wlu = Window.partitionBy("u")
     while not _is_min_star_forest(e):
         # LARGE-STAR: for each node u over its full neighborhood Γ(u),
         # m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+        # Duplicate emits are harmless mid-round (min is duplicate-
+        # insensitive) and the small-star distinct below re-establishes
+        # the deduplicated invariant.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        lmin = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
+        lbase = sym.withColumn(
+            "m", F.least(F.min("v").over(wlu), F.col("u"))
         )
-        # No distinct here: duplicate emits are harmless mid-round (the
-        # two min-aggregates are duplicate-insensitive and partial
-        # aggregation absorbs dup keys map-side) and the small-star
-        # output below re-establishes the deduplicated invariant — one
-        # full shuffle per round saved (measured 3.3 → 2.8 s/loop at
-        # sf0.1).
         large = (
-            sym.join(lmin, "u")
-            .filter(F.col("v") > F.col("u"))
+            lbase.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
         # SMALL-STAR: orient each edge (larger, smaller); per larger
         # node u with smaller neighbors N, m = min(N); emit (v, m) for
-        # v ∈ N \ {m} plus (u, m).
+        # v ∈ N \ {m} plus (u, m) — the latter once per row here, the
+        # duplicates vanish in the distinct.
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        sbase = oriented.withColumn("m", F.min("v").over(wlu))
         small = (
-            oriented.join(smin, "u")
-            .filter(F.col("v") != F.col("m"))
+            sbase.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smin.select("u", F.col("m").alias("v")))
+            .union(sbase.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .transform(lambda df: spill_checkpoint(df, eager=False))
