@@ -2135,10 +2135,21 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the packing stage would consume."""
     final, _ = _wp_train(spark, sf_dir)
     final = final.transform(spill_checkpoint)  # two consumers below
-    seg = final.crossJoin(F.broadcast(_wp_piece_map_frame(final))).select(
-        "term",
-        "freq",
-        _wp_greedy_pieces("term", "pm").alias("pieces"),
+    # Round-13 (guide §7.2 "duplicated subtrees"): seg feeds BOTH the
+    # corpus-token aggregate and the output projection; without a
+    # checkpoint the whole piece-map build + greedy encode fold
+    # executed twice (the before-plan shows the vocab ObjectHashAggregate
+    # subtree and the encode Project duplicated under two
+    # BroadcastNestedLoopJoins). Vocab-sized, so the materialization is
+    # bounded at any corpus scale.
+    seg = (
+        final.crossJoin(F.broadcast(_wp_piece_map_frame(final)))
+        .select(
+            "term",
+            "freq",
+            _wp_greedy_pieces("term", "pm").alias("pieces"),
+        )
+        .transform(lambda df: spill_checkpoint(df, eager=False))
     )
     tot = seg.agg(F.sum(F.col("freq") * F.size("pieces")).alias("corpus_tokens"))
     return (
