@@ -544,9 +544,15 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
+        # Round-13 (guide §2.3): verify BEFORE the dedup exchange. A
+        # candidate pair sharing an 8-bit chunk usually fails the
+        # Hamming gate, and the filter is deterministic per row, so
+        # filter→distinct ≡ distinct→filter — the distinct then
+        # shuffles only true matches (3 narrow columns) instead of
+        # every candidate with both raw signatures.
         .filter(hamming <= SIMHASH_BANDED_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
     )
 
 
@@ -929,7 +935,18 @@ def cc_star(pairs: DataFrame) -> DataFrame:
     # per-row small-star rewrite are collapsed by the round's existing
     # distinct, so the edge SET per round is unchanged.
     wlu = Window.partitionBy("u")
-    while not _is_min_star_forest(e):
+    # Round-13: the FIRST state test can never pass on a nonempty
+    # generator pair set (pairs arrive oriented u < v, the exact
+    # opposite of the forest invariant u > v), so run round 1
+    # unconditionally — one action saved per call. On the two inputs
+    # where the old first test could pass (empty e; an adversarial
+    # already-converged u > v forest) the extra round is the identity
+    # (large-star and small-star are both identity on a min-star
+    # forest, and a round over an empty frame is empty), so the
+    # returned labels are unchanged.
+    first_round = True
+    while first_round or not _is_min_star_forest(e):
+        first_round = False
         # LARGE-STAR: for each node u over its full neighborhood Γ(u),
         # m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
         # Duplicate emits are harmless mid-round (min is duplicate-
