@@ -299,7 +299,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    # Estimate + threshold BEFORE the pair-dedup distinct (the
+    # simhash_banded discipline, guide §2.3): est_sim is a pure
+    # function of the pair's signatures, so filter/distinct commute
+    # row-wise — the distinct then shuffles only true matches carrying
+    # 3 narrow columns instead of every band collision dragging both
+    # full 16-long signatures through the exchange.
+    eq_count = F.size(
+        F.filter(
+            F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -307,20 +319,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.mh").alias("mh_a"),
-            F.col("b.mh").alias("mh_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(eq_count / F.lit(float(NUM_HASHES)), 6).alias("est_sim"),
         )
-        .distinct()
-    )
-    eq_count = F.size(
-        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq)
-    )
-    return (
-        cand.withColumn("est_sim", F.round(eq_count / F.lit(float(NUM_HASHES)), 6))
         .filter(F.col("est_sim") >= MINHASH_EST_THRESHOLD)
-        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "est_sim")
+        .distinct()
     )
 
 

@@ -38,8 +38,14 @@ def _ordered_copurchase_pairs(
     of 478M rows at synth-sf10), which is the dominant shuffle of the
     whole graph family's edge build; consumers symmetrize map-side."""
     li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    per_order = po.groupBy("l_orderkey").agg(
+    # collect_set IS the per-order distinct — the former explicit
+    # po.distinct() pre-pass shuffled the full (orderkey, partkey)
+    # stream a second time for a dedup the set-aggregate already
+    # performs, and partial (map-side) collect_set combines before the
+    # exchange, so this is strictly one lineitem-sized shuffle instead
+    # of two (guide §2.4: "a distinct on data that is already unique"
+    # — here, unique-ified by the very next operator).
+    per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     ps = F.col("ps")
