@@ -63,8 +63,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc = _dec("l_discount")
     price = _dec("l_extendedprice")
+    # ensure_min_parallelism AFTER the pushed-down filter (round-13,
+    # guide §2.5 input skew): the driver parquet is one row-group, so
+    # scan + partial DECIMAL aggregation otherwise run on ONE core —
+    # the whole head was measured scan-task-bound. A no-op at
+    # production scale (splits >> cores); DECIMAL sums are exact and
+    # order-insensitive, so redistribution cannot change results.
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        ensure_min_parallelism(
+            l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+            spark,
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -1081,9 +1090,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     both nation legs are broadcast dims; the date filter is pushed to
     the scan so only two ship-years are read. DECIMAL revenue for
     cross-engine exactness."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    # ensure_min_parallelism after the pushed-down 2-year filter: the
+    # one-row-group driver parquet otherwise runs scan + the fact-fact
+    # join's map side on ONE core (same rationale as q1; no-op at
+    # production scale, DECIMAL agg order-insensitive).
+    l = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        ),
+        spark,
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
