@@ -62,6 +62,43 @@ def dot_sql(u: str, v: str) -> str:
     )
 
 
+def dot_fixed_sql(u: str, v: str, dim: int) -> str:
+    """Spark-SQL string for `dot` UNROLLED over a known, fixed
+    dimensionality (round-13, guide §4.1): `zip_with` + `aggregate`
+    lambdas evaluate INTERPRETED, outside whole-stage codegen — per-row
+    higher-order dispatch was measured 2.6-5.5x slower than codegen'd
+    expressions elsewhere in this repo. The unrolled left-associated
+    chain `((0.0 + u1*v1) + u2*v2) + ...` performs the exact additions
+    of `aggregate`'s sequential fold in the same order on the same
+    doubles, so results are bit-identical; it only becomes codegen'able.
+    Requires both arrays to have exactly `dim` elements (the ingest
+    contract for the embeddings/RAG frames). Emitted as ONE SQL string
+    so plan construction is one JVM parse, not O(dim) py4j calls."""
+    terms = " + ".join(
+        f"(CAST(element_at({u}, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at({v}, {i + 1}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def cosine_fixed_sql(u: str, v: str, dim: int) -> str:
+    """Unrolled-codegen twin of `cosine` for fixed-dim arrays — same
+    sequential summation per dot, so bit-identical to the lambda form."""
+    return (
+        f"({dot_fixed_sql(u, v, dim)} / "
+        f"(sqrt({dot_fixed_sql(u, u, dim)}) * sqrt({dot_fixed_sql(v, v, dim)})))"
+    )
+
+
+def dot_fixed(u: str, v: str, dim: int) -> Column:
+    return F.expr(dot_fixed_sql(u, v, dim))
+
+
+def cosine_fixed(u: str, v: str, dim: int) -> Column:
+    return F.expr(cosine_fixed_sql(u, v, dim))
+
+
 def l2norm(u: Column) -> Column:
     return F.sqrt(dot(u, u))
 

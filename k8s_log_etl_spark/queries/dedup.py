@@ -475,7 +475,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = X.cosine_fixed("a.embedding", "b.embedding", EMB_DIM)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos >= COSINE_DUP_THRESHOLD)
@@ -564,7 +564,11 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding near-dup via hyperplane-LSH buckets (the scale path)
 # ---------------------------------------------------------------------------
 
-from k8s_log_etl_spark.queries.similarity import _bucket_spark, _bucket_sql  # noqa: E402
+from k8s_log_etl_spark.queries.similarity import (  # noqa: E402
+    DIM as EMB_DIM,
+    _bucket_spark,
+    _bucket_sql,
+)
 
 _COS_LSH_SQL = f"""
 WITH buck AS (
@@ -588,10 +592,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits them. Sub-quadratic: |pairs| bounded per bucket."""
     from k8s_log_etl_spark.queries.similarity import load_vectors
     e = load_vectors(spark, sf_dir)
-    buck = e.select("vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket"))
+    buck = e.select("vec_id", "embedding", _bucket_spark("embedding").alias("bucket"))
     a = buck.alias("a")
     b = buck.alias("b")
-    cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = X.cosine_fixed("a.embedding", "b.embedding", EMB_DIM)
     return (
         a.join(
             b,
@@ -770,7 +774,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = assigned.select("vec_id", "embedding", "k")
     a = cells.alias("a")
     b = cells.alias("b")
-    cos = X.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = X.cosine_fixed("a.embedding", "b.embedding", EMB_DIM)
     return (
         a.join(
             b,

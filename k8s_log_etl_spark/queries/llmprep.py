@@ -2990,12 +2990,26 @@ def _rag_emb(chunk: F.Column) -> F.Column:
     )
 
 
-def _rag_bucket(e: F.Column) -> F.Column:
-    out = F.lit(0)
+def _rag_bucket(e: str) -> F.Column:
+    """Hyperplane bucket of the embedding column named `e` — round-13
+    rebuilt as ONE unrolled SQL string (guide §4.1/§7.3): the former
+    zip_with+aggregate dot per plane evaluated INTERPRETED per row (6
+    planes x RAG_DIM elements of higher-order dispatch), and its
+    py4j-built literal arrays cost driver wall per call. The unrolled
+    sum performs the same double multiplies/adds in the same order —
+    bucket bits bit-identical — inside whole-stage codegen."""
+    terms = []
     for j in range(RAG_PLANES):
-        w = F.array(*[F.lit(float(_rag_plane(j, i))) for i in range(RAG_DIM)])
-        out = out + F.when(X.dot(e, w) > 0, F.lit(1 << j)).otherwise(0)
-    return out
+        prods = " + ".join(
+            f"(CAST(element_at({e}, {i + 1}) AS DOUBLE)"
+            f" * CAST({float(_rag_plane(j, i))!r} AS DOUBLE))"
+            for i in range(RAG_DIM)
+        )
+        terms.append(
+            f"(CASE WHEN (CAST(0.0 AS DOUBLE) + {prods}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 @register(
@@ -3046,7 +3060,7 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cidx = chunks.select(
         "doc_id", "win_id", _rag_emb(F.col("chunk")).alias("e")
-    ).select("doc_id", "win_id", "e", _rag_bucket(F.col("e")).alias("b"))
+    ).select("doc_id", "win_id", "e", _rag_bucket("e").alias("b"))
     qidx = (
         base.filter(F.col("doc_id") < RAG_QUERY_DOCS)
         .select(
@@ -3054,9 +3068,11 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("w", 1, CHUNK_WINDOW)).alias("chunk"),
         )
         .select("query_doc", _rag_emb(F.col("chunk")).alias("qe"))
-        .select("query_doc", "qe", _rag_bucket(F.col("qe")).alias("qb"))
+        .select("query_doc", "qe", _rag_bucket("qe").alias("qb"))
     )
-    cos = X.cosine(F.col("qe"), F.col("e"))
+    # exact re-rank in codegen: unrolled fixed-dim cosine, bit-identical
+    # to the interpreted zip_with/aggregate form (see X.dot_fixed_sql)
+    cos = X.cosine_fixed("qe", "e", RAG_DIM)
     wr = Window.partitionBy("query_doc").orderBy(
         F.desc("cos_raw"), F.asc("doc_id"), F.asc("win_id")
     )
@@ -5534,7 +5550,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.crossJoin(F.broadcast(qs))
         .filter(F.col("doc_id") != F.col("query_id"))
         .select(
-            "query_id", "doc_id", X.cosine(F.col("qe"), F.col("e")).alias("cos")
+            "query_id", "doc_id", X.cosine_fixed("qe", "e", RAG_DIM).alias("cos")
         )
         .withColumn("rn", F.row_number().over(wsem))
         .filter(F.col("rn") <= RRF_SEM_TOPK)

@@ -622,19 +622,25 @@ def _xm_txt_vec(text: F.Column) -> F.Column:
     )
 
 
-def _xm_bucket(e: F.Column, band: int) -> F.Column:
+def _xm_bucket(e: str, band: int) -> F.Column:
     from k8s_log_etl_spark.functions import xengine as X
 
-    out = F.lit(0)
+    # round-13: unrolled SQL-string hyperplane signs (guide §4.1) — the
+    # zip_with/aggregate dot evaluated interpreted per row; the unrolled
+    # chain performs the identical double ops in the same order inside
+    # codegen. `e` is the embedding column NAME.
+    terms = []
     for j in range(XMODAL_PLANES):
-        w = F.array(
-            *[
-                F.lit(float(_xm_plane(band * XMODAL_PLANES + j, i)))
-                for i in range(XMODAL_DIM)
-            ]
+        prods = " + ".join(
+            f"(CAST(element_at({e}, {i + 1}) AS DOUBLE)"
+            f" * CAST({float(_xm_plane(band * XMODAL_PLANES + j, i))!r} AS DOUBLE))"
+            for i in range(XMODAL_DIM)
         )
-        out = out + F.when(X.dot(e, w) > 0, F.lit(1 << j)).otherwise(0)
-    return out
+        terms.append(
+            f"(CASE WHEN (CAST(0.0 AS DOUBLE) + {prods}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 @register(
@@ -679,7 +685,7 @@ def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cidx = img.select(
         "doc_id",
         "e",
-        *[_xm_bucket(F.col("e"), b).alias(f"b{b}") for b in range(XMODAL_BANDS)],
+        *[_xm_bucket("e", b).alias(f"b{b}") for b in range(XMODAL_BANDS)],
     )
     txt = d.filter(F.col("doc_id") < XMODAL_QUERY_DOCS).select(
         F.col("doc_id").alias("query_doc"), _xm_txt_vec(F.col("text")).alias("qe")
@@ -688,7 +694,7 @@ def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_doc",
         "qe",
         *[
-            _xm_bucket(F.col("qe"), b).alias(f"qb{b}")
+            _xm_bucket("qe", b).alias(f"qb{b}")
             for b in range(XMODAL_BANDS)
         ],
     ).localCheckpoint(eager=True)
@@ -714,7 +720,7 @@ def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_doc",
             "doc_id",
-            X.cosine(F.col("qe"), F.col("e")).alias("cos_raw"),
+            X.cosine_fixed("qe", "e", XMODAL_DIM).alias("cos_raw"),
         )
     )
     wspec = Window.partitionBy("query_doc").orderBy(

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import ensure_min_parallelism, load_table
+from k8s_log_etl_spark.tables import (
+    ensure_min_parallelism,
+    load_table,
+    spill_checkpoint,
+)
 
 
 def _dec(col: str) -> F.Column:
@@ -2589,9 +2593,19 @@ def parts_copurchased(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lift divides exact integer counts — deterministic; top-20 frontier
     tie-broken by (pa, pb)."""
     l = load_table(spark, sf_dir, "lineitem")
-    po = l.select("l_orderkey", "l_partkey").distinct()
-    per_order = po.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    # Round-13 (guide §2.4 / §1.2(1)): the former po.distinct() shared
+    # by three consumers cost a full (orderkey, partkey) shuffle AND
+    # re-ran scan+distinct once per consumer. collect_set dedups per
+    # order (so per_order needs no distinct pre-pass), and the other
+    # two consumers derive from per_order itself: exploding the sorted
+    # part sets re-yields each (order, part) exactly once for the
+    # per-part order counts, and the order total is per_order's row
+    # count (every lineitem order has >= 1 part). ONE orderkey shuffle
+    # + a lazy checkpoint replace 3 scan+distinct executions.
+    per_order = (
+        l.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .transform(lambda df: spill_checkpoint(df, eager=False))
     )
     ps = F.col("ps")
     pair_list = F.flatten(
@@ -2609,8 +2623,12 @@ def parts_copurchased(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
-    pc = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
-    tot = po.agg(F.count_distinct("l_orderkey").alias("n"))
+    pc = (
+        per_order.select(F.explode(ps).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    tot = per_order.agg(F.count(F.lit(1)).alias("n"))
     ca = pc.select(F.col("l_partkey").alias("ka"), F.col("n_ord").alias("na"))
     cb = pc.select(F.col("l_partkey").alias("kb"), F.col("n_ord").alias("nb"))
     return (

@@ -54,11 +54,20 @@ def _plane_weight(j: int, i: int) -> int:
     return ((j * 31 + i * 17) % 13) - 6
 
 
-def _proj_spark(vec: F.Column, j: int) -> F.Column:
-    """Signed projection of `vec` onto integer hyperplane j (sequential
-    double sum, same order as the oracle)."""
-    w = F.array(*[F.lit(float(_plane_weight(j, i))) for i in range(DIM)])
-    return X.dot(vec, w)
+def _proj_spark(vec: str, j: int) -> F.Column:
+    """Signed projection of the embedding column NAMED `vec` onto
+    integer hyperplane j — round-13 unrolled to ONE SQL string (guide
+    §4.1): the former zip_with/aggregate dot evaluated interpreted per
+    row and its 64 literal lit() calls cost py4j driver wall per plane.
+    The unrolled chain performs the identical double multiplies/adds in
+    the same sequential order (leading 0.0 kept), so projections are
+    bit-identical, now inside whole-stage codegen."""
+    terms = " + ".join(
+        f"(CAST(element_at({vec}, {i + 1}) AS DOUBLE)"
+        f" * CAST({float(_plane_weight(j, i))!r} AS DOUBLE))"
+        for i in range(DIM)
+    )
+    return F.expr(f"(CAST(0.0 AS DOUBLE) + {terms})")
 
 
 def _proj_sql(vec: str, j: int) -> str:
@@ -68,7 +77,7 @@ def _proj_sql(vec: str, j: int) -> str:
     return f"({terms})"
 
 
-def _bucket_spark(vec: F.Column) -> F.Column:
+def _bucket_spark(vec: str) -> F.Column:
     return sum(
         F.when(_proj_spark(vec, j) > 0, F.lit(1 << j)).otherwise(0) for j in range(N_PLANES)
     )
@@ -107,7 +116,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = e.filter(F.col("vec_id") >= N_QUERIES)
-    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    cos = X.cosine_fixed("q_emb", "embedding", DIM)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         c.crossJoin(F.broadcast(q))
@@ -406,7 +415,7 @@ def _lsh_search(
         .select("vec_id", "embedding", corpus_pairs.alias("p"))
         .select("vec_id", "embedding", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
     )
-    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    cos = X.cosine_fixed("q_emb", "embedding", DIM)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         c.join(F.broadcast(q), ["t", "bucket"])
@@ -426,7 +435,7 @@ def _lsh_search(
 GRID_STEP = 25.0  # cell width over the two coarse projection axes
 
 
-def _cell_spark(vec: F.Column, j: int) -> F.Column:
+def _cell_spark(vec: str, j: int) -> F.Column:
     return F.floor(_proj_spark(vec, j) / GRID_STEP).cast("long")
 
 
@@ -471,8 +480,8 @@ def knn_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_vectors(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id", "embedding",
-        _cell_spark(F.col("embedding"), 0).alias("c0"),
-        _cell_spark(F.col("embedding"), 1).alias("c1"),
+        _cell_spark("embedding", 0).alias("c0"),
+        _cell_spark("embedding", 1).alias("c1"),
     )
     probes = F.explode(
         F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -483,8 +492,8 @@ def knn_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            _cell_spark(F.col("embedding"), 0).alias("q0"),
-            _cell_spark(F.col("embedding"), 1).alias("q1"),
+            _cell_spark("embedding", 0).alias("q0"),
+            _cell_spark("embedding", 1).alias("q1"),
             probes.alias("p"),
         )
         .select(
@@ -493,7 +502,7 @@ def knn_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q1") + F.col("p.dy")).alias("c1"),
         )
     )
-    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    cos = X.cosine_fixed("q_emb", "embedding", DIM)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         corpus.join(F.broadcast(q), ["c0", "c1"])
@@ -1121,7 +1130,7 @@ def knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    adc = X.cosine(F.col("q_emb"), F.col("r"))
+    adc = X.cosine_fixed("q_emb", "r", DIM)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_raw"), F.asc("vec_id"))
     return (
         rec.crossJoin(F.broadcast(q))
@@ -1395,7 +1404,7 @@ def _refine_search(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = e.select("vec_id", "embedding")
-    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    cos = X.cosine_fixed("q_emb", "embedding", DIM)
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         c.join(F.broadcast(shortlist), "vec_id")
@@ -1472,8 +1481,8 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         "vec_id",
         "embedding",
-        _cell_spark(F.col("embedding"), 0).alias("c0"),
-        _cell_spark(F.col("embedding"), 1).alias("c1"),
+        _cell_spark("embedding", 0).alias("c0"),
+        _cell_spark("embedding", 1).alias("c1"),
     )
     probes = F.explode(
         F.array(
@@ -1489,8 +1498,8 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            _cell_spark(F.col("embedding"), 0).alias("q0"),
-            _cell_spark(F.col("embedding"), 1).alias("q1"),
+            _cell_spark("embedding", 0).alias("q0"),
+            _cell_spark("embedding", 1).alias("q1"),
             probes.alias("p"),
         )
         .select(
@@ -1500,7 +1509,7 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q1") + F.col("p.dy")).alias("c1"),
         )
     )
-    cos = X.cosine(F.col("q_emb"), F.col("embedding"))
+    cos = X.cosine_fixed("q_emb", "embedding", DIM)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         corpus.join(F.broadcast(q), ["c0", "c1"])
