@@ -305,11 +305,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-wise — the distinct then shuffles only true matches carrying
     # 3 narrow columns instead of every band collision dragging both
     # full 16-long signatures through the exchange.
-    eq_count = F.size(
-        F.filter(
-            F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
+    # round-13: the signature-match count is unrolled over the fixed
+    # NUM_HASHES width (guide §4.1) — zip_with/filter lambdas evaluate
+    # interpreted per candidate row; the unrolled integer CASE-sum is
+    # the same count inside codegen.
+    eq_count = sum(
+        F.when(F.get(F.col("a.mh"), i) == F.get(F.col("b.mh"), i), 1).otherwise(0)
+        for i in range(NUM_HASHES)
     )
     return (
         a.join(
@@ -705,10 +707,11 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets = d.select("doc_id", _shingle_array().alias("sset"))
     sa, sb = sets.alias("sa"), sets.alias("sb")
-    est_raw = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # unrolled fixed-width match count (see dedup_minhash_lsh) — same
+    # integer sum, codegen instead of an interpreted fold
+    est_raw = sum(
+        F.when(F.get(F.col("mh_a"), i) == F.get(F.col("mh_b"), i), 1).otherwise(0)
+        for i in range(NUM_HASHES)
     ) / F.lit(float(NUM_HASHES))
     inter = F.size(F.array_intersect("sa.sset", "sb.sset"))
     union = F.size("sa.sset") + F.size("sb.sset") - inter

@@ -42,11 +42,10 @@ def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfiltered results are identical there and every oracle row is
     unaffected."""
     e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    sq_norm = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda a, x: a + x.cast("double") * x.cast("double"),
-    )
+    # round-13: unrolled fixed-dim squared norm (guide §4.1) — the
+    # aggregate lambda ran interpreted on EVERY vector load of every
+    # knn path; same doubles, same sequential add order, now codegen'd.
+    sq_norm = F.expr(X.dot_fixed_sql("embedding", "embedding", DIM))
     return e.filter(F.col("embedding").isNotNull() & (sq_norm > 0))
 
 
@@ -669,16 +668,18 @@ FROM {final} GROUP BY k
 
 
 def _sqdist_fold(vec: F.Column, cvec: list[float]) -> F.Column:
-    """Sequential-fold squared distance to a literal centroid (same
-    left-to-right order as _sqdist_sql)."""
-    arr = F.array(*[F.lit(v) for v in cvec])
-    return F.aggregate(
-        F.zip_with(
-            vec, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """Sequential squared distance to a literal centroid — round-13
+    UNROLLED over the (fixed, known) centroid length instead of the
+    zip_with/aggregate fold, which evaluated interpreted per row
+    (guide §4.1). The Python loop builds the identical left-associated
+    sum ((0.0 + t0) + t1)... over the identical per-element doubles
+    ((x_i - c_i)^2), so distances are bit-identical to _sqdist_sql;
+    `vec` may be any array expression (e.g. a PQ subvector slice)."""
+    acc: F.Column = F.lit(0.0)
+    for i, c in enumerate(cvec):
+        x = F.get(vec, i).cast("double")
+        acc = acc + (x - F.lit(float(c))) * (x - F.lit(float(c)))
+    return acc
 
 
 def _kmeans_assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:

@@ -71,6 +71,17 @@ def get_spark(
         # by the advisory size exactly as before, so cluster-scale
         # behavior is unchanged (guide §2.2/§2.5).
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Pick join strategy deliberately (guide §3.1): prefer shuffled
+        # HASH join over sort-merge when the per-partition build side
+        # fits — skips both sides' sorts. The AQE threshold bounds the
+        # build partition at the advisory size (64 MB default), so the
+        # OOM risk sort-merge avoids is capped the same way at any
+        # scale; AQE can also rewrite SMJ->SHJ at runtime from real map
+        # stats. Join strategy cannot change results: every aggregate
+        # in the suite is integer/DECIMAL or explicitly
+        # rounding-stable (the oracle-exactness discipline).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
