@@ -151,12 +151,22 @@ def _current_round(here: str):
     """This round's number: $SPARK_GRAFT_ROUND or argv[1] when given,
     else newest committed BENCH round + 1 (right whenever this round's
     own file hasn't been written yet — round-5 ADVICE)."""
+    return _current_round_ex(here)[0]
+
+
+def _current_round_ex(here: str):
+    """(round, inferred): `inferred` is True when the number came from
+    the newest-BENCH-file heuristic rather than an explicit
+    $SPARK_GRAFT_ROUND / argv pin — the artifact write path refuses to
+    overwrite an existing BENCH_full_r{N}.json on an inferred round
+    (round-13 verdict #6/#8: the driver's own post-judgment re-run
+    inferred N+1 and wrote a misleading next-round artifact)."""
     for raw in (
         os.environ.get("SPARK_GRAFT_ROUND"),
         sys.argv[1] if len(sys.argv) > 1 else None,
     ):
         if raw and re.fullmatch(r"\d+", raw.strip()):
-            return int(raw.strip())
+            return int(raw.strip()), False
     benches = _bench_files(here)
     if benches:
         inferred = int(re.search(r"\d+", benches[-1]).group()) + 1
@@ -166,8 +176,26 @@ def _current_round(here: str):
             f"set SPARK_GRAFT_ROUND to pin on re-runs (round-12 ADVICE)",
             file=sys.stderr,
         )
-        return inferred
-    return None
+        return inferred, True
+    return None, True
+
+
+def _artifact_target(here: str, cur: int, inferred: bool) -> str:
+    """Where the full artifact lands. Round-13 verdict #8: an INFERRED
+    round number must never overwrite an artifact that already exists
+    for that round — the driver's own post-judgment re-run hit exactly
+    this and committed a misleading BENCH_full_r14.json. Re-runs on a
+    judged tree land in a clearly-labeled side file instead."""
+    target = os.path.join(here, f"BENCH_full_r{cur:02d}.json")
+    if inferred and os.path.exists(target):
+        print(
+            f"bench: {os.path.basename(target)} already exists and the "
+            f"round was inferred — writing BENCH_full_inferred.json "
+            f"instead; set SPARK_GRAFT_ROUND to pin",
+            file=sys.stderr,
+        )
+        return os.path.join(here, "BENCH_full_inferred.json")
+    return target
 
 
 def _balanced_object_after(text: str, key: str):
@@ -519,6 +547,19 @@ def main() -> None:
         cal["factor"] = round(factor, 4)
 
     total = round(sum(timings.values()), 3)
+    # Execution-width evidence (round-13 verdict #4): the artifact
+    # itself proves which core count ran — the driver benches at two
+    # widths to measure scaling, and its r13 scaling block false-
+    # alarmed `suspect_cpus_ignored` because nothing in the JSON line
+    # said local[8] vs local[32]. `cpus` echoes the env contract,
+    # `default_parallelism` what the live context actually used, and
+    # the calibration block's fixed 32-partition wide-kernel pair is
+    # the independent witness (reads ~2.9x slower at 8 cores).
+    width = {
+        "env_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+    }
     # Key order matters: the round driver keeps only the LAST 2000
     # chars of this output (BENCH_r*.json `tail`), and from round 11
     # the committed `samples` made the line overflow that — so the big
@@ -539,17 +580,18 @@ def main() -> None:
         "samples": samples,
         "queries_min": timings_min,
         "calibration": cal,
+        "cpus": width,
         "value": total,
         "queries": timings,
         "matched_subtotals": _matched_subtotals(timings, cal, timings_min),
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    cur = _current_round(here)
+    cur, inferred = _current_round_ex(here)
     # sf guard: never let a smoke run (sf0.001) overwrite the round's
     # committed full-scale artifact — next round's medians comparison
     # reads this file.
     if cur is not None and sf >= 0.05:
-        with open(os.path.join(here, f"BENCH_full_r{cur:02d}.json"), "w") as f:
+        with open(_artifact_target(here, cur, inferred), "w") as f:
             json.dump(result, f)
     print(json.dumps(result))
     spark.stop()

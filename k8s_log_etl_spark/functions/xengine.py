@@ -71,12 +71,18 @@ def dot_fixed_sql(u: str, v: str, dim: int) -> str:
     chain `((0.0 + u1*v1) + u2*v2) + ...` performs the exact additions
     of `aggregate`'s sequential fold in the same order on the same
     doubles, so results are bit-identical; it only becomes codegen'able.
-    Requires both arrays to have exactly `dim` elements (the ingest
-    contract for the embeddings/RAG frames). Emitted as ONE SQL string
-    so plan construction is one JVM parse, not O(dim) py4j calls."""
+    The ingest contract is arrays of exactly `dim` elements; on a row
+    that VIOLATES it, try_element_at (round-13 ADVICE: ANSI-mode
+    element_at would fail the whole job on one malformed vector)
+    yields NULL past the end, the NULL propagates through the chain,
+    and the row scores NULL — byte-for-byte the old zip_with/aggregate
+    fold's behavior, which load_vectors' sq_norm > 0 ingest guard then
+    drops (pinned in tests/test_fixed_dim_contract.py). Emitted as ONE
+    SQL string so plan construction is one JVM parse, not O(dim) py4j
+    calls."""
     terms = " + ".join(
-        f"(CAST(element_at({u}, {i + 1}) AS DOUBLE)"
-        f" * CAST(element_at({v}, {i + 1}) AS DOUBLE))"
+        f"(CAST(try_element_at({u}, {i + 1}) AS DOUBLE)"
+        f" * CAST(try_element_at({v}, {i + 1}) AS DOUBLE))"
         for i in range(dim)
     )
     return f"(CAST(0.0 AS DOUBLE) + {terms})"

@@ -103,20 +103,44 @@ def posting_pairs(sh: DataFrame, cap: int = POSTING_CAP):
     re-shuffled and re-sorted the full posting stream twice. The
     per-shingle pair count stays bounded by cap²/2 exactly as before.
     The grouped postings frame is checkpointed once for its two
-    consumers (sizes + pair expansion)."""
+    consumers (sizes + pair expansion).
+
+    Round-14 (guide §2.3, round-13 verdict #7): the shingle key is
+    hashed to an 8-byte md5_long BEFORE the exchange — the one shuffle
+    of the posting stream carries (long, long) rows instead of
+    (~20-byte string, long), and the window/agg compare longs instead
+    of strings (the round-8 prefix_jaccard k-space treatment; at
+    synth-sf10 the string sorts there were the spill driver). No
+    consumer ever reads the key back out (postings drops it after
+    grouping), so the rewrite is output-transparent UNLESS two distinct
+    shingles collide in 60 bits — the same probabilistic contract
+    prefix_jaccard documents (P ~ n_distinct² · 2⁻⁶⁰ per doc pair;
+    expected-nonzero only around ~10¹² distinct shingles), witnessed
+    collision-free by the DuckDB hash-match at every tested SF. The
+    POSTING_CAP df-filter counts hash groups rather than string groups
+    — identical absent collisions, and the cap path is lossy by
+    contract anyway."""
     wcap = Window.partitionBy("s")
     postings = (
-        sh.withColumn("df_", F.count(F.lit(1)).over(wcap))
+        sh.select("doc_id", X.md5_long(F.col("s")).alias("s"))
+        .withColumn("df_", F.count(F.lit(1)).over(wcap))
         .filter(F.col("df_") <= cap)
         .groupBy("s")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .select("ds")
         .transform(spill_checkpoint)  # data-sized: serialized+spillable
     )
+    # sizes is consumed TWICE by every scoring caller (the sa/sb join
+    # aliases) and Catalyst re-executes the explode + two-level agg per
+    # alias — the r13 operator-metrics block shows the subtree verbatim
+    # twice. A LAZY checkpoint computes it once (doc-count-sized — one
+    # (doc_id, sz) row per doc, spillable); callers that ignore sizes
+    # (edit-distance) never materialize it.
     sizes = (
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
+        .transform(lambda df: spill_checkpoint(df, eager=False))
     )
     ds = F.col("ds")
     pair_structs = F.flatten(

@@ -3001,7 +3001,7 @@ def _rag_bucket(e: str) -> F.Column:
     terms = []
     for j in range(RAG_PLANES):
         prods = " + ".join(
-            f"(CAST(element_at({e}, {i + 1}) AS DOUBLE)"
+            f"(CAST(try_element_at({e}, {i + 1}) AS DOUBLE)"
             f" * CAST({float(_rag_plane(j, i))!r} AS DOUBLE))"
             for i in range(RAG_DIM)
         )

@@ -632,7 +632,7 @@ def _xm_bucket(e: str, band: int) -> F.Column:
     terms = []
     for j in range(XMODAL_PLANES):
         prods = " + ".join(
-            f"(CAST(element_at({e}, {i + 1}) AS DOUBLE)"
+            f"(CAST(try_element_at({e}, {i + 1}) AS DOUBLE)"
             f" * CAST({float(_xm_plane(band * XMODAL_PLANES + j, i))!r} AS DOUBLE))"
             for i in range(XMODAL_DIM)
         )

@@ -62,7 +62,7 @@ def _proj_spark(vec: str, j: int) -> F.Column:
     the same sequential order (leading 0.0 kept), so projections are
     bit-identical, now inside whole-stage codegen."""
     terms = " + ".join(
-        f"(CAST(element_at({vec}, {i + 1}) AS DOUBLE)"
+        f"(CAST(try_element_at({vec}, {i + 1}) AS DOUBLE)"
         f" * CAST({float(_plane_weight(j, i))!r} AS DOUBLE))"
         for i in range(DIM)
     )

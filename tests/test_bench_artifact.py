@@ -172,3 +172,33 @@ def test_operator_metrics_vs_prev_flags_drift(tmp_path, monkeypatch):
 def test_operator_metrics_vs_prev_absent_when_no_prev(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "13")
     assert bench._operator_metrics_vs_prev({}, {}, str(tmp_path)) is None
+
+
+def test_inferred_round_never_overwrites_existing_artifact(tmp_path, monkeypatch):
+    """Round-13 verdict #8: re-running bench.py on a judged tree (no
+    SPARK_GRAFT_ROUND, this round's artifact already committed) must
+    NOT overwrite it — the write is redirected to
+    BENCH_full_inferred.json. A pinned round keeps the canonical name
+    (overwriting your own round's artifact mid-round is the normal
+    measure/re-measure flow)."""
+    existing = tmp_path / "BENCH_full_r14.json"
+    existing.write_text("{}")
+    # inferred + exists -> side file
+    assert bench._artifact_target(str(tmp_path), 14, True).endswith(
+        "BENCH_full_inferred.json"
+    )
+    # pinned round -> canonical name even though it exists
+    assert bench._artifact_target(str(tmp_path), 14, False) == str(existing)
+    # inferred but nothing committed yet -> canonical name
+    assert bench._artifact_target(str(tmp_path), 15, True).endswith(
+        "BENCH_full_r15.json"
+    )
+
+
+def test_current_round_ex_flags_inference(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
+    (tmp_path / "BENCH_r13.json").write_text("{}")
+    assert bench._current_round_ex(str(tmp_path)) == (14, True)
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "14")
+    assert bench._current_round_ex(str(tmp_path)) == (14, False)

@@ -23,7 +23,7 @@ from k8s_log_etl_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("PLAN_DUMP_SF_DIR", "/root/testdata/sf0.001")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r13")
+                   "plans", os.environ.get("PLAN_DUMP_ROUND", "r14"))
 
 
 def main() -> int:
