@@ -948,14 +948,38 @@ def cc_star(pairs: DataFrame) -> DataFrame:
     # e0 arrives oriented u < v, which is star-shaped but wrongly
     # oriented for labels — it must never short-circuit the loop.
     def _is_min_star_forest(edges: DataFrame) -> bool:
-        viol = edges.filter(F.col("u") <= F.col("v")).unionAll(
-            edges.alias("sa")
-            .join(
-                edges.alias("sb"),
-                F.col("sa.v") == F.col("sb.u"),
-                "left_semi",
+        # Round-14 (guide §2.3): the former u<=v filter ∪ self
+        # SEMI-JOIN (sa.v == sb.u) exchanged the edge set TWICE per
+        # test; this single flag aggregation exchanges once, and
+        # map-side partial max shrinks the 2|E| node stream to ~|V|
+        # rows before the wire. Same predicate exactly: a violation is
+        # an edge with u <= v, or a node on BOTH sides.
+        flags = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.lit(1).alias("us"),
+                        F.lit(0).alias("vs"),
+                        (F.col("u") <= F.col("v")).cast("int").alias("bad"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.lit(0).alias("us"),
+                        F.lit(1).alias("vs"),
+                        F.lit(0).alias("bad"),
+                    ),
+                )
+            ).alias("f")
+        ).select("f.*")
+        viol = (
+            flags.groupBy("node")
+            .agg(
+                F.max("us").alias("us"),
+                F.max("vs").alias("vs"),
+                F.max("bad").alias("bad"),
             )
-            .select("u", "v")
+            .filter((F.col("bad") == 1) | ((F.col("us") == 1) & (F.col("vs") == 1)))
         )
         return viol.isEmpty()
 
@@ -1004,10 +1028,20 @@ def cc_star(pairs: DataFrame) -> DataFrame:
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         sbase = oriented.withColumn("m", F.min("v").over(wlu))
+        # Round-14 (guide §2.3): the (u, m) center edge used to be
+        # emitted once PER ROW of sbase (k copies for a k-neighborhood,
+        # all collapsed by the distinct); m = min(N) is attained by
+        # some row (v == m), so emitting it from exactly that row
+        # yields the identical pre-distinct SET with ~half the rows
+        # entering the distinct exchange.
         small = (
             sbase.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(sbase.select("u", F.col("m").alias("v")))
+            .union(
+                sbase.filter(F.col("v") == F.col("m")).select(
+                    "u", F.col("m").alias("v")
+                )
+            )
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .transform(lambda df: spill_checkpoint(df, eager=False))

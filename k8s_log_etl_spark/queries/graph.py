@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from k8s_log_etl_spark.functions import xengine as X
 from k8s_log_etl_spark.plans.registry import register
-from k8s_log_etl_spark.tables import load_table, spill_checkpoint
+from k8s_log_etl_spark.tables import (
+    ensure_min_parallelism,
+    load_table,
+    spill_checkpoint,
+)
 
 PR_Q = 10**12       # rank quantization (integer Q-units)
 PR_ITERS = 3        # fixed unrolled iterations (oracle matches)
@@ -37,7 +41,16 @@ def _ordered_copurchase_pairs(
     upper triangle halves the pre-distinct pair stream (239M instead
     of 478M rows at synth-sf10), which is the dominant shuffle of the
     whole graph family's edge build; consumers symmetrize map-side."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # Round-14 (guide §2.5 input skew, the r13 q1/q7 policy): the
+    # driver parquet is ONE row-group, so the scan + the per-order
+    # collect_set's partial (map-side) aggregation — the heavy half of
+    # the edge build — ran on a single core (time_head: the 0.5 s
+    # 3-task job dominating every graph head). ensure_min_parallelism
+    # is a no-op at production scale (splits >> cores) and collect_set
+    # is order-insensitive here (sort_array canonicalizes).
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem"), spark, "l_orderkey"
+    )
     # collect_set IS the per-order distinct — the former explicit
     # po.distinct() pre-pass shuffled the full (orderkey, partkey)
     # stream a second time for a dedup the set-aggregate already

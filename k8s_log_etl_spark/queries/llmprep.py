@@ -1331,29 +1331,30 @@ def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BPE_D1), F.array_join(chars, _BPE_D2 + _BPE_D1), F.lit(_BPE_D2)
         ).alias("enc"),
     )
+    # Round-14: same treatment as _wp_train — the per-round pair-count
+    # argmax is ONE round-invariant parameterized SQL parse (the
+    # symbol array lambda-BOUND as in textops.bind), and the per-round
+    # checkpoint is LAZY (the argmax collect materializes it), saving
+    # the eager form's blocking job per round. Identical aggregation,
+    # identical (w DESC, a, b) binary-collation tie-break.
+    d2d1 = _BPE_D2 + _BPE_D1
+    syms_sql = f"split(substr(enc, 2, length(enc) - 2), '{d2d1}')"
+    pairs_sql = (
+        f"element_at(transform(array({syms_sql}), s -> "
+        "transform(CASE WHEN size(s) >= 2 THEN sequence(0, size(s) - 2) "
+        "ELSE CAST(array() AS ARRAY<INT>) END, "
+        "i -> struct(s[i] AS a, s[i + 1] AS b))), 1)"
+    )
+    win_sql = f"""
+SELECT p.a AS a, p.b AS b, sum(freq) AS w
+FROM (SELECT freq, explode({pairs_sql}) AS p FROM {{e}})
+GROUP BY p.a, p.b
+ORDER BY w DESC, a ASC, b ASC
+LIMIT 1
+"""
     for _ in range(BPE_MERGE_ROUNDS):
-        enc = enc.transform(spill_checkpoint)
-        pairs = enc.select(
-            "freq",
-            F.explode(
-                bind(
-                    _bpe_syms(),
-                    lambda syms: F.transform(
-                        ngram_indices(syms, 2),
-                        lambda i: F.struct(
-                            syms[i].alias("a"), syms[i + 1].alias("b")
-                        ),
-                    ),
-                )
-            ).alias("p"),
-        )
-        win = (
-            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("w"))
-            .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
+        enc = enc.transform(lambda df: spill_checkpoint(df, eager=False))
+        win = spark.sql(win_sql, e=enc).collect()
         if not win:  # every word fully merged — nothing left to learn
             break
         a, b = win[0]["a"], win[0]["b"]
@@ -1782,57 +1783,51 @@ def _wp_train(spark: SparkSession, sf_dir: str):
         ).alias("enc"),
     )
     merges: list[tuple[int, str, str, int, int]] = []
-    # Round-13 (guide §1): Column expression trees are immutable and
-    # frame-independent — build the loop-invariant symbol/pair exprs
-    # ONCE instead of re-running their py4j construction (split +
-    # nested lambdas, ~1.5 s over the 6 rounds measured by cProfile)
-    # every round. The per-round checkpoint is LAZY: the round's argmax
-    # action (its cnts broadcast build runs first) materializes it, so
-    # the eager form's extra blocking job per round disappears.
-    sym_expr = F.explode(_bpe_syms()).alias("sym")
-    pair_expr = F.explode(
-        bind(
-            _bpe_syms(),
-            lambda syms: F.transform(
-                ngram_indices(syms, 2),
-                lambda i: F.struct(
-                    syms[i].alias("a"), syms[i + 1].alias("b")
-                ),
-            ),
-        )
-    ).alias("p")
+    # Round-14 (guide §7.3 / the r13 classifier discipline): the whole
+    # per-round argmax — symbol counts, pair counts, the two broadcast
+    # joins, the integer score, the (score DESC, a, b) argmax — is ONE
+    # parameterized spark.sql parse instead of ~400 py4j DataFrame
+    # calls per round (cProfile: 3.2k py4j round trips per head call,
+    # ~1 ms each, dominating a head whose 30 jobs are 1-task 20 ms
+    # stubs). The SQL text is round-INVARIANT (the frame binds via the
+    # {e} template), computes the identical plan shape (broadcast
+    # hints keep the two cnts joins broadcast like the DataFrame
+    # form), and the argmax tie-break is the same binary-collation
+    # (score DESC, a, b). The symbol array is lambda-BOUND
+    # (element_at(transform(array(...)))) exactly like textops.bind —
+    # a CTE alias would be re-inlined into every lambda access (the
+    # O(words²) round-8 finding).
+    d2d1 = _BPE_D2 + _BPE_D1
+    syms_sql = f"split(substr(enc, 2, length(enc) - 2), '{d2d1}')"
+    pairs_sql = (
+        f"element_at(transform(array({syms_sql}), s -> "
+        "transform(CASE WHEN size(s) >= 2 THEN sequence(0, size(s) - 2) "
+        "ELSE CAST(array() AS ARRAY<INT>) END, "
+        "i -> struct(s[i] AS a, s[i + 1] AS b))), 1)"
+    )
+    win_sql = f"""
+WITH cnts AS (
+  SELECT sym, sum(freq) AS c
+  FROM (SELECT freq, explode({syms_sql}) AS sym FROM {{e}})
+  GROUP BY sym
+),
+pw AS (
+  SELECT p.a AS a, p.b AS b, sum(freq) AS w
+  FROM (SELECT freq, explode({pairs_sql}) AS p FROM {{e}})
+  GROUP BY p.a, p.b
+)
+SELECT /*+ BROADCAST(ca), BROADCAST(cb) */
+       pw.a, pw.b, pw.w,
+       (pw.w * CAST({WP_SCORE_Q} AS BIGINT)) div (ca.c * cb.c) AS score_q
+FROM pw
+JOIN cnts ca ON ca.sym = pw.a
+JOIN cnts cb ON cb.sym = pw.b
+ORDER BY score_q DESC, pw.a ASC, pw.b ASC
+LIMIT 1
+"""
     for r in range(WP_MERGE_ROUNDS):
         enc = enc.transform(lambda df: spill_checkpoint(df, eager=False))
-        cnts = (
-            enc.select("freq", sym_expr)
-            .groupBy("sym")
-            .agg(F.sum("freq").alias("c"))
-        )
-        pairs = enc.select("freq", pair_expr)
-        pw = pairs.groupBy(
-            F.col("p.a").alias("a"), F.col("p.b").alias("b")
-        ).agg(F.sum("freq").alias("w"))
-        win = (
-            pw.join(
-                F.broadcast(cnts.select(F.col("sym").alias("a"), F.col("c").alias("ca"))),
-                "a",
-            )
-            .join(
-                F.broadcast(cnts.select(F.col("sym").alias("b"), F.col("c").alias("cb"))),
-                "b",
-            )
-            .select(
-                "a",
-                "b",
-                "w",
-                F.expr(f"(w * CAST({WP_SCORE_Q} AS BIGINT)) div (ca * cb)").alias(
-                    "score_q"
-                ),
-            )
-            .orderBy(F.desc("score_q"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
+        win = spark.sql(win_sql, e=enc).collect()
         if not win:  # vocabulary fully merged — nothing left to learn
             break
         a, b = win[0]["a"], win[0]["b"]

@@ -12,6 +12,7 @@ Two input families:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -184,6 +185,9 @@ def events_as_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(F.col("event_id").alias("line_id"), value.alias("value"))
 
 
+_JSONL_LOCK = threading.Lock()
+
+
 def events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the synthesized JSONL to /tmp once per scale factor.
 
@@ -198,13 +202,18 @@ def events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
     """
     name = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/spark_graft_jsonl_v1/{name}"
+    # Double-checked under a process lock: concurrent log-family
+    # queries (the round-14 threaded test sweeps, guide §2.6) must not
+    # both run the overwrite-write into the same path.
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        (
-            events_as_jsonl(spark, sf_dir)
-            .select("value")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .write.mode("overwrite").text(out)
-        )
+        with _JSONL_LOCK:
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                (
+                    events_as_jsonl(spark, sf_dir)
+                    .select("value")
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite").text(out)
+                )
     return out
 
 

@@ -2592,7 +2592,12 @@ def parts_copurchased(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps the literal self-join to pin the equivalence.
     Lift divides exact integer counts — deterministic; top-20 frontier
     tie-broken by (pa, pb)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    # Round-14: same single-row-group scan fix as the graph edge build
+    # (guide §2.5) — the per-order collect_set's map-side half ran on
+    # one core; no-op at scale.
+    l = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem"), spark, "l_orderkey"
+    )
     # Round-13 (guide §2.4 / §1.2(1)): the former po.distinct() shared
     # by three consumers cost a full (orderkey, partkey) shuffle AND
     # re-ran scan+distinct once per consumer. collect_set dedups per

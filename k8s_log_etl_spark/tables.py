@@ -52,15 +52,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def ensure_min_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+def ensure_min_parallelism(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
     """Repartition a scan whose split count is below the session's core
     count. The driver's test parquet is one row-group per table, so every
     scan is otherwise a single task and the whole (shuffle-free) pipeline
     runs on one core. At production scale input splits far exceed
     parallelism and this is a no-op — the policy costs one cheap narrow
-    check (`getNumPartitions`, no job)."""
+    check (`getNumPartitions`, no job).
+
+    With `keys`, repartition by HASH on those columns instead of
+    round-robin (round-14): a keyless repartition first pays a LOCAL
+    SORT of its input on the (single) scan task so retried tasks
+    reproduce their row assignment (sortBeforeRepartition, guide §2.5)
+    — measured as a net regression on the collect_set edge builds —
+    while a hash exchange on the downstream aggregation's own group key
+    needs no sort AND is reused by the aggregation (no second
+    exchange): the single-task work drops to scan + shuffle write."""
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if keys:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
 

@@ -66,11 +66,42 @@ def _multiset(pdf: pd.DataFrame) -> list[str]:
     )
 
 
+@pytest.fixture(scope="session")
+def spark_results(spark, sf_dir, request):
+    """Spark-side results for every parametrized parity test in this
+    run, computed CONCURRENTLY once (round-14, guide §2.6): the serial
+    loop's wall-clock was ~237 × per-query driver latency — the
+    overlap-independent-jobs case exactly. Per-query comparison,
+    assertions, and failure attribution stay in the individual tests
+    (an execution error is re-raised inside that query's own test).
+    Only the names actually collected this run are computed, so
+    `-k one_query` stays cheap."""
+    from conftest import run_surface
+
+    names = sorted(
+        {
+            item.callspec.params["name"]
+            for item in request.session.items
+            if getattr(item, "callspec", None) is not None
+            and "name" in item.callspec.params
+            and item.function.__name__ == "test_query_matches_oracle"
+        }
+    )
+
+    def one(n):
+        pdf = SPECS[n].fn(spark, sf_dir).toPandas()
+        pdf.columns = [c.lower() for c in pdf.columns]
+        return pdf
+
+    return run_surface(names, one)
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
-def test_query_matches_oracle(spark, sf_dir, name):
-    spec = SPECS[name]
-    s_pdf = spec.fn(spark, sf_dir).toPandas()
-    s_pdf.columns = [c.lower() for c in s_pdf.columns]
+def test_query_matches_oracle(spark, sf_dir, name, spark_results):
+    ok, val = spark_results[name]
+    if not ok:
+        raise val  # this query's Spark execution failed — attribute here
+    s_pdf = val
 
     con = _duck_con(sf_dir)
     d_pdf = con.execute(spec.oracle).df()

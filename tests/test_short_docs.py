@@ -16,6 +16,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import run_surface
 from k8s_log_etl_spark.functions.textops import ngram_indices
 from k8s_log_etl_spark.plans.registry import load_all
 
@@ -145,12 +146,11 @@ def test_every_query_survives_pathological_documents(spark, tmp_path):
         os.symlink(
             f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
         )
-    fails = []
-    for n, spec in load_all().items():
-        try:
-            spec.fn(spark, d).collect()
-        except Exception as e:  # noqa: BLE001 — we want the full list
-            fails.append((n, str(e).split("\n")[0][:120]))
+    specs = load_all()
+    res = run_surface(specs, lambda n: specs[n].fn(spark, d).collect())
+    fails = [
+        (n, str(e).split("\n")[0][:120]) for n, (ok, e) in res.items() if not ok
+    ]
     assert not fails, fails
 
 
@@ -181,17 +181,16 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
         os.symlink(
             f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
         )
+    specs = load_all()
+    res = run_surface(specs, lambda n: specs[n].fn(spark, d).collect())
     unexpected = []
     refused = []
-    for n, spec in load_all().items():
-        try:
-            spec.fn(spark, d).collect()
-        except ValueError as e:
-            if "non-empty embeddings corpus" in str(e):
-                refused.append(n)
-            else:
-                unexpected.append((n, str(e)[:120]))
-        except Exception as e:  # noqa: BLE001
+    for n, (ok, e) in res.items():
+        if ok:
+            continue
+        if isinstance(e, ValueError) and "non-empty embeddings corpus" in str(e):
+            refused.append(n)
+        else:
             unexpected.append((n, str(e).split("\n")[0][:120]))
     assert not unexpected, unexpected
     # The expected refusal set is REGISTRY METADATA (round-10 verdict
@@ -242,12 +241,11 @@ def test_every_query_survives_null_text(spark, tmp_path):
         os.symlink(
             f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
         )
-    fails = []
-    for n, spec in load_all().items():
-        try:
-            spec.fn(spark, d).collect()
-        except Exception as e:  # noqa: BLE001
-            fails.append((n, str(e).split("\n")[0][:120]))
+    specs = load_all()
+    res = run_surface(specs, lambda n: specs[n].fn(spark, d).collect())
+    fails = [
+        (n, str(e).split("\n")[0][:120]) for n, (ok, e) in res.items() if not ok
+    ]
     assert not fails, fails
 
 
@@ -299,22 +297,22 @@ def test_every_query_survives_unicode_and_metachars(spark, tmp_path):
             f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
         )
     specs = load_all()
-    fails = []
+    # Spark side concurrently (run_surface); the DuckDB row-count
+    # cross-checks stay on this thread afterwards (one connection is
+    # not thread-safe) — same queries, same assertions.
+    res = run_surface(specs, lambda n: specs[n].fn(spark, d).collect())
+    fails = [
+        (n, str(e).split("\n")[0][:120]) for n, (ok, e) in res.items() if not ok
+    ]
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{d}/documents.parquet')"
     )
     for n, spec in specs.items():
-        try:
-            rows = spec.fn(spark, d).collect()
-            if spec.oracle and n in NGRAM_QUERIES:
-                o = con.execute(spec.oracle).fetchall()
-                assert len(rows) == len(o), (n, len(rows), len(o))
-        except AssertionError:
-            raise
-        except Exception as e:  # noqa: BLE001
-            fails.append((n, str(e).split("\n")[0][:120]))
+        if spec.oracle and n in NGRAM_QUERIES and res[n][0]:
+            o = con.execute(spec.oracle).fetchall()
+            assert len(res[n][1]) == len(o), (n, len(res[n][1]), len(o))
     con.close()
     assert not fails, fails
 
@@ -371,12 +369,11 @@ COPY (
         os.symlink(
             f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
         )
-    fails = []
-    for n, spec in load_all().items():
-        try:
-            spec.fn(spark, d).collect()
-        except Exception as e:  # noqa: BLE001
-            fails.append((n, str(e).split("\n")[0][:120]))
+    specs = load_all()
+    res = run_surface(specs, lambda n: specs[n].fn(spark, d).collect())
+    fails = [
+        (n, str(e).split("\n")[0][:120]) for n, (ok, e) in res.items() if not ok
+    ]
     assert not fails, fails
 
 
@@ -426,10 +423,9 @@ COPY (
         os.symlink(
             f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
         )
-    fails = []
-    for n, spec in load_all().items():
-        try:
-            spec.fn(spark, d).collect()
-        except Exception as e:  # noqa: BLE001
-            fails.append((n, str(e).split("\n")[0][:120]))
+    specs = load_all()
+    res = run_surface(specs, lambda n: specs[n].fn(spark, d).collect())
+    fails = [
+        (n, str(e).split("\n")[0][:120]) for n, (ok, e) in res.items() if not ok
+    ]
     assert not fails, fails
