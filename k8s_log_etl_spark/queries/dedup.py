@@ -63,7 +63,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list. The tiny-doc scan is repartitioned first: the driver
     parquet is one row-group (one task) and the explode below is the
     expensive part — a no-op at scale."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return d.select("doc_id", F.explode(_shingle_array()).alias("s"))
 
 
@@ -192,7 +192,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed): one hash-aggregate keyed on md5(text) — the grouping key
     is the 32-byte digest, not the document, so shuffle width stays
     constant no matter how large documents get."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     canon = F.concat_ws(
         " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
     )
@@ -250,6 +250,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _mh_sig_frame_sql(sh):
+    """(doc_id, mh) MinHash signature frame from an exploded (doc_id, s)
+    shingle stream — the 16 min-permutation aggregates emitted as ONE
+    parameterized SQL parse (round-14, guide §7.3, the _wp_train
+    discipline) instead of ~200 py4j Column builds per call site
+    (cProfile: dedup_minhash_lsh paid 3.4k py4j round trips at
+    plan-build time). Identical integer expressions — md5_long,
+    (h % M31) * a % M31 + b, min() — so signatures are bit-identical;
+    codegen CSE still computes the md5 once per row exactly as in the
+    Column form."""
+    spark = sh.sparkSession
+    spark_h = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    perm_aggs = ", ".join(
+        f"min(({spark_h} % {X.MERSENNE31}) * {a} % {X.MERSENNE31} + {b}) AS mh{i}"
+        for i, (a, b) in enumerate(SEEDS)
+    )
+    arr = ", ".join(f"mh{i}" for i in range(NUM_HASHES))
+    return spark.sql(
+        f"""
+SELECT doc_id, array({arr}) AS mh
+FROM (SELECT doc_id, {perm_aggs} FROM {{sh}} GROUP BY doc_id)
+""",
+        sh=sh,
+    )
+
+
 def _perm_sql(i: int) -> str:
     a, b = SEEDS[i]
     return f"min({X.minhash_perm_sql(X.md5_long_sql('s'), a, b)})"
@@ -295,12 +321,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted, outside codegen — md5-per-element in a lambda is the
     # slow path. Keep the hash work in exploded codegen'd rows.)
     sh = _shingles(spark, sf_dir)
-    h = X.md5_long(F.col("s"))
-    sig = sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(SEEDS)]
-        ).alias("mh")
-    )
+    sig = _mh_sig_frame_sql(sh)
     # Materialize the (tiny: one row per doc) signature frame once —
     # the band self-join below would otherwise re-run the whole
     # shingle→minhash pipeline for EACH side. On a cluster this is the
@@ -394,24 +415,37 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle per-row `aggregate` over a hash array was also tried
     and measured 2.6x slower — higher-order lambdas evaluate
     interpreted, outside codegen."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    )
-    h = X.md5_long(F.col("tok"))
-    bitsums = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{bit}")
-            for bit in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = sum(
-        F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(0)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    # Round-14 (guide §7.3, the _wp_train discipline): the 32 per-bit
+    # sum(CASE...) aggregates and the 32-term bits-to-int chain are ONE
+    # parameterized SQL parse instead of ~700 py4j Column builds per
+    # call (cProfile: dedup_simhash_banded paid 4.6k py4j round trips,
+    # mostly here). Expressions mirror the DataFrame form exactly —
+    # integer sums and CASE chains in the same left-associated order —
+    # so signatures are bit-identical.
+    bitsum_cols = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {bit}) & 1) = 1 THEN 1 ELSE -1 END) AS b{bit}"
         for bit in range(SIMHASH_BITS)
     )
-    return bitsums.select("doc_id", simhash.alias("simhash"))
+    bits_to_int = " + ".join(
+        f"(CASE WHEN b{bit} > 0 THEN {1 << bit} ELSE 0 END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    return spark.sql(
+        f"""
+SELECT doc_id, {bits_to_int} AS simhash
+FROM (
+  SELECT doc_id, {bitsum_cols}
+  FROM (
+    SELECT doc_id,
+           CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h
+    FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS tok FROM {{d}})
+  )
+  GROUP BY doc_id
+)
+""",
+        d=d,
+    )
 
 
 #: Fail-fast gate for the two brute all-pairs BASELINES kept as
@@ -689,14 +723,9 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array_intersect on two ≤doc-length arrays, map-side after two
     keyed joins) — never a corpus-wide posting self-join. est and
     exact are integer-ratio doubles, bit-identical across engines."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     sh = _shingles(spark, sf_dir)
-    h = X.md5_long(F.col("s"))
-    sig = sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(SEEDS)]
-        ).alias("mh")
-    )
+    sig = _mh_sig_frame_sql(sh)
     sig = sig.transform(spill_checkpoint)
     band_structs = F.array(
         *[
@@ -1130,7 +1159,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition before the shuffle). Swapping the policy column
     (model-based quality, recency, source priority) changes only the
     ORDER BY."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
     labels = cc_star(pairs)
     sizes = labels.groupBy(F.col("lbl").alias("cluster")).agg(
@@ -1231,7 +1260,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs the cheap index already flagged, which is the only way an
     edit-distance verify survives 100 TB. Distances are exact integers
     (unit-cost Levenshtein, identical in Spark and DuckDB)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     _, pairs = posting_pairs(_shingles(spark, sf_dir))
     cand = pairs.filter(F.col("c") >= EDIT_MIN_COMMON)
     x = d.select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
@@ -1321,7 +1350,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (same exactness call as training_mix_pipeline, documented
     in PLANS.md). Islands then run per doc over duplicated positions
     only (bounded by hits, not doc length)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     grams = bind(
         F.split(F.trim(F.col("text")), r"\s+"),
         lambda w: F.transform(
@@ -1416,7 +1445,7 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash check."""
     from k8s_log_etl_spark.operators.spans import excise_spans
 
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     spans = dedup_substring_spans(spark, sf_dir)
     out = excise_spans(d, spans)
     return out.select(
@@ -1677,19 +1706,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-vs-index verdicts == the full-recompute pair set restricted
     to (batch, corpus) pairs."""
     sh = _shingles(spark, sf_dir)
-    h = X.md5_long(F.col("s"))
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.array(
-                *[
-                    F.min(X.minhash_perm(h, a, b)).alias(f"mh{i}")
-                    for i, (a, b) in enumerate(SEEDS)
-                ]
-            ).alias("mh")
-        )
-        .transform(spill_checkpoint)
-    )
+    sig = _mh_sig_frame_sql(sh).transform(spill_checkpoint)
     band_structs = F.array(
         *[
             F.struct(
@@ -1744,7 +1761,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dup_batch", F.lit(1))
     )
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     batch_docs = d.filter(F.col("doc_id") >= CORPUS_MAX_ID).select(
         F.col("doc_id").alias("bd"), "source"
     )
@@ -1839,12 +1856,7 @@ def _mh_band_frame(docs: DataFrame) -> DataFrame:
     map-side until the per-doc min hash-agg; band rows carry the full
     signature so verification never joins back."""
     sh = docs.select("doc_id", F.explode(_shingle_array()).alias("s"))
-    h = X.md5_long(F.col("s"))
-    sig = sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(X.minhash_perm(h, a, b)) for a, b in SEEDS]
-        ).alias("mh")
-    )
+    sig = _mh_sig_frame_sql(sh)
     band_structs = F.array(
         *[
             F.struct(
@@ -1875,7 +1887,7 @@ def mh_corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
     path = dataset_cache_path(sf_dir, "mhindex_v1", "documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         d = ensure_min_parallelism(
-            load_table(spark, sf_dir, "documents"), spark
+            load_table(spark, sf_dir, "documents"), spark, "doc_id"
         )
         corpus = d.filter(
             (F.col("doc_id") < SERVE_LO) | (F.col("doc_id") >= SERVE_HI)
@@ -1918,7 +1930,7 @@ def dedup_minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     across serves — the streaming twin ingest_batch_neardup maintains
     the same index continuously)."""
     idx = spark.read.parquet(mh_corpus_index_path(spark, sf_dir))
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     batch_docs = d.filter(
         (F.col("doc_id") >= SERVE_LO) & (F.col("doc_id") < SERVE_HI)
     )
@@ -2043,7 +2055,7 @@ def eval_holdout_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing new shuffles at corpus scale beyond what the pair build
     already paid."""
     pairs = dedup_minhash_lsh(spark, sf_dir).transform(spill_checkpoint)
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     bucket = X.md5_long(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(bucket < TRAIN_PCT, "train")
@@ -2133,7 +2145,7 @@ def dedup_keeper_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set; adds one keyed join for the policy column, one
     per-cluster WindowGroupLimit, and one keyed join mapping members
     to keepers."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
     labels = cc_star(pairs)
     w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("node"))
@@ -2215,7 +2227,7 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group state is the document itself. Two data-sized shuffles
     total (line-hash, doc-key), both with map-side partial
     aggregation."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     lines = bind(
         F.split(F.trim(F.col("text")), r"\s+"),
         lambda w: F.transform(
@@ -2306,7 +2318,7 @@ def group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     so two near-duplicates CANNOT land in different splits; the
     leakage eval_holdout_decontaminated detects is structurally
     impossible here. Returns (doc_id, gk, cluster, split)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     pairs = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
     labels = cc_star(pairs).withColumnRenamed("node", "doc_id")
     g = d.select("doc_id").join(labels, "doc_id", "left")
@@ -2499,7 +2511,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     because doc_id is the first struct field and unique; 60-bit chunk
     hashes carry the documented 2^-60-per-pair collision bound (see
     dedup_prefix_filter_jaccard)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     # NULL text -> zero chunks (doc still counted in n_docs): without
     # the gate Spark's concat_ws would coerce the NULL span to one ""
     # chunk while DuckDB's NULL list yields none (the round-7 NULL-text
@@ -2584,7 +2596,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doc-level self-join (the parts_copurchased grouped-expansion
     discipline; the oracle keeps the literal self-join to pin the
     equivalence). Source totals are a |sources|-row broadcast."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     canon = F.concat_ws(
         " ", F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
     )

@@ -73,7 +73,7 @@ def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no state, reproducible across engines and runs; the
     sampling decision moves with the row, so at 100 TB this is a free
     filter pushed against the scan."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     keep = X.md5_long(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT
     return d.filter(keep).select("doc_id", "lang")
 
@@ -99,7 +99,7 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     strata at 100 TB the Bernoulli variant (rate = cap/count, no
     total-order window) is the first pass; this exact-cap window is the
     trim step that follows."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -137,7 +137,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     size joined in as a broadcast scalar, then a global top-20
     (TakeOrderedAndProject — no full sort). Smoothed idf
     ln((N+1)/(df+1)) on exact integer counts."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
         "doc_id", F.lower(F.col("raw")).alias("term")
     )
@@ -193,7 +193,7 @@ def pack_chunks_single_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference single-window packing (one sorted partition per lang) —
     kept as the equivalence oracle for the distributed form below; not
     registered."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     sized = d.select("doc_id", "lang", F.size(_words()).alias("n_tokens"))
     w = (
         Window.partitionBy("lang")
@@ -227,7 +227,7 @@ def pack_chunks_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = floor(global_offset / budget). Identical output to the
     single-window form (equivalence-tested); the heavy window now runs
     |langs| x PACK_RANGES tasks instead of |langs|."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     sized = d.select("doc_id", "lang", F.size(_words()).alias("n_tokens"))
 
     span = sized.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
@@ -381,7 +381,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is tiny and broadcast; the corpus side is one explode + distinct
     — the join stays an equi-join on the shingle, so at 100 TB the cost
     is the corpus dedup shuffle, not a cross product."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     grams = _word_ngrams(CONTAM_NGRAM)
     exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     bench = exploded.filter(F.col("doc_id") < BENCH_DOCS)
@@ -460,7 +460,7 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id over CONTAMINATED positions only (bounded by hits, not doc
     length), then one hash-agg per island. Nothing quadratic, one
     window over a hit-sparse frame."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     grams = _word_ngrams(CONTAM_NGRAM)
     bench_grams = (
         d.filter(F.col("doc_id") < BENCH_DOCS)
@@ -537,7 +537,7 @@ def decontam_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash check."""
     from k8s_log_etl_spark.operators.spans import excise_spans
 
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     spans = contamination_spans(spark, sf_dir)
     out = excise_spans(d, spans)
     return out.select(
@@ -568,7 +568,7 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (target share = 1/n_sources): weight = target/actual. The numbers a
     weighted sampler (sample_bernoulli_seeded with per-source rates)
     consumes. One tally + a broadcast scalar join."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     by_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = by_source.agg(
         F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
@@ -615,7 +615,7 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct (HLL, no Expand, mergeable) to drop the
     multiplication too — kept exact here so the oracle can
     hash-match."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     aggs: list = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs.append(
@@ -662,7 +662,7 @@ def sample_domain_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the keep decision is a pure map-side predicate — the
     two-job shape (tiny tally, then filtered scan) any weighted
     downsampler has at 100 TB."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     by_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = by_source.agg(
         F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
@@ -752,7 +752,7 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one tiny per-lang tally, two scalar folds, a
     broadcast rates join, and a map-side keep predicate — the
     two-job downsampler shape; the corpus is scanned once."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     by_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = by_lang.agg(F.sum("n_docs").alias("total"))
     sc = by_lang.crossJoin(F.broadcast(tot)).select(
@@ -836,7 +836,7 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — which is the only split discipline that survives a 100 TB
     corpus being re-partitioned or incrementally extended. One scan +
     one hash-aggregate on (split, lang) (tiny key space)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     bucket = X.md5_long(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(bucket < TRAIN_PCT, "train")
@@ -882,6 +882,9 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are integer arithmetic on the row itself, so the operator
     is shuffle-free and scales embarrassingly; the ~window/stride row
     amplification is the (intended) output size, not a join blowup."""
+    # round-robin spread kept HERE (round-14): the plan contract pins
+    # "no hashpartitioning" for this shuffle-free operator — the spread
+    # exchange is fixture-only either way and documents is small.
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     sized = d.select("doc_id", F.size(_words()).alias("n_tokens")).filter(
         F.col("n_tokens") > 0
@@ -936,7 +939,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to integer micro-nats BEFORE summation so the aggregate is
     exact integer math — order-independent and bit-identical across
     engines (float sums would differ by accumulation order)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(
         "doc_id", F.explode(_words()).alias("raw")
     ).select("doc_id", F.lower(F.col("raw")).alias("term"))
@@ -997,7 +1000,7 @@ def decontam_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded corpus grams (never materializing the corpus gram set
     distinct), and the verdict rejoins doc-level — all equi-joins keyed
     on gram / doc_id, nothing quadratic, same shape at 100 TB."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     grams = _word_ngrams(CONTAM_NGRAM)
     exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     bench_grams = exploded.filter(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
@@ -1124,7 +1127,7 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrderedAndProject. This two-level aggregation is why
     BPE training is tractable at 100 TB: pair counting is linear in
     |vocab|, not corpus tokens."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(F.explode(_words()).alias("raw")).select(
         F.lower(F.col("raw")).alias("term")
     )
@@ -1312,7 +1315,7 @@ def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (term, freq, s = final symbol array) — the Spark twin of the
     oracle's `final` CTE, shared by bpe_encode_corpus and
     pack_chunks_bpe_budget."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(F.explode(_words()).alias("raw")).select(
         F.lower(F.col("raw")).alias("term")
     )
@@ -1458,7 +1461,7 @@ def _uni_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct lowercased word vocabulary with frequencies — the BPE
     vocabulary-pricing trick: every EM round is linear in |vocab|, not
     corpus tokens."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(F.explode(_words()).alias("raw")).select(
         F.lower(F.col("raw")).alias("term")
     )
@@ -1763,7 +1766,7 @@ def _wp_train(spark: SparkSession, sf_dir: str):
     symbol hash-agg (both map-side-partial), two BROADCAST joins of the
     bounded symbol-count table onto the pair table, and a 1-row argmax
     sync (TakeOrderedAndProject — the BPE/kmeans sync discipline)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(F.explode(_words()).alias("raw")).select(
         F.lower(F.col("raw")).alias("term")
     )
@@ -2202,7 +2205,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a window keyed on the hash (bounded groups). The corpus side is
     only ever its hash column — at scale that column lives as its own
     compact index table."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     canon = F.concat_ws(
         " ",
         F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""),
@@ -2266,7 +2269,7 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic end to end, so the selection frontier is
     bit-identical across engines — the float u^(1/w) form of A-ES would
     make the cut nondeterministic at the ulp."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     sized = d.select("doc_id", "lang", F.size(_words()).alias("w")).filter(
         F.col("w") > 0
     )
@@ -2357,7 +2360,7 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a variant that materialized the gram ARRAYS, which was a wash —
     checkpointing the words array instead is 40 bytes/token, not
     5-gram × token, and wins at every scale)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     base = d.select("doc_id", "source", _words().alias("w_arr")).transform(spill_checkpoint)
     wa = F.col("w_arr")
     grams = F.transform(
@@ -2497,7 +2500,7 @@ def decontam_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer bit math, so the ENTIRE sketch — not just its use —
     hash-matches the DuckDB oracle; zero false negatives by
     construction (asserted in the same test)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     grams = _word_ngrams(CONTAM_NGRAM)
     exploded = d.select(
         "doc_id", "source", F.explode(F.array_distinct(grams)).alias("g")
@@ -2601,7 +2604,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a hash mismatch — the collision-freeness is itself under test."""
     from k8s_log_etl_spark.operators.snapshots import snapshot_diff
 
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     old = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
         "doc_id", "text", "lang", "source"
     )
@@ -2677,7 +2680,7 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE INTO lowers to; no window, no second scan of the target."""
     from k8s_log_etl_spark.operators.merge import merge_upsert
 
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     target = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
         "doc_id", "text", "lang", "source"
     )
@@ -2782,7 +2785,7 @@ def _scd2_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
     validity bounds), used by corpus_scd2_history and the AS-OF read."""
     from k8s_log_etl_spark.operators.snapshots import scd2_apply, scd2_init
 
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     old = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -2888,7 +2891,7 @@ def corpus_scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, no extra shuffle."""
     from k8s_log_etl_spark.operators.snapshots import scd2_apply, scd2_init
 
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     old = d.filter(F.col("doc_id") < DIFF_OLD_MAX).select(
         "doc_id", "lang", "source"
     )
@@ -3038,7 +3041,7 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Queries whose bucket holds no chunk return no rows — the recall
     miss OR-amplification would fix (knn_lsh_hyperplane shows that
     machinery on the embeddings table)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w = _words()
     base = d.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
     starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
@@ -3134,7 +3137,7 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     window never collapses to |epochs| tasks. Identical output to the
     single-window oracle (hash-checked) and to the single-window Spark
     form (tests/test_llmprep_properties.py)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     e = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(EPOCHS - 1))).alias("ep"),
@@ -3262,7 +3265,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash-agg per query — evaluation cost is O(|queries| * K)
     regardless of corpus size."""
     ret = rag_retrieval_pipeline(spark, sf_dir)
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     qd = d.select(
         F.col("doc_id").alias("query_doc"),
         F.col("source").alias("q_source"),
@@ -3390,7 +3393,7 @@ def pack_chunks_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = _bpe_encoded_vocab(spark, sf_dir).select(
         "term", F.size("s").cast("bigint").alias("wtok")
     )
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     dw = d.select(
         "doc_id", "lang", F.explode_outer(_words()).alias("raw")
     ).select("doc_id", "lang", F.lower("raw").alias("term"))
@@ -3475,7 +3478,7 @@ def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from identical integers). Two scans with pushed doc_id
     predicates, two tiny hash-aggs, one |langs|-row full-outer join —
     cost is the scans, nothing else, at any scale."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     a = (
         d.filter(F.col("doc_id") < DIFF_OLD_MAX)
         .groupBy("lang")
@@ -3611,7 +3614,7 @@ def curriculum_difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     range (a few thousand rows at ANY corpus size, the reason for the
     coarsening), never by document count. No global sort, no
     corpus-sized single-partition stage."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     tok = d.select("doc_id", F.explode(_words()).alias("word"))
     df_tbl = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
     n_docs = d.count()  # driver scalar: one count, reused as a literal
@@ -3719,7 +3722,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     real bigram model is billions of rows at 100 TB; the vocab scalar
     is the only broadcast. The held-out side is 10% of the corpus by
     construction, so scoring is the small side of the pipeline."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
     pairs = bind(
         _words(),
@@ -3854,7 +3857,7 @@ def holdout_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction survives in decontam_bloom_prescreen.
     Per-doc overlap is exact integer ppm via truncating division
     (nonneg, so DuckDB's // == Spark's floor)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
     # _word_ngrams is bind()-wrapped (round-8 second-decade finding,
     # PLANS.md): the former inline-words lambda re-ran the split per
@@ -3978,7 +3981,7 @@ def domain_mix_by_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed vocab join — identical cost profile to the perplexity
     proxy it extends; everything after the per-source table is
     |sources|-sized scalar work."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(
         "source", F.explode(_words()).alias("raw")
     ).select("source", F.lower(F.col("raw")).alias("term"))
@@ -4113,7 +4116,7 @@ def corpus_ngram_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders 10 rows — fixed at ANY corpus size. Integer ppm via
     truncating div (nonneg, DuckDB // == Spark div); greatest(.,1)
     guards the empty-shard division (round-7 ANSI lesson)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     shard = (X.md5_long(F.col("doc_id").cast("string")) % SAT_SHARDS).alias("shard")
     g = d.select(shard, F.explode(_word_ngrams(SAT_NGRAM)).alias("g")).select(
         "shard", X.md5_long(F.col("g")).alias("gh")
@@ -4248,7 +4251,7 @@ def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream joins the model on keyed SHUFFLED joins (never broadcast —
     billions of model rows at 100 TB); the (nbt, v) scalar pair is the
     only broadcast."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     is_train = (X.md5_long(F.col("doc_id").cast("string")) % 100) < TRAIN_PCT
     pairs = bind(
         _words(),
@@ -4649,7 +4652,7 @@ def _bm25_ranked(
     """text_bm25_retrieval's body, parameterized by an optional bound
     on the query-doc ids (retrieval_hybrid_rrf fixes its query batch
     so the hybrid's cost is batch-sized, not corpus-sized)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select("doc_id", F.explode(_words()).alias("raw")).select(
         "doc_id", F.lower(F.col("raw")).alias("term")
     )
@@ -4810,7 +4813,7 @@ def _bm25_index_build(
             return path
         stage = f"{path}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         d = ensure_min_parallelism(
-            load_table(spark, sf_dir, "documents"), spark
+            load_table(spark, sf_dir, "documents"), spark, "doc_id"
         )
         if doc_filter is not None:
             d = d.filter(doc_filter)
@@ -5197,7 +5200,7 @@ def corpus_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     calls per doc, bind()-bound); the only shuffles are two bounded
     hash-aggs to |shards| rows and a |shards|-row join. Rebalancing
     100 TB = moving exactly the new shard's docs."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     assigned = d.select(
         "doc_id",
         "n_chars",
@@ -5360,7 +5363,7 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (density-dependent). tests/test_ccnet_buckets.py pins both the
     skewed-corpus window bound and oracle equality on a
     value-concentrated corpus."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select(
         "doc_id", "lang", F.explode(_words()).alias("raw")
     ).select("doc_id", "lang", F.lower(F.col("raw")).alias("term"))
@@ -5528,7 +5531,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = _bm25_ranked(spark, sf_dir, qmax=RRF_QMAX).select(
         "query_id", "doc_id", "rn"
     )
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     base = d.select("doc_id", _words().alias("w")).filter(F.size("w") > 0)
     chunk = F.concat_ws(" ", F.slice("w", 1, CHUNK_WINDOW))
     docs = base.select("doc_id", _rag_emb(chunk).alias("e"))
@@ -5661,7 +5664,7 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort); per-source rollups are |sources|-row aggs. At 100 TB every
     corpus-sized term is a single explode + hash-agg pass — the same
     cost class as text_perplexity_proxy."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     b = d.select(
         "doc_id", "source", F.explode(_words()).alias("raw")
     ).select(

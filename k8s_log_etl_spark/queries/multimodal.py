@@ -60,7 +60,7 @@ GROUP BY source
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payload columns with typed metadata: per-source
     byte totals and payload dedup counts, all JVM-side binary ops."""
-    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id"))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_payloads"),
         F.sum(F.length("payload")).alias("total_bytes"),
@@ -88,7 +88,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the Arrow-batched mapInPandas decode stub end-to-end and
     aggregates the decoded metadata. The only Python-worker stage in
     the engine — batch-columnar, fixed schema, decode swap-ready."""
-    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id"))
     decoded = MM.decode_metadata(d)
     return decoded.groupBy((F.col("width") % 16).alias("width_bucket")).agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -115,7 +115,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the mapInPandas resize stub (binary in → scaled metadata +
     thumbnail binary out) and aggregates — the oracle recomputes the
     deterministic fake's arithmetic from the md5 hex."""
-    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id"))
     thumbs = MM.resize_thumbnails(d)
     return thumbs.agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -135,7 +135,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the mapInPandas frame sampler (1:N flatMap over binary
     payloads): every 4th byte-frame of the 16-byte fake payload →
     4 frames per doc."""
-    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark))
+    d = MM.attach_payload(ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id"))
     frames = MM.sample_frames(d)
     return frames.agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -207,7 +207,7 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from k8s_log_etl_spark.functions import xengine as X
 
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     decoded = MM.decode_metadata(MM.attach_payload(d)).select(
         "doc_id", F.hex(F.col("payload")).alias("phex_raw"), "width", "height"
     ).withColumn("phex", F.lower(F.col("phex_raw")))
@@ -268,7 +268,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the canonical embed stage: one partition-parallel
     Arrow pass, everything after it JVM-side."""
     d = MM.attach_payload(
-        ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+        ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     )
     feats = MM.extract_features(d)
     src = d.select("doc_id", "source")
@@ -431,7 +431,7 @@ def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set. The oracle recomputes decode, block sums, bits,
     bands, the cap, candidates, and Hamming from the md5 hex, so the
     whole chain is hash-verified."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     corpus = MM.with_reencoded_variants(MM.attach_payload(d))
     sig = spill_checkpoint(MM.ahash_signatures(corpus))  # per-image: data-sized
     bands = sig.select(
@@ -677,7 +677,7 @@ def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast); the image index is never shuffled at serve time on a
     bucketed layout."""
     d = MM.attach_payload(
-        ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+        ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     ).filter(F.col("payload").isNotNull())  # decode gate's NULL policy
     img = d.select(
         "doc_id", _xm_img_vec(F.lower(F.hex(F.col("payload")))).alias("e")
@@ -825,7 +825,7 @@ def dedup_perceptual_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band values ~uniform over 2^16, expected bucket occupancy n/65536
     per band) and the cap bounds any residual hot bucket; decade
     ratios re-measured after the rework (see SCALE.md)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     corpus = MM.with_reencoded_variants(MM.attach_payload(d))
     sig = spill_checkpoint(MM.dct_phash_signatures(corpus))
     bands = sig.select(

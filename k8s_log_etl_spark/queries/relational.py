@@ -77,6 +77,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_min_parallelism(
             l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
             spark,
+            "l_orderkey",
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1104,6 +1105,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         ),
         spark,
+        "l_orderkey",
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -4058,7 +4060,7 @@ def agg_heavyhitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k/trending pipeline."""
     from collections.abc import Iterator
 
-    ev = ensure_min_parallelism(load_table(spark, sf_dir, "events"), spark).select(
+    ev = ensure_min_parallelism(load_table(spark, sf_dir, "events"), spark, "event_id").select(
         "event_type"
     )
 

@@ -41,7 +41,7 @@ def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation); the driver fixtures are always valid, so filtered and
     unfiltered results are identical there and every oracle row is
     unaffected."""
-    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     # round-13: unrolled fixed-dim squared norm (guide §4.1) — the
     # aggregate lambda ran interpreted on EVERY vector load of every
     # knn path; same doubles, same sequential add order, now codegen'd.

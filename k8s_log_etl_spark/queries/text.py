@@ -72,7 +72,7 @@ GROUP BY lang
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts aggregated per language — one narrow
     pass + one small shuffle."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     n_tok = F.size(_words())
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -105,7 +105,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio — the standard cheap filters of a training-data
     pipeline, computed without exploding tokens (array higher-order
     functions keep it one pass per document)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w = _words()
     n = F.size(w)
     short_ratio = F.when(n == 0, 0.0).otherwise(
@@ -153,7 +153,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the labeled lang column. Deterministic tie policy: first
     language (dict order) with the maximal marker count wins; all-zero
     scores → 'unknown'."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w = _words()
 
     def score(lang: str) -> F.Column:
@@ -192,7 +192,7 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-permutation MinHash / winnowing-style sketch); clusters sharing a
     fingerprint are near-dup candidates. One explode + two small
     shuffles."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     grams = _word_ngrams(FINGERPRINT_NGRAM)
     fp = (
         d.select("doc_id", F.explode(grams).alias("g"))
@@ -226,7 +226,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 word bigrams per language: n-gram explode → tf count →
     per-group top-k (WindowGroupLimit keeps only k rows per partition
     alive through the rank)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     bigrams = _word_ngrams(2)
     counts = (
         d.select("lang", F.explode(bigrams).alias("bigram"))
@@ -265,7 +265,7 @@ def text_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace words vs subword-ish runs (letters/digits/punct), per
     language — the cheap token budget estimator of a training-data
     pipeline."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     ws = F.size(_words())
     bpeish = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPEISH_RE), 0))
     return d.groupBy("lang").agg(
@@ -398,7 +398,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard), so the whole pipeline is hash-joins and
     aggregations with a provable per-shingle pair bound — nothing
     quadratic, nothing Python."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     survivors = corpus_survivors(d, include_text=False)
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
@@ -435,7 +435,7 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavily repetitive text scores low — aggregated per source with a
     count of docs under the 0.5 flag threshold. Pure array higher-order
     functions, no explode: one narrow pass + one small shuffle."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     tri = _word_ngrams(3)
     ratio = F.when(F.size(tri) == 0, F.lit(1.0)).otherwise(
         F.size(F.array_distinct(tri)) / F.size(tri)
@@ -475,7 +475,7 @@ def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow regex pass (JVM-side, codegen'd) + one small shuffle; the
     regex subset is restricted to syntax Java and RE2 read identically
     so the oracle is bit-for-bit."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     has = lambda pat: F.when(F.col("text").rlike(pat), 1).otherwise(0)  # noqa: E731
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -518,7 +518,7 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines without hauling document bodies through the compare.
     Narrow map-only plan; the filter prunes untouched docs before the
     hash."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
@@ -581,7 +581,7 @@ def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort). At 100 TB this is the CCNet/C4-style boilerplate census:
     one explode + one agg; grouping on an md5 of the phrase would
     bound shuffle width further for very long phrases."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     grams = _word_ngrams(BOILER_NGRAM)
     return (
         d.select("doc_id", F.explode(F.array_distinct(grams)).alias("phrase"))
@@ -686,7 +686,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the tiny per-source aggregate. Ratio comparisons
     are int/int double divisions, which IEEE-round identically in both
     engines (same pattern as text_quality_score)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
 
     def vflags(w: F.Column) -> F.Column:
         n = F.size(w)
@@ -780,7 +780,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE aggregation (the text_perplexity_proxy pattern), so the
     sums are order-independent and engine-exact; the single final
     division is the only double."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = d.select("lang", F.explode(_words()).alias("raw")).select(
         "lang", F.lower(F.col("raw")).alias("term")
     )
@@ -872,7 +872,7 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow pass over the words array (no explode, no Python) + one
     10-key hash-agg: evaluation cost is the scan, nothing else, at
     any scale."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w = _words()
     n = F.size(w)
     word_chars = F.aggregate(
@@ -1100,7 +1100,7 @@ def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus_quality_gate cascade. y is the Gopher-gate label; fx is
     the hashed word-presence buckets plus the one-hot structural ids
     (see QC_NTOT note)."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return spill_checkpoint(_qc_features(d))  # featurized corpus: data-sized
 
 
@@ -1204,6 +1204,7 @@ def _qc_fit(base: DataFrame) -> tuple[list[int], int, int]:
     split; returns (weights, bias, n_train) in integer micro-units —
     bit-identical to the oracle's w{QC_ROUNDS} table."""
     train = base.filter(F.col("is_train"))
+    spark = train.sparkSession
     n_train = train.count()  # single pre-loop scalar (PageRank pattern)
     wq = [0] * QC_NTOT
     bias = 0
@@ -1211,21 +1212,40 @@ def _qc_fit(base: DataFrame) -> tuple[list[int], int, int]:
     # sweep): with zero train docs every gradient is empty, weights stay
     # 0, and scoring degrades to the bias — mirrored by greatest() in
     # the oracle's update CTE.
+    #
+    # Round-14 (guide §7.3, the _wp_train discipline): the whole
+    # per-round gradient pass — the zq weight-array fold, the quantized
+    # sigmoid, the (doc, bucket) explode and the integer hash-agg — is
+    # ONE parameterized spark.sql parse per round instead of ~250 py4j
+    # DataFrame calls (cProfile: 5.1k py4j round trips per head call,
+    # ~1.4 s of non-execution socket wait). Expressions mirror the
+    # DataFrame form token for token (same doubles through the single
+    # round(); integer elsewhere), so every round's weights stay
+    # bit-identical to the oracle's unrolled CTE replay. The weight
+    # array is a per-round SQL literal — array literals codegen as
+    # runtime references, so the generated Java source stays
+    # round-invariant (the r13 Janino-cache fix is preserved).
+    qf = repr(float(QC_Q)) + "D"
     for _ in range(QC_ROUNDS):
-        zq = _qc_zq(wq, bias)
-        pq = F.round(
-            F.lit(float(QC_Q))
-            / (F.lit(1.0) + F.exp(-(zq.cast("double")) / F.lit(float(QC_Q))))
-        ).cast("long")
-        e = (pq - F.col("y") * QC_Q).alias("e")
-        grads = (
-            train.select(e, F.explode(
-                F.concat(F.col("fx"), F.array(F.lit(-1).cast("long")))
-            ).alias("j"))
-            .groupBy("j")
-            .agg(F.sum("e").alias("g"))
-            .collect()
+        warr_sql = "array(" + ",".join(f"{int(v)}L" for v in [*wq, bias]) + ")"
+        zq_sql = (
+            f"aggregate(concat(fx, array(CAST({QC_NTOT} AS BIGINT))), "
+            f"CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + element_at({warr_sql}, CAST(j + 1 AS INT)))"
         )
+        grads = spark.sql(
+            f"""
+SELECT j, sum(e) AS g
+FROM (
+  SELECT explode(concat(fx, array(CAST(-1 AS BIGINT)))) AS j,
+         CAST(round({qf} / (1.0D + exp(-(CAST(({zq_sql}) AS DOUBLE)) / {qf})))
+           AS BIGINT) - y * {QC_Q} AS e
+  FROM {{t}}
+)
+GROUP BY j
+""",
+            t=train,
+        ).collect()
         g = {int(r["j"]): int(r["g"]) for r in grads}
         den = max(n_train, 1) * QC_LR_DEN
         bias -= _qc_tdiv(g.get(-1, 0) * QC_LR_NUM, den)
@@ -1553,7 +1573,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     because a real unigram table is billions of rows at 100 TB (the
     bigram-LM precedent); T and B are the only broadcast scalars; the
     final top-k is TakeOrderedAndProject."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w_lower = F.transform(_words(), lambda x: F.lower(x))
     uni = (
         d.select(F.explode(w_lower).alias("w1"))
@@ -1701,7 +1721,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian, no broadcast of data-sized frames; everything keyed on
     8-byte-or-string hash-agg keys — the dedup_lines_corpus cost
     class."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     toks = d.select(
         "doc_id", F.posexplode(_words()).alias("pos", "raw")
@@ -1817,7 +1837,7 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word regex fold; no explode — the syllable sum is an array
     aggregate) followed by one |sources|-key hash-agg. Scan-bound at
     any scale."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     w = _words()
     sent = F.greatest(
         F.size(
@@ -1939,7 +1959,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint self-join); the oracle keeps the literal self-join to
     pin equivalence. 100 TB: identical to the MinHash family's
     banded-join bound."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     gh = bind(
         _word_ngrams(WINNOW_K),
         lambda gs: F.transform(gs, lambda g: X.md5_long(g)),

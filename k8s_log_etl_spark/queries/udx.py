@@ -110,7 +110,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enumerate counts every '.'-delimited part, emit only non-empty.
     # (pos is the part index, not the emitted-row index: re-number
     # before comparing if the semantics ever change.)
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     docs = d.filter(F.col("doc_id") < 5).select("doc_id", "text")
     docs.createOrReplaceTempView("udtf_docs_in")
     spark.udtf.register("sentence_split", SentenceSplit)
