@@ -55,7 +55,49 @@ def register(
 
 
 # The round driver hard-checks only the FIRST 50 registered queries.
-# Round 13 rotation (PLANS.md round-13 lead #1, round-12 verdict #1/#2):
+# Round 14 rotation (round-13 verdict #6: ALL 50 slots point at ORACLED
+# queries — the two bounds-only sketches leave the driver window and
+# stay pinned by tests/test_approx.py; their r13 rows-only driver
+# fingerprints stand): (a) the 16 leftover r8 rows that the r13
+# rotation plan promised would lead this round's tranche, (b) this
+# round's STRUCTURALLY modified implementations (k-space posting keys,
+# keyed scan spreads, cc_star exchange cuts, one-parse signature/argmax
+# SQL rewrites, graph edge-build keying — each family's members get a
+# fresh driver fingerprint through the changed code), and (c) stale-r9
+# refreshes doubling as family representatives for every capability
+# (tests/test_registry_order.py pins the mapping; approx-sketch's rep
+# is the ORACLED countmin sketch, not the bounds-only pair).
+_CHECKED_FIRST_R14 = [
+    # --- (a) the 16 leftover r8 rows (stalest greens on the books) ---
+    "corpus_ngram_saturation", "dedup_containment", "dedup_excise_spans",
+    "dedup_minhash_incremental", "dedup_ngram_jaccard",
+    "dedup_substring_spans", "holdout_novelty_scan",
+    "pack_chunks_bpe_budget", "quality_gate_serve", "text_bigram_lm_score",
+    "text_boilerplate_phrases", "text_collocations_pmi",
+    "text_fingerprint_clusters", "text_keyword_rake", "text_readability_fk",
+    "text_repetition_scores",
+    # --- (b) round-14 structurally modified implementations ---
+    "corpus_clean_pipeline", "dedup_edit_distance",
+    "graph_triangle_estimate", "graph_pagerank_copurchase",
+    "graph_bfs_hops", "graph_triangle_count", "parts_copurchased",
+    "split_group_aware", "dedup_cluster_components", "dedup_keeper_remap",
+    "dedup_lines_corpus", "wordpiece_encode_corpus",
+    "wordpiece_train_merges", "bpe_encode_corpus",
+    "quality_classifier_train", "dedup_simhash", "dedup_simhash_banded",
+    "dedup_minhash_lsh", "dedup_minhash_index_serve",
+    "minhash_estimate_quality",
+    # --- (c) fixed-dim-unroll consumers + stale-r9 refreshes, doubling
+    # as family representatives ---
+    "knn_brute_cosine", "knn_ivfpq_adc", "ann_recall_eval",
+    "rag_retrieval_pipeline", "crossmodal_retrieval",
+    "retrieval_hybrid_rrf", "dedup_embedding_lsh", "udaf_embedding_norm",
+    "events_rolling_1h", "transform_chain", "sample_domain_balanced",
+    "agg_countmin_events", "join_scd2_dimension", "events_gap_fill_locf",
+]
+
+# Round 13 rotation (kept for the rotation log; superseded by
+# _CHECKED_FIRST_R14 above — PLANS.md round-13 lead #1, round-12
+# verdict #1/#2):
 # (a) round-13 modified implementations, (b) the two never-driver-
 # checked sketch queries as rows-only slots (retiring
 # agg_approx_events' stale r2 `no_oracle` artifact and giving
@@ -71,7 +113,7 @@ def register(
 # since, and stays continuously covered by the full-surface pytest
 # oracle run (tests/test_oracle_parity.py runs every oracled query
 # every time).
-_CHECKED_FIRST = [
+_CHECKED_FIRST_R13 = [
     # --- (a) round-13 modified implementations: the BM25 builder's
     # publish is now re-checked-and-retried after the lost-race
     # fallback (round-12 ADVICE — both serve faces share
@@ -126,12 +168,14 @@ _CHECKED_FIRST = [
 ]
 # agg_approx_events / agg_heavyhitters_events are sketch-only (no
 # oracle by construction — Misra-Gries merge is partition-order-
-# dependent; engine-specific t-digest/HLL++ state) and take ROWS-ONLY
-# checked slots from round 13 (section (b) above) — the driver pins
-# rows/schema, tests/test_approx.py pins the error bounds.
+# dependent; engine-specific t-digest/HLL++ state) and held ROWS-ONLY
+# checked slots in round 13 — the driver pinned rows/schema once;
+# round 14 returns their slots to oracled queries (r13 verdict #6) and
+# tests/test_approx.py keeps pinning the error bounds every run.
 # agg_countmin_events WAS in this club until round 7, when its
 # registers were hand-rolled over md5 buckets and ORACLED — it
 # rotates through checked slots like any other query.
+_CHECKED_FIRST = _CHECKED_FIRST_R14
 
 
 def load_all() -> dict[str, QuerySpec]:

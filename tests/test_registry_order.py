@@ -8,31 +8,30 @@ from k8s_log_etl_spark.plans.registry import _CHECKED_FIRST, load_all
 
 DRIVER_CAP = 50
 
-# Round-13 rotation: the window is the full r7-latest refresh tranche
-# plus 20 stalest-r8 rows (see plans/registry.py), so most reps are
-# their family's organic tranche member; families with no organic
-# member this round (knn, ann-index, graph, warehouse, capstone,
-# streaming) hold explicit slots pointed at their STALEST remaining
-# greens (r9/r10) so the rep slot doubles as a refresh (ann-eval is a
-# single-member family). Rotated-out greens stay covered by the full
-# pytest oracle run.
+# Round-14 rotation: the window is the 16 leftover r8 rows + this
+# round's structurally modified implementations + stale-r9 refreshes
+# (see plans/registry.py). Every capability family keeps a hard driver
+# signal; reps with no organic member point at stale greens so the
+# slot doubles as a refresh. approx-sketch's rep is the ORACLED
+# countmin sketch — the two bounds-only sketches left the driver
+# window per the r13 verdict (#6) and stay pinned by test_approx.py.
 FAMILY_REPRESENTATIVES = {
-    "log": "agg_filter_reason",
+    "log": "transform_chain",
     "dedup": "dedup_minhash_lsh",
-    "multimodal": "multimodal_resize_stats",
+    "multimodal": "crossmodal_retrieval",
     "knn": "knn_brute_cosine",
-    "text": "text_gopher_rules",
-    "capstone": "training_mix_pipeline",
-    "relational": "q7_volume_shipping",
-    "events": "events_dau_wau",
-    "llmprep": "bpe_encode_corpus",
-    "sampling": "sample_bernoulli_seeded",
-    "warehouse": "corpus_shard_rendezvous",
+    "text": "text_repetition_scores",
+    "capstone": "corpus_clean_pipeline",
+    "relational": "parts_copurchased",
+    "events": "events_rolling_1h",
+    "llmprep": "pack_chunks_bpe_budget",
+    "sampling": "sample_domain_balanced",
+    "warehouse": "join_scd2_dimension",
     "ann-index": "knn_ivfpq_adc",
     "ann-eval": "ann_recall_eval",
     "graph": "graph_triangle_count",
-    "streaming": "stream_sliding_avg",
-    "approx-sketch": "agg_heavyhitters_events",
+    "streaming": "events_gap_fill_locf",
+    "approx-sketch": "agg_countmin_events",
 }
 
 
