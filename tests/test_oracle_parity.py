@@ -98,6 +98,7 @@ def spark_results(spark, sf_dir, request):
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, sf_dir, name, spark_results):
+    spec = SPECS[name]
     ok, val = spark_results[name]
     if not ok:
         raise val  # this query's Spark execution failed — attribute here
